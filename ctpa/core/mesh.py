@@ -1,0 +1,79 @@
+"""Device mesh construction and the framework's axis convention.
+
+TPU-native replacement for the reference's Accelerate/DDP layer
+(CTCLIPTrainer.py:213-217): instead of an NCCL process-group wrapper, the
+"backend" is a `jax.sharding.Mesh` plus a sharding-rule convention; collectives
+compile into the XLA program (SURVEY.md §5.8).
+
+Axis convention:
+  - ``data``  : data parallelism (batch sharding, gradient psum, contrastive
+                all-gather of latents).
+  - ``model`` : tensor parallelism (sharded projections / attention heads).
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ctpa.core.config import MeshConfig
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def create_mesh(cfg: MeshConfig = MeshConfig(), devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a 2D (data, model) mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    mp = max(1, cfg.model_parallel)
+    dp = cfg.data_parallel if cfg.data_parallel > 0 else n // mp
+    if dp * mp != n:
+        raise ValueError(f"mesh {dp}x{mp} != {n} devices")
+    arr = np.asarray(devices).reshape(dp, mp)
+    return Mesh(arr, (cfg.data_axis, cfg.model_axis))
+
+
+def single_device_mesh() -> Mesh:
+    return Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis; replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a pytree of host arrays with the batch dim sharded over 'data'."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def is_primary() -> bool:
+    """Rank-0 gating for checkpoint/eval writes (replaces
+    accelerator.is_main_process, CTCLIPTrainer.py:312-314)."""
+    return jax.process_index() == 0
+
+
+@contextlib.contextmanager
+def maybe_mesh(mesh: Optional[Mesh]):
+    if mesh is None:
+        yield
+    else:
+        with mesh:
+            yield
+
+
+def local_batch_size(global_batch: int, mesh: Mesh) -> int:
+    dp = mesh.shape[DATA_AXIS]
+    if global_batch % dp != 0:
+        raise ValueError(f"global batch {global_batch} not divisible by data axis {dp}")
+    return global_batch // dp

@@ -1,0 +1,217 @@
+"""Transformer blocks for the CTViT tower (flax.linen).
+
+Functional parity with the reference attention lib (ct_clip/attention.py):
+bias-free LayerNorm, GEGLU feed-forward, PEG depthwise-conv positional
+encoding, QK-l2norm cosine attention with learned scales + null KV, optional
+ContinuousPositionBias / ALiBi biases, pre-norm residual wiring
+(attention.py:280-333).  Architecture is re-expressed in idiomatic JAX: pure
+modules, static shapes, `jax.checkpoint`-able blocks.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ctpa.ops.attention_ops import (
+    alibi_bias,
+    continuous_position_bias_grid,
+    cosine_attention,
+    merge_heads,
+    peg_conv3d,
+    split_heads,
+)
+
+
+class LayerNorm(nn.Module):
+    """Gamma-only LayerNorm (no bias, no beta) — attention.py:31-39."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        g = self.param("gamma", nn.initializers.ones, (dim,), jnp.float32)
+        y = nn.LayerNorm(use_bias=False, use_scale=False, dtype=self.dtype)(x)
+        return y * g.astype(y.dtype)
+
+
+class GEGLU(nn.Module):
+    """x * gelu(gate) feed-forward gate — attention.py:42-47."""
+
+    @nn.compact
+    def __call__(self, x):
+        x, gate = jnp.split(x, 2, axis=-1)
+        return x * nn.gelu(gate)
+
+
+class FeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        inner = int(self.dim * self.mult * 2 / 3)   # attention.py:50 GEGLU sizing
+        x = LayerNorm(dtype=self.dtype)(x)
+        x = nn.Dense(inner * 2, use_bias=False, dtype=self.dtype)(x)
+        x = GEGLU()(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype)(x)
+
+
+class PEG(nn.Module):
+    """Depthwise 3D conv positional encoding, residual (attention.py:56-84)."""
+
+    dim: int
+    causal: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, shape3d: tuple[int, int, int]):
+        # x: (b, n, d) flattened tokens; shape3d = (t, h, w) grid
+        t, h, w = shape3d
+        b, n, d = x.shape
+        kernel = self.param(
+            "kernel", nn.initializers.normal(0.02), (3, 3, 3, 1, self.dim), jnp.float32
+        )
+        grid = x.reshape(b, t, h, w, d)
+        out = peg_conv3d(grid, kernel.astype(self.dtype), causal=self.causal)
+        return (grid + out).reshape(b, n, d)
+
+
+class CosineAttention(nn.Module):
+    """Multi-head attention with QK l2-norm, learned per-head q/k scales, and a
+    learned null key/value (attention.py:88-181)."""
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 32
+    scale: float = 10.0
+    causal: bool = False
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        context: Optional[jax.Array] = None,
+        mask: Optional[jax.Array] = None,
+        bias: Optional[jax.Array] = None,
+    ):
+        inner = self.heads * self.dim_head
+        x = LayerNorm(dtype=self.dtype)(x)
+        kv_in = x if context is None else context
+
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(kv_in)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(kv_in)
+        q, k, v = (split_heads(t, self.heads) for t in (q, k, v))
+
+        q_scale = self.param("q_scale", nn.initializers.ones, (self.heads, 1, self.dim_head), jnp.float32)
+        k_scale = self.param("k_scale", nn.initializers.ones, (self.heads, 1, self.dim_head), jnp.float32)
+        null_kv = self.param("null_kv", nn.initializers.normal(1.0), (2, self.heads, 1, self.dim_head), jnp.float32)
+
+        out = cosine_attention(
+            q, k, v,
+            q_scale=q_scale.astype(jnp.float32),
+            k_scale=k_scale.astype(jnp.float32),
+            null_kv=null_kv.astype(self.dtype),
+            scale=self.scale,
+            bias=bias,
+            mask=mask,
+            causal=self.causal,
+        )
+        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_out")(merge_heads(out))
+
+
+class ContinuousPositionBias(nn.Module):
+    """MLP over signed-log relative positions of the 2D token grid
+    (attention.py:229-276); produces an (heads, n, n) additive bias."""
+
+    dim: int = 512
+    heads: int = 8
+    num_layers: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, height: int, width: int):
+        rel = continuous_position_bias_grid(height, width).astype(self.dtype)
+        h = rel
+        for i in range(self.num_layers):
+            h = nn.Dense(self.dim, dtype=self.dtype, name=f"mlp_{i}")(h)
+            h = nn.leaky_relu(h)
+        h = nn.Dense(self.heads, dtype=self.dtype, name="to_heads")(h)
+        return jnp.transpose(h, (2, 0, 1))   # (heads, n, n)
+
+
+class TransformerBlock(nn.Module):
+    dim: int
+    heads: int
+    dim_head: int
+    ff_mult: int = 4
+    causal: bool = False
+    cross_attend: bool = False
+    attn_dropout: float = 0.0
+    ff_dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, mask=None, bias=None, deterministic=True):
+        x = x + CosineAttention(
+            dim=self.dim, heads=self.heads, dim_head=self.dim_head,
+            causal=self.causal, dropout=self.attn_dropout, dtype=self.dtype,
+            name="attn",
+        )(x, mask=mask, bias=bias)
+        if self.cross_attend:
+            x = x + CosineAttention(
+                dim=self.dim, heads=self.heads, dim_head=self.dim_head,
+                dropout=self.attn_dropout, dtype=self.dtype, name="cross_attn",
+            )(x, context=context)
+        x = x + FeedForward(
+            dim=self.dim, mult=self.ff_mult, dropout=self.ff_dropout,
+            dtype=self.dtype, name="ff",
+        )(x, deterministic=deterministic)
+        return x
+
+
+class Transformer(nn.Module):
+    """Pre-norm transformer stack with optional PEG after the first block and a
+    final LayerNorm (attention.py:280-333).  ``peg_shape_from_call``: the 3D
+    grid shape is passed at call time so the same stack serves spatial
+    (b*t, h*w, d) and temporal (b*h*w, t, d) folds."""
+
+    dim: int
+    depth: int
+    heads: int = 8
+    dim_head: int = 32
+    ff_mult: int = 4
+    causal: bool = False
+    cross_attend: bool = False
+    peg: bool = False
+    peg_causal: bool = True
+    attn_dropout: float = 0.0
+    ff_dropout: float = 0.0
+    remat: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, shape3d=None, context=None, mask=None, bias=None, deterministic=True):
+        block_cls = TransformerBlock
+        if self.remat:
+            block_cls = nn.remat(TransformerBlock, static_argnums=(5,))
+        for i in range(self.depth):
+            if self.peg and i == 0:
+                x = PEG(dim=self.dim, causal=self.peg_causal, dtype=self.dtype, name="peg")(x, shape3d)
+            x = block_cls(
+                dim=self.dim, heads=self.heads, dim_head=self.dim_head,
+                ff_mult=self.ff_mult, causal=self.causal,
+                cross_attend=self.cross_attend, attn_dropout=self.attn_dropout,
+                ff_dropout=self.ff_dropout, dtype=self.dtype, name=f"block_{i}",
+            )(x, context, mask, bias, deterministic)
+        return LayerNorm(dtype=self.dtype, name="norm_out")(x)

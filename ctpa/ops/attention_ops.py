@@ -1,0 +1,143 @@
+"""Attention-adjacent primitive ops for the CTViT tower.
+
+Functional parity targets (reference ct_clip/attention.py, SURVEY.md §2.1):
+  * QK-l2norm "cosine" attention with learned per-head q/k scales and a learned
+    null key/value (attention.py:88-181).
+  * ContinuousPositionBias — 2-layer MLP over signed log distance on the 2D
+    token grid (attention.py:229-276).
+  * ALiBi bias for causal temporal attention (attention.py:185-227).
+  * PEG — depthwise 3x3x3 Conv3d positional encoding (attention.py:56-84).
+
+TPU-first notes: attention is expressed as batched dense matmuls (MXU) with the
+bias added pre-softmax so XLA fuses scale+bias+softmax into the attention
+chain.  The null-KV trick appends one extra key/value column rather than
+re-padding masks, keeping all shapes static.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from einops import rearrange
+
+
+def l2norm(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    return x * jax.lax.rsqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True) + eps)
+
+
+def cosine_attention(
+    q: jax.Array,               # (b, h, n, d)
+    k: jax.Array,               # (b, h, m, d)
+    v: jax.Array,               # (b, h, m, d)
+    *,
+    q_scale: jax.Array,         # (h, 1, d) learned log-scale, exp'd here
+    k_scale: jax.Array,         # (h, 1, d)
+    null_kv: jax.Array,         # (2, h, 1, d) learned null key/value
+    scale: float = 10.0,
+    bias: jax.Array | None = None,      # (h or 1, n, m) additive pre-softmax
+    mask: jax.Array | None = None,      # (b, m) True = keep
+    causal: bool = False,
+) -> jax.Array:
+    """QK-l2-normalised attention with learned scales and null KV.
+
+    Mirrors reference attention.py:141-181 semantics: q,k are l2-normalised per
+    head-dim, multiplied by exp(learned scale), similarity scaled by a fixed
+    temperature, a learned null key/value column is appended (so fully-masked
+    rows still have a valid softmax), and optional ALiBi/CPB bias is added to
+    the real-key logits only.
+    """
+    b, h, n, d = q.shape
+    m = k.shape[2]
+    q = l2norm(q) * jnp.exp(q_scale)
+    k = l2norm(k) * jnp.exp(k_scale)
+
+    nk = jnp.broadcast_to(l2norm(null_kv[0])[None], (b, h, 1, d)).astype(k.dtype)
+    nv = jnp.broadcast_to(null_kv[1][None], (b, h, 1, d)).astype(v.dtype)
+    k = jnp.concatenate([nk, k], axis=2)
+    v = jnp.concatenate([nv, v], axis=2)
+
+    sim = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32) * scale
+
+    if bias is not None:
+        pad = jnp.zeros(bias.shape[:-1] + (1,), bias.dtype)
+        bias = jnp.concatenate([pad, bias], axis=-1)
+        sim = sim + bias[None] if bias.ndim == 3 else sim + bias
+
+    neg = jnp.finfo(sim.dtype).min
+    if mask is not None:
+        keep = jnp.concatenate([jnp.ones((b, 1), bool), mask.astype(bool)], axis=1)
+        sim = jnp.where(keep[:, None, None, :], sim, neg)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+        cm = jnp.concatenate([jnp.ones((n, 1), bool), col <= row], axis=1)
+        sim = jnp.where(cm[None, None], sim, neg)
+
+    attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+
+
+def alibi_slopes(heads: int) -> jnp.ndarray:
+    """ALiBi per-head slopes (attention.py:196-209 semantics)."""
+    import math
+
+    def pow2_slopes(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start * (start ** i) for i in range(n)]
+
+    if math.log2(heads).is_integer():
+        s = pow2_slopes(heads)
+    else:
+        closest = 2 ** int(math.floor(math.log2(heads)))
+        s = pow2_slopes(closest)
+        s += pow2_slopes(2 * closest)[0::2][: heads - closest]
+    return jnp.asarray(s, dtype=jnp.float32)
+
+
+def alibi_bias(heads: int, n: int, m: int | None = None) -> jnp.ndarray:
+    """(heads, n, m) causal ALiBi bias: -slope * relative distance."""
+    m = n if m is None else m
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+    dist = -jnp.abs(j - i).astype(jnp.float32)
+    return dist[None] * alibi_slopes(heads)[:, None, None]
+
+
+def continuous_position_bias_grid(height: int, width: int) -> jnp.ndarray:
+    """(n, n, 2) signed-log relative-position features for the spatial token
+    grid (attention.py:252-270): rel = sign(delta) * log(1 + |delta|)."""
+    gy = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0).reshape(-1)
+    gx = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1).reshape(-1)
+    pos = jnp.stack([gy, gx], axis=-1).astype(jnp.float32)   # (n, 2)
+    rel = pos[:, None, :] - pos[None, :, :]                  # (n, n, 2)
+    return jnp.sign(rel) * jnp.log1p(jnp.abs(rel))
+
+
+def peg_conv3d(
+    x: jax.Array,               # (b, t, h, w, c) tokens on the 3D grid
+    kernel: jax.Array,          # (3, 3, 3, 1, c) depthwise kernel
+    causal: bool = True,
+) -> jax.Array:
+    """Positional Encoding Generator: depthwise 3x3x3 conv over the token grid,
+    added residually by the caller (attention.py:56-84).  ``causal=True`` pads
+    the temporal axis on the left only (peg_causal=True at ctvit.py:182-183).
+    XLA lowers depthwise conv3d to MXU-friendly grouped convolution."""
+    c = x.shape[-1]
+    pad_t = (2, 0) if causal else (1, 1)
+    out = jax.lax.conv_general_dilated(
+        x.astype(kernel.dtype),
+        kernel,
+        window_strides=(1, 1, 1),
+        padding=(pad_t, (1, 1), (1, 1)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        feature_group_count=c,
+    )
+    return out
+
+
+def split_heads(x: jax.Array, heads: int) -> jax.Array:
+    return rearrange(x, "b n (h d) -> b h n d", h=heads)
+
+
+def merge_heads(x: jax.Array) -> jax.Array:
+    return rearrange(x, "b h n d -> b n (h d)")
