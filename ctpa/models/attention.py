@@ -65,23 +65,39 @@ class FeedForward(nn.Module):
 
 
 class PEG(nn.Module):
-    """Depthwise 3D conv positional encoding, residual (attention.py:56-84)."""
+    """Depthwise 3D conv positional encoding, residual (attention.py:56-84).
+
+    Like the reference, PEG always convolves over the FULL (t, h, w) token
+    grid, reconstructing it from whichever axial fold the caller is in
+    (spatial: (b*t, h*w, d); temporal: (b*h*w, t, d)) — attention.py:66-80.
+    """
 
     dim: int
     causal: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, shape3d: tuple[int, int, int]):
-        # x: (b, n, d) flattened tokens; shape3d = (t, h, w) grid
+    def __call__(self, x, shape3d: tuple[int, int, int], fold: str = "full"):
         t, h, w = shape3d
-        b, n, d = x.shape
+        B, n, d = x.shape
         kernel = self.param(
             "kernel", nn.initializers.normal(0.02), (3, 3, 3, 1, self.dim), jnp.float32
         )
-        grid = x.reshape(b, t, h, w, d)
-        out = peg_conv3d(grid, kernel.astype(self.dtype), causal=self.causal)
-        return (grid + out).reshape(b, n, d)
+        if fold == "spatial":       # (b*t, h*w, d)
+            b = B // t
+            grid = x.reshape(b, t, h, w, d)
+        elif fold == "temporal":    # (b*h*w, t, d)
+            b = B // (h * w)
+            grid = x.reshape(b, h, w, t, d).transpose(0, 3, 1, 2, 4)
+        else:                       # (b, t*h*w, d)
+            b = B
+            grid = x.reshape(b, t, h, w, d)
+        out = grid + peg_conv3d(grid, kernel.astype(self.dtype), causal=self.causal)
+        if fold == "spatial":
+            return out.reshape(B, n, d)
+        if fold == "temporal":
+            return out.transpose(0, 2, 3, 1, 4).reshape(B, n, d)
+        return out.reshape(B, n, d)
 
 
 class CosineAttention(nn.Module):
@@ -201,13 +217,13 @@ class Transformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, shape3d=None, context=None, mask=None, bias=None, deterministic=True):
+    def __call__(self, x, shape3d=None, fold="full", context=None, mask=None, bias=None, deterministic=True):
         block_cls = TransformerBlock
         if self.remat:
             block_cls = nn.remat(TransformerBlock, static_argnums=(5,))
         for i in range(self.depth):
             if self.peg and i == 0:
-                x = PEG(dim=self.dim, causal=self.peg_causal, dtype=self.dtype, name="peg")(x, shape3d)
+                x = PEG(dim=self.dim, causal=self.peg_causal, dtype=self.dtype, name="peg")(x, shape3d, fold)
             x = block_cls(
                 dim=self.dim, heads=self.heads, dim_head=self.dim_head,
                 ff_mult=self.ff_mult, causal=self.causal,

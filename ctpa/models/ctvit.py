@@ -1,0 +1,158 @@
+"""CTViT — factorized spatial/temporal 3D vision transformer with a
+vector-quantized bottleneck, TPU-native.
+
+Capability parity with reference ctvit.py:117-546 (shipped config
+pretrained_model.py:17-27): 3D patch embed (LN-Linear-LN), spatial transformer
+over per-slab token grids with ContinuousPositionBias, causal-PEG, temporal
+transformer over per-column token sequences, cosine VQ-8192 bottleneck, and the
+generative decoder (`to_pixels`) for reconstruction capability.  The GAN/VGG
+discriminator losses of the reference's unused generative path are provided in
+`ctpa/train/gan_losses.py`.
+
+TPU-first design notes:
+  * The (b, 24, 24, 24, 512) token lattice is processed as two batched dense
+    attention folds — (b*t, 576, d) spatial and (b*h*w, 24, d) temporal — i.e.
+    axial attention, the de-facto long-context strategy of the reference
+    (SURVEY.md §5.7), expressed as large MXU matmul batches.
+  * VQ codebook state is explicit (`VQState`) and threaded functionally; EMA
+    updates happen in the trainer after a psum over the data axis.
+  * All shapes static; `jax.checkpoint` optionally wraps blocks (remat).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from einops import rearrange
+
+from ctpa.core.config import CTViTConfig
+from ctpa.models.attention import ContinuousPositionBias, LayerNorm, Transformer
+from ctpa.ops.vq import VQOutput, VQState, vq_encode
+
+
+class PatchEmbed3D(nn.Module):
+    """b c (t pt) (h p1) (w p2) -> b t h w d with LN-Linear-LN (ctvit.py:168-174)."""
+
+    cfg: CTViTConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, video: jax.Array) -> jax.Array:
+        c = self.cfg.channels
+        pt, p = self.cfg.temporal_patch_size, self.cfg.patch_size
+        x = rearrange(
+            video, "b c (t pt) (h p1) (w p2) -> b t h w (c pt p1 p2)",
+            pt=pt, p1=p, p2=p,
+        ).astype(self.dtype)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm_in")(x)
+        x = nn.Dense(self.cfg.dim, dtype=self.dtype, name="proj")(x)
+        return nn.LayerNorm(dtype=self.dtype, name="norm_out")(x)
+
+
+class CTViT(nn.Module):
+    """Encoder (+ optional decoder) over 3D CT volumes.
+
+    __call__(video, vq_state) -> (tokens, VQOutput | None)
+      video: (b, c, T, H, W); tokens: (b, t, h, w, d) quantized encodings
+      (the `return_encoded_tokens=True` path of ctvit.py:407-437, the only one
+      the CLIP stack exercises).
+    """
+
+    cfg: CTViTConfig
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    def setup(self):
+        c = self.cfg
+        self.patch_embed = PatchEmbed3D(cfg=c, dtype=self.dtype)
+        self.spatial_pos_bias = ContinuousPositionBias(
+            dim=c.dim, heads=c.heads, dtype=self.dtype, name="spatial_rel_pos_bias"
+        )
+        tkw = dict(
+            dim=c.dim, heads=c.heads, dim_head=c.dim_head, ff_mult=c.ff_mult,
+            attn_dropout=c.attn_dropout, ff_dropout=c.ff_dropout,
+            peg=True, peg_causal=True, dtype=self.dtype, remat=self.remat,
+        )
+        self.enc_spatial = Transformer(depth=c.spatial_depth, name="enc_spatial_transformer", **tkw)
+        self.enc_temporal = Transformer(depth=c.temporal_depth, name="enc_temporal_transformer", **tkw)
+        if c.use_decoder:
+            # reference decode() reuses the encoder transformers (ctvit.py:333-360)
+            # but a real generative head wants its own stacks; we keep separate
+            # dec transformers for trainable capacity plus the pixel projection.
+            self.dec_spatial = Transformer(depth=c.spatial_depth, name="dec_spatial_transformer", **tkw)
+            self.dec_temporal = Transformer(depth=c.temporal_depth, name="dec_temporal_transformer", **tkw)
+            self.to_pixels = nn.Dense(c.patch_dim, dtype=self.dtype, name="to_pixels")
+
+    @property
+    def grid(self) -> tuple[int, int, int]:
+        c = self.cfg
+        return (c.temporal_tokens, c.image_size // c.patch_size, c.image_size // c.patch_size)
+
+    def encode_tokens(self, tokens: jax.Array) -> jax.Array:
+        """Axial encode: spatial fold then temporal fold (ctvit.py:306-331)."""
+        b, t, h, w, d = tokens.shape
+        bias = self.spatial_pos_bias(h, w)                      # (heads, hw, hw)
+        x = rearrange(tokens, "b t h w d -> (b t) (h w) d")
+        x = self.enc_spatial(x, shape3d=(t, h, w), fold="spatial", bias=bias)
+        x = rearrange(x, "(b t) (h w) d -> (b h w) t d", b=b, h=h, w=w)
+        x = self.enc_temporal(x, shape3d=(t, h, w), fold="temporal")
+        return rearrange(x, "(b h w) t d -> b t h w d", b=b, h=h, w=w)
+
+    def decode_tokens(self, tokens: jax.Array) -> jax.Array:
+        """Generative decode back to voxels (capability parity, ctvit.py:333-375)."""
+        assert self.cfg.use_decoder, "construct with use_decoder=True"
+        b, t, h, w, d = tokens.shape
+        x = rearrange(tokens, "b t h w d -> (b h w) t d")
+        x = self.dec_temporal(x, shape3d=(t, h, w), fold="temporal")
+        x = rearrange(x, "(b h w) t d -> (b t) (h w) d", b=b, h=h, w=w)
+        bias = self.spatial_pos_bias(h, w)
+        x = self.dec_spatial(x, shape3d=(t, h, w), fold="spatial", bias=bias)
+        x = rearrange(x, "(b t) (h w) d -> b t h w d", b=b, h=h, w=w)
+        pix = self.to_pixels(x)
+        c, pt, p = self.cfg.channels, self.cfg.temporal_patch_size, self.cfg.patch_size
+        return rearrange(
+            pix, "b t h w (c pt p1 p2) -> b c (t pt) (h p1) (w p2)", c=c, pt=pt, p1=p, p2=p
+        )
+
+    def reconstruct(
+        self,
+        video: jax.Array,
+        vq_state: Optional[VQState] = None,
+        frame_mask: Optional[jax.Array] = None,
+    ):
+        """Full generative pass: encode -> VQ -> decode (reference
+        ctvit.py:438-546 forward without the GAN branches).  Returns
+        (recon_video, VQOutput).  Use this as the init target when training the
+        generative path so decoder params are created."""
+        tokens, vq_out = self(video, vq_state, frame_mask)
+        return self.decode_tokens(tokens), vq_out
+
+    def token_mask(self, frame_mask: jax.Array) -> jax.Array:
+        """(b, T) frame validity -> (b, t*h*w) token mask: a temporal patch is
+        valid if ANY of its frames is (ctvit.py:226-233 without the first-frame
+        split, which the shipped path disables)."""
+        b = frame_mask.shape[0]
+        t, h, w = self.grid
+        fm = rearrange(frame_mask, "b (t pt) -> b t pt", pt=self.cfg.temporal_patch_size)
+        tok = jnp.any(fm, axis=-1)
+        return jnp.repeat(tok, h * w, axis=-1).reshape(b, t * h * w)
+
+    def __call__(
+        self,
+        video: jax.Array,
+        vq_state: Optional[VQState] = None,
+        frame_mask: Optional[jax.Array] = None,
+    ):
+        tokens = self.patch_embed(video)
+        tokens = self.encode_tokens(tokens)
+        if vq_state is None or not self.cfg.use_vq:
+            return tokens, None
+        b, t, h, w, d = tokens.shape
+        flat = tokens.reshape(b, t * h * w, d)
+        mask = self.token_mask(frame_mask) if frame_mask is not None else None
+        out: VQOutput = vq_encode(vq_state, flat, mask=mask)
+        quant = out.quantized.reshape(b, t, h, w, d)
+        return quant, out
