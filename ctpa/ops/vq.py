@@ -43,7 +43,8 @@ def vq_init(key: jax.Array, codebook_size: int, dim: int) -> VQState:
     return VQState(
         codebook=codes,
         cluster_size=jnp.zeros((codebook_size,), jnp.float32),
-        embed_avg=codes.astype(jnp.float32),
+        # explicit copy: aliasing the codebook buffer breaks donation
+        embed_avg=jnp.array(codes, jnp.float32, copy=True),
     )
 
 
