@@ -1,0 +1,280 @@
+"""Decoder-only LLM (llama-2 / Meditron-7B geometry) with a KV-cached,
+fully-jitted decode path.
+
+Replaces the reference's HF `AutoModelForCausalLM` dependency
+(vqa_meditron.py:425-426, train_module.py:307-313) with a flax implementation
+whose parameter tree maps 1:1 to HF llama weights (see ctpa/data/hf_import.py)
+and whose decode loop is the single largest performance win over the
+reference: model_components.py:232-261 re-runs the FULL prefix every step
+(O(n² · L)); here decode is a `lax.while_loop` over a static-shape KV cache —
+one token per step, O(n · L), everything on-device.
+
+TPU-native notes:
+  * GQA-capable attention (num_kv_heads <= num_heads) as batched MXU matmuls.
+  * KV cache is a pytree of (b, max_len, kv_heads, head_dim) buffers updated
+    with `lax.dynamic_update_slice_in_dim` — static shapes, in-place under XLA.
+  * Sharding: attention/MLP projections annotated with logical axes so pjit
+    can TP-shard them over the 'model' mesh axis (nn.with_partitioning).
+  * LoRA overlays on q/k/v/o via LoRADense (ctpa/models/lora.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ctpa.core.config import LLMConfig, LoRAConfig
+from ctpa.models.lora import LoRADense
+from ctpa.ops.rotary import apply_rope, rope_frequencies
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        y = x.astype(jnp.float32) * jax.lax.rsqrt(var + self.eps)
+        return (y * w).astype(x.dtype)
+
+
+class KVCache(NamedTuple):
+    """Static-shape KV cache.
+
+    `write_offset` is the next free SLOT (scalar — all sequences write in
+    lockstep: prefill fills [0, n), each decode step one slot).  `true_len`
+    (b,) counts REAL tokens per sequence and drives RoPE positions; with
+    right-padded prompts the pad writes land in slots marked invalid and are
+    never attended."""
+
+    k: jax.Array            # (layers, b, max_len, kv_heads, head_dim)
+    v: jax.Array
+    write_offset: jax.Array  # () int32 next free slot
+    true_len: jax.Array      # (b,) real-token count per sequence
+    valid: jax.Array         # (b, max_len) slot holds a real token's kv
+
+    @classmethod
+    def create(cls, cfg: LLMConfig, batch: int, max_len: Optional[int] = None,
+               dtype=jnp.bfloat16):
+        max_len = max_len or cfg.max_seq_len
+        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        return cls(
+            k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+            write_offset=jnp.zeros((), jnp.int32),
+            true_len=jnp.zeros((batch,), jnp.int32),
+            valid=jnp.zeros((batch, max_len), bool),
+        )
+
+
+def _lora_args(lora: Optional[LoRAConfig], name: str) -> dict:
+    if lora is not None and name in lora.target_projections:
+        return {"rank": lora.rank, "alpha": lora.alpha}
+    return {"rank": 0}
+
+
+class LlamaAttention(nn.Module):
+    cfg: LLMConfig
+    lora: Optional[LoRAConfig] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, positions, kv_write_index, cache_k=None, cache_v=None,
+                 attn_mask=None):
+        """x: (b, n, d). If cache_k/v given (b, max_len, kvh, hd), new k/v are
+        written at kv_write_index (b,) and attention runs over the cache;
+        returns (out, new_k, new_v)."""
+        c = self.cfg
+        h, kvh, hd = c.num_heads, c.num_kv_heads, c.head_dim
+        b, n, _ = x.shape
+
+        q = LoRADense(h * hd, dtype=self.dtype, name="q_proj", **_lora_args(self.lora, "q_proj"))(x)
+        k = LoRADense(kvh * hd, dtype=self.dtype, name="k_proj", **_lora_args(self.lora, "k_proj"))(x)
+        v = LoRADense(kvh * hd, dtype=self.dtype, name="v_proj", **_lora_args(self.lora, "v_proj"))(x)
+        q = q.reshape(b, n, h, hd)
+        k = k.reshape(b, n, kvh, hd)
+        v = v.reshape(b, n, kvh, hd)
+
+        cos, sin = rope_frequencies(hd, c.max_seq_len, c.rope_theta)
+        q = apply_rope(q, cos, sin, positions)
+        k = apply_rope(k, cos, sin, positions)
+
+        if cache_k is not None:
+            # write this block's k/v into the cache at per-batch offsets.
+            # decode (n==1) and prefill (shared offset 0) are the two users.
+            def write(cache, new):
+                def per_seq(cb, nb, off):
+                    return jax.lax.dynamic_update_slice_in_dim(cb, nb, off, axis=0)
+                return jax.vmap(per_seq)(cache, new, kv_write_index)
+            cache_k = write(cache_k, k.astype(cache_k.dtype))
+            cache_v = write(cache_v, v.astype(cache_v.dtype))
+            k_full, v_full = cache_k.astype(self.dtype), cache_v.astype(self.dtype)
+        else:
+            k_full, v_full = k, v
+
+        # GQA: repeat kv heads
+        rep = h // kvh
+        if rep > 1:
+            k_full = jnp.repeat(k_full, rep, axis=2)
+            v_full = jnp.repeat(v_full, rep, axis=2)
+
+        sim = jnp.einsum("bnhd,bmhd->bhnm", q, k_full,
+                         preferred_element_type=jnp.float32) / jnp.sqrt(hd)
+        neg = jnp.finfo(jnp.float32).min
+        if attn_mask is not None:
+            sim = jnp.where(attn_mask, sim, neg)
+        attn = jax.nn.softmax(sim, axis=-1).astype(v_full.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v_full).reshape(b, n, h * hd)
+        out = LoRADense(c.hidden_size, dtype=self.dtype, name="o_proj",
+                        **_lora_args(self.lora, "o_proj"))(out)
+        return out, cache_k, cache_v
+
+
+class LlamaMLP(nn.Module):
+    cfg: LLMConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        gate = nn.Dense(c.intermediate_size, use_bias=False, dtype=self.dtype, name="gate_proj")(x)
+        up = nn.Dense(c.intermediate_size, use_bias=False, dtype=self.dtype, name="up_proj")(x)
+        return nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype, name="down_proj")(
+            nn.silu(gate) * up
+        )
+
+
+class LlamaBlock(nn.Module):
+    cfg: LLMConfig
+    lora: Optional[LoRAConfig] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, positions, kv_write_index, cache_k=None, cache_v=None,
+                 attn_mask=None):
+        h = RMSNorm(self.cfg.rms_norm_eps, dtype=self.dtype, name="input_layernorm")(x)
+        attn_out, ck, cv = LlamaAttention(self.cfg, self.lora, dtype=self.dtype,
+                                          name="self_attn")(
+            h, positions, kv_write_index, cache_k, cache_v, attn_mask)
+        x = x + attn_out
+        h = RMSNorm(self.cfg.rms_norm_eps, dtype=self.dtype, name="post_attention_layernorm")(x)
+        return x + LlamaMLP(self.cfg, dtype=self.dtype, name="mlp")(h), ck, cv
+
+
+class LlamaModel(nn.Module):
+    """Trunk: embeddings + blocks + final norm.  Two modes:
+      * full-sequence (training / prefill): cache=None or cache given
+      * incremental decode: n == 1 with cache
+    Returns (hidden_states, new_cache)."""
+
+    cfg: LLMConfig
+    lora: Optional[LoRAConfig] = None
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jax.Array,               # (b, n)
+        attention_mask: Optional[jax.Array] = None,   # (b, n) 1 = real
+        cache: Optional[KVCache] = None,
+        positions: Optional[jax.Array] = None,         # (b, n)
+        inputs_embeds: Optional[jax.Array] = None,
+    ):
+        c = self.cfg
+        b, n = input_ids.shape[:2] if inputs_embeds is None else inputs_embeds.shape[:2]
+        if inputs_embeds is None:
+            x = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype,
+                         name="embed_tokens")(input_ids)
+        else:
+            x = inputs_embeds.astype(self.dtype)
+
+        if positions is None:
+            if cache is not None:
+                # pads get positions past the real length; they are never
+                # attended as keys and their query outputs are discarded.
+                positions = cache.true_len[:, None] + jnp.arange(n)[None, :]
+            else:
+                positions = jnp.broadcast_to(jnp.arange(n)[None, :], (b, n))
+
+        # attention mask: (b, 1, n, m)
+        if cache is not None:
+            m = cache.k.shape[2]
+            written_real = (
+                attention_mask.astype(bool) if attention_mask is not None
+                else jnp.ones((b, n), bool)
+            )
+            # slots this block writes: write_offset + [0, n)
+            write_slots = cache.write_offset + jnp.arange(n)                # (n,)
+            slot = jnp.arange(m)[None, None, :]                             # (1, 1, m)
+            newly = jnp.any(
+                (slot == write_slots[None, :, None]) & written_real[:, :, None], axis=1
+            )                                                               # (b, m)
+            valid_now = cache.valid | newly
+            # slot order is token order per sequence (real tokens are written
+            # in position order), so causality is slot <= this query's slot.
+            key_slot = jnp.arange(m)[None, None, None, :]
+            q_slot = write_slots[None, None, :, None]
+            mask = (key_slot <= q_slot) & valid_now[:, None, None, :]
+        else:
+            m = n
+            q_pos = jnp.arange(n)[None, None, :, None]
+            key_pos = jnp.arange(n)[None, None, None, :]
+            mask = key_pos <= q_pos
+            if attention_mask is not None:
+                mask = mask & (attention_mask[:, None, None, :] > 0)
+
+        write_idx = (
+            jnp.full((b,), cache.write_offset, jnp.int32)
+            if cache is not None else jnp.zeros((b,), jnp.int32)
+        )
+        new_k, new_v = [], []
+        block_cls = nn.remat(LlamaBlock, static_argnums=()) if self.remat else LlamaBlock
+        for i in range(c.num_layers):
+            ck = cache.k[i] if cache is not None else None
+            cv = cache.v[i] if cache is not None else None
+            x, ck, cv = block_cls(c, self.lora, dtype=self.dtype, name=f"layers_{i}")(
+                x, positions, write_idx, ck, cv, mask)
+            if cache is not None:
+                new_k.append(ck)
+                new_v.append(cv)
+
+        x = RMSNorm(c.rms_norm_eps, dtype=self.dtype, name="norm")(x)
+        new_cache = None
+        if cache is not None:
+            new_cache = KVCache(
+                k=jnp.stack(new_k), v=jnp.stack(new_v),
+                write_offset=cache.write_offset + n,
+                true_len=cache.true_len + written_real.sum(axis=-1).astype(jnp.int32),
+                valid=valid_now,
+            )
+        return x, new_cache
+
+
+class LlamaForCausalLM(nn.Module):
+    cfg: LLMConfig
+    lora: Optional[LoRAConfig] = None
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    def setup(self):
+        self.model = LlamaModel(self.cfg, self.lora, dtype=self.dtype,
+                                remat=self.remat, name="model")
+        if not self.cfg.tie_embeddings:
+            self.lm_head = nn.Dense(self.cfg.vocab_size, use_bias=False,
+                                    dtype=self.dtype, name="lm_head")
+
+    def apply_lm_head(self, hidden):
+        if self.cfg.tie_embeddings:
+            raise NotImplementedError("tied embeddings not needed for Meditron/llama-2")
+        return self.lm_head(hidden)
+
+    def __call__(self, input_ids, attention_mask=None, cache=None, positions=None,
+                 inputs_embeds=None):
+        hidden, new_cache = self.model(input_ids, attention_mask, cache, positions,
+                                       inputs_embeds)
+        return self.apply_lm_head(hidden), hidden, new_cache

@@ -1,0 +1,154 @@
+"""Report-generation / VQA fine-tuning trainer.
+
+Parity with reference train_module.py:28-235, 274-406 and vqa_meditron.py:
+280-397: AdamW with two LR groups (LLM/LoRA params at llm_lr, cross-attention
+at cross_attn_lr — train_module.py:363-369), OneCycle cosine schedule with
+warmup (:375-383), shifted-label CE with pad masking (:87-101), grad-clip 1.0
+(:107), best-by-loss and best-by-val-score checkpoints (:153-214), JSON
+metrics.  The frozen/trainable split (frozen CTViT trunk + base LLM weights,
+trainable LoRA + cross-attn + vision proj) is an optax mask, not requires_grad
+mutation — one pytree, uniform checkpointing.
+
+NOTE (capability fix, SURVEY.md §2.2): the reference's meditron path extracts
+vision features but never feeds them to the LLM (vqa_meditron.py:343-348);
+here the cross-attention conditioning is always in the loss path.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ctpa.core.checkpoint import CheckpointManager
+from ctpa.core.config import OptimizerConfig, ReportGenConfig, TrainConfig
+from ctpa.core.mesh import batch_sharding, is_primary, replicated
+from ctpa.models.report_generator import CTReportGenerator
+from ctpa.train.metrics import MetricsTracker
+from ctpa.train.optim import onecycle
+from ctpa.train.train_state import SimpleTrainState
+
+
+def _path_has(path, *names) -> bool:
+    keys = jax.tree_util.keystr(path)
+    return any(n in keys for n in names)
+
+
+def make_report_optimizer(
+    params: Any,
+    gen_cfg: ReportGenConfig,
+    total_steps: int,
+    grad_clip: float = 1.0,
+    train_full_llm: bool = False,
+) -> optax.GradientTransformation:
+    """Two-LR-group AdamW over the trainable subset:
+      * 'head' group (cross_attention, vision proj): cross_attn_lr
+      * 'llm' group (LoRA params, or all LLM params if train_full_llm): llm_lr
+      * 'frozen': zero updates
+    """
+
+    def label(path, _):
+        if _path_has(path, "cross_attention", "vision_feature_extractor/proj",
+                     "vision_feature_extractor/norm"):
+            return "head"
+        if _path_has(path, "lora_a", "lora_b"):
+            return "llm"
+        if train_full_llm and _path_has(path, "llm/"):
+            return "llm"
+        return "frozen"
+
+    labels = jax.tree_util.tree_map_with_path(label, params)
+    groups = {
+        "head": optax.adamw(onecycle(gen_cfg.cross_attn_lr, total_steps), weight_decay=1e-2),
+        "llm": optax.adamw(onecycle(gen_cfg.llm_lr, total_steps), weight_decay=1e-2),
+        "frozen": optax.set_to_zero(),
+    }
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.multi_transform(groups, labels),
+    )
+
+
+def make_report_train_step(model: CTReportGenerator, tx: optax.GradientTransformation):
+    def step(state: SimpleTrainState, batch):
+        def loss_fn(p):
+            return model.apply(
+                p, batch["video"], batch["input_ids"], batch["attention_mask"],
+                batch.get("label_mask"), method=CTReportGenerator.loss,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        return SimpleTrainState(params=params, opt_state=opt_state,
+                                step=state.step + 1), metrics
+
+    return step
+
+
+class ReportTrainer:
+    """Epoch-driven fine-tune loop with best-by-loss / best-by-val checkpoints
+    (train_module.py:153-214 semantics)."""
+
+    def __init__(
+        self,
+        model: CTReportGenerator,
+        state: SimpleTrainState,
+        tx: optax.GradientTransformation,
+        cfg: TrainConfig = TrainConfig(),
+        mesh=None,
+        eval_fn: Optional[Callable[[SimpleTrainState], dict]] = None,
+        eval_frequency: int = 1,
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.eval_fn = eval_fn
+        self.eval_frequency = eval_frequency
+        step_fn = make_report_train_step(model, tx)
+        if mesh is not None:
+            st_sh = jax.tree.map(lambda _: replicated(mesh), state)
+            self._step = jax.jit(step_fn, in_shardings=(st_sh, batch_sharding(mesh)),
+                                 out_shardings=(st_sh, replicated(mesh)),
+                                 donate_argnums=(0,))
+            self._sharding = batch_sharding(mesh)
+        else:
+            self._step = jax.jit(step_fn, donate_argnums=(0,))
+            self._sharding = None
+        self.state = state
+        self.ckpt = CheckpointManager(cfg.checkpoint_dir)
+        self.metrics = MetricsTracker(os.path.join(cfg.results_dir, "report_train_metrics.json"))
+        self.best_loss = float("inf")
+        self.best_val = -float("inf")
+
+    def _place(self, batch):
+        if self._sharding is None:
+            return jax.tree.map(jnp.asarray, batch)
+        return jax.tree.map(lambda x: jax.device_put(x, self._sharding), batch)
+
+    def train_epoch(self, loader: Iterator, epoch: int) -> dict:
+        losses = []
+        for batch in loader:
+            self.state, m = self._step(self.state, self._place(batch))
+            losses.append(float(m["loss"]))
+            self.metrics.log(int(self.state.step), {k: float(v) for k, v in m.items()})
+        mean_loss = float(np.mean(losses)) if losses else float("nan")
+        if mean_loss < self.best_loss and is_primary():
+            self.best_loss = mean_loss
+            self.ckpt.save(int(self.state.step), jax.device_get(self.state),
+                           metadata={"kind": "best_loss", "epoch": epoch, "loss": mean_loss})
+        if self.eval_fn is not None and (epoch + 1) % self.eval_frequency == 0:
+            scores = self.eval_fn(self.state)
+            self.metrics.log(int(self.state.step), {f"val/{k}": v for k, v in scores.items()})
+            # composite (ROUGE-L + BERTScore-F1)/2 (train_module.py:189-214)
+            val = scores.get("composite", np.mean(list(scores.values())) if scores else 0.0)
+            if val > self.best_val and is_primary():
+                self.best_val = val
+                self.ckpt.save(int(self.state.step) + 1, jax.device_get(self.state),
+                               metadata={"kind": "best_val", "epoch": epoch, "score": val})
+        return {"epoch": epoch, "mean_loss": mean_loss}

@@ -1,0 +1,176 @@
+"""LLM + report generator tests: KV-cache exactness, LoRA identity/merge,
+masked loss, jitted generation."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ctpa.core.config import CTViTConfig, LLMConfig, LoRAConfig, ReportGenConfig
+from ctpa.models.llm import KVCache, LlamaForCausalLM
+from ctpa.models.lora import lora_trainable_mask, merge_lora_scaled
+from ctpa.models.report_generator import CTReportGenerator, VisionFeatureExtractor
+
+LLM = LLMConfig.tiny()
+VIT = CTViTConfig.tiny()
+
+
+def make_llm(lora=None):
+    model = LlamaForCausalLM(LLM, lora=lora)
+    ids = jnp.asarray([[1, 2, 3, 4]])
+    params = model.init(jax.random.key(0), ids)
+    return model, params
+
+
+def test_kv_cache_matches_full_forward():
+    """Incremental cached decode must produce the same logits as a full
+    uncached forward — the core correctness property of the KV cache."""
+    model, params = make_llm()
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, LLM.vocab_size, size=(2, 7)), jnp.int32)
+
+    full_logits, _, _ = model.apply(params, ids)
+
+    cache = KVCache.create(LLM, 2, max_len=7, dtype=jnp.float32)
+    # prefill first 3 tokens, then decode one-by-one
+    _, _, cache = model.apply(params, ids[:, :3], None, cache)
+    step_logits = []
+    for i in range(3, 7):
+        lg, _, cache = model.apply(params, ids[:, i : i + 1], None, cache)
+        step_logits.append(lg[:, 0])
+    inc = jnp.stack(step_logits, axis=1)            # (2, 4, vocab)
+    np.testing.assert_allclose(
+        np.asarray(inc), np.asarray(full_logits[:, 3:]), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_kv_cache_right_padded_prompts():
+    """Right-padded prefill: pad slots must not influence later decode.
+    Compare a padded-batch decode against the same sequence unpadded."""
+    model, params = make_llm()
+    seq = jnp.asarray([[5, 6, 7]], jnp.int32)
+
+    # unpadded path
+    cache_a = KVCache.create(LLM, 1, max_len=8, dtype=jnp.float32)
+    _, _, cache_a = model.apply(params, seq, jnp.ones((1, 3), jnp.int32), cache_a)
+    la, _, _ = model.apply(params, jnp.asarray([[9]], jnp.int32), None, cache_a)
+
+    # padded path: same 3 tokens + 2 pads in the prefill window
+    padded = jnp.asarray([[5, 6, 7, 0, 0]], jnp.int32)
+    mask = jnp.asarray([[1, 1, 1, 0, 0]], jnp.int32)
+    cache_b = KVCache.create(LLM, 1, max_len=8, dtype=jnp.float32)
+    _, _, cache_b = model.apply(params, padded, mask, cache_b)
+    assert int(cache_b.true_len[0]) == 3
+    lb, _, _ = model.apply(params, jnp.asarray([[9]], jnp.int32), None, cache_b)
+
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=2e-4, atol=2e-4)
+
+
+def test_lora_starts_as_identity():
+    lora = LoRAConfig(rank=4, alpha=8.0, target_projections=("q_proj", "v_proj"))
+    model_base, params_base = make_llm()
+    model_lora = LlamaForCausalLM(LLM, lora=lora)
+    ids = jnp.asarray([[1, 2, 3, 4]])
+    params_lora = model_lora.init(jax.random.key(0), ids)
+
+    # graft base weights into the lora tree (lora_b starts at zero -> identity);
+    # rank-0 LoRADense also nests its Dense under 'base', so trees align.
+    def walk(lp, bp):
+        if isinstance(lp, dict):
+            if "base" in lp and "lora_a" in lp:
+                return {**lp, "base": bp["base"]}
+            return {k: walk(v, bp[k]) for k, v in lp.items()}
+        return bp
+
+    grafted = walk(params_lora["params"], params_base["params"])
+    lg, _, _ = model_lora.apply({"params": grafted}, ids)
+    bg, _, _ = model_base.apply(params_base, ids)
+    np.testing.assert_allclose(np.asarray(lg), np.asarray(bg), rtol=1e-5, atol=1e-5)
+
+    # trainable mask hits only lora params
+    mask = lora_trainable_mask({"params": grafted})
+    leaves_true = [
+        p for p, v in jax.tree_util.tree_leaves_with_path(mask) if v
+    ]
+    assert len(leaves_true) > 0
+    assert all("lora" in jax.tree_util.keystr(p) for p in leaves_true)
+
+
+def test_lora_merge_equivalence():
+    lora = LoRAConfig(rank=4, alpha=8.0, target_projections=("q_proj",))
+    model = LlamaForCausalLM(LLM, lora=lora)
+    ids = jnp.asarray([[1, 2, 3, 4]])
+    params = model.init(jax.random.key(0), ids)
+    # randomize lora_b so the overlay is non-trivial
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, v: jax.random.normal(jax.random.key(1), v.shape) * 0.1
+        if "lora_b" in jax.tree_util.keystr(p) else v,
+        params,
+    )
+    want, _, _ = model.apply(params, ids)
+    merged = merge_lora_scaled(params, alpha=8.0, rank=4)
+    got, _, _ = model.apply(merged, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def _make_rg():
+    gen_cfg = ReportGenConfig(vision_dim=32, max_new_tokens=8, max_prompt_len=8)
+    model = CTReportGenerator(LLM, VIT, gen_cfg)
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(
+        rng.normal(size=(2, 1, VIT.temporal_size, VIT.image_size, VIT.image_size)),
+        jnp.float32,
+    )
+    ids = jnp.asarray(rng.integers(1, LLM.vocab_size, size=(2, 6)), jnp.int32)
+    mask = jnp.ones((2, 6), jnp.int32)
+    params = model.init(jax.random.key(0), video, ids, mask)
+    return model, params, video, ids, mask
+
+
+def test_report_generator_loss_and_grads():
+    model, params, video, ids, mask = _make_rg()
+    loss = model.apply(params, video, ids, mask, method=CTReportGenerator.loss)
+    assert np.isfinite(float(loss))
+    # label_mask restricts loss: zero mask -> zero-ish denominator guard
+    lm = jnp.zeros_like(mask)
+    loss0 = model.apply(params, video, ids, mask, lm, method=CTReportGenerator.loss)
+    assert float(loss0) == 0.0
+
+
+def test_generate_jitted_stops_and_shapes():
+    model, params, video, ids, mask = _make_rg()
+
+    @jax.jit
+    def gen(p, v, i, m):
+        return model.apply(
+            p, v, i, m, 8, eos_token_id=2, temperature=0.7,
+            rng=jax.random.key(0), method=CTReportGenerator.generate,
+        )
+
+    res = gen(params, video, ids, mask)
+    assert res.tokens.shape == (2, 8)
+    assert res.lengths.shape == (2,)
+    toks = np.asarray(res.tokens)
+    # after an EOS, everything must be pad
+    for row in toks:
+        if 2 in row:
+            e = list(row).index(2)
+            assert all(t == 0 for t in row[e + 1 :])
+
+
+def test_generate_greedy_deterministic():
+    model, params, video, ids, mask = _make_rg()
+    r1 = model.apply(params, video, ids, mask, 6, eos_token_id=2, greedy=True,
+                     method=CTReportGenerator.generate)
+    r2 = model.apply(params, video, ids, mask, 6, eos_token_id=2, greedy=True,
+                     method=CTReportGenerator.generate)
+    np.testing.assert_array_equal(np.asarray(r1.tokens), np.asarray(r2.tokens))
+
+
+def test_vision_feature_extractor_shape():
+    vfe = VisionFeatureExtractor(VIT, out_dim=32)
+    video = jnp.zeros((2, 1, VIT.temporal_size, VIT.image_size, VIT.image_size))
+    params = vfe.init(jax.random.key(0), video)
+    out = vfe.apply(params, video)
+    assert out.shape == (2, 32)
