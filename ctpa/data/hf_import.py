@@ -1,0 +1,165 @@
+"""Weight import: HF/torch checkpoints -> framework flax pytrees.
+
+SURVEY.md §7 hard part 1: the production models load
+`microsoft/BiomedVLP-CXR-BERT-specialized` (CLIP text tower,
+pretrained_model.py:7-9), `epfl-llm/meditron-7b` (report LLM,
+vqa_meditron.py:425-426), and the `CT-CLIP_v2.pt` torch checkpoint
+(pretrained_model.py:51).  These converters are pure dict-renames +
+transposes (torch nn.Linear stores (out, in); flax Dense stores (in, out)),
+so they run on host numpy with no torch dependency at call time — pass any
+mapping of name -> array (a torch state_dict works directly).
+
+Conventions used by the target modules:
+  * ctpa.models.bert.BertEncoder       (layer_i/attention_self/query/...)
+  * ctpa.models.llm.LlamaForCausalLM   (model/layers_i/self_attn/q_proj/base/...)
+    — attention projections nest under 'base' because they are LoRADense.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Mapping
+
+import numpy as np
+
+from ctpa.core.config import BertConfig, LLMConfig
+
+
+Array = Any
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def _lin(sd: Mapping[str, Array], name: str, bias: bool = True) -> dict:
+    out = {"kernel": _np(sd[f"{name}.weight"]).T}
+    if bias and f"{name}.bias" in sd:
+        out["bias"] = _np(sd[f"{name}.bias"])
+    return out
+
+
+def _ln(sd: Mapping[str, Array], name: str) -> dict:
+    return {"scale": _np(sd[f"{name}.weight"]), "bias": _np(sd[f"{name}.bias"])}
+
+
+def import_bert(sd: Mapping[str, Array], cfg: BertConfig,
+                prefix: str = "") -> dict:
+    """HF BertModel state_dict -> ctpa BertEncoder params['params'].
+
+    `prefix` handles nesting (e.g. 'bert.' for BertForMaskedLM dumps, or
+    'text_transformer.' inside the CT-CLIP checkpoint)."""
+    p = prefix
+    params: dict[str, Any] = {
+        "embeddings": {
+            "word_embeddings": {"embedding": _np(sd[f"{p}embeddings.word_embeddings.weight"])},
+            "position_embeddings": {"embedding": _np(sd[f"{p}embeddings.position_embeddings.weight"])},
+            "token_type_embeddings": {"embedding": _np(sd[f"{p}embeddings.token_type_embeddings.weight"])},
+            "LayerNorm": _ln(sd, f"{p}embeddings.LayerNorm"),
+        }
+    }
+    for i in range(cfg.num_layers):
+        lp = f"{p}encoder.layer.{i}."
+        params[f"layer_{i}"] = {
+            "attention_self": {
+                "query": _lin(sd, lp + "attention.self.query"),
+                "key": _lin(sd, lp + "attention.self.key"),
+                "value": _lin(sd, lp + "attention.self.value"),
+            },
+            "attention_output_dense": _lin(sd, lp + "attention.output.dense"),
+            "attention_output_LayerNorm": _ln(sd, lp + "attention.output.LayerNorm"),
+            "intermediate_dense": _lin(sd, lp + "intermediate.dense"),
+            "output_dense": _lin(sd, lp + "output.dense"),
+            "output_LayerNorm": _ln(sd, lp + "output.LayerNorm"),
+        }
+    return params
+
+
+def import_bert_mlm_head(sd: Mapping[str, Array], prefix: str = "cls.") -> dict:
+    """HF BertForMaskedLM prediction head -> ctpa BertMLMHead params."""
+    p = prefix
+    head = {
+        "transform_dense": _lin(sd, f"{p}predictions.transform.dense"),
+        "transform_LayerNorm": _ln(sd, f"{p}predictions.transform.LayerNorm"),
+        "decoder": {"kernel": _np(sd[f"{p}predictions.decoder.weight"]).T},
+    }
+    if f"{p}predictions.bias" in sd:
+        head["decoder"]["bias"] = _np(sd[f"{p}predictions.bias"])
+    elif f"{p}predictions.decoder.bias" in sd:
+        head["decoder"]["bias"] = _np(sd[f"{p}predictions.decoder.bias"])
+    return head
+
+
+def import_llama(sd: Mapping[str, Array], cfg: LLMConfig,
+                 prefix: str = "") -> dict:
+    """HF LlamaForCausalLM state_dict -> ctpa LlamaForCausalLM params['params'].
+
+    Attention projections land under .../q_proj/base/kernel (LoRADense); fresh
+    LoRA A/B (if enabled) are NOT produced here — init the flax model first
+    and graft these imports over the 'base' subtrees (see `overlay_base`)."""
+    p = prefix
+    model: dict[str, Any] = {
+        "embed_tokens": {"embedding": _np(sd[f"{p}model.embed_tokens.weight"])},
+        "norm": {"weight": _np(sd[f"{p}model.norm.weight"])},
+    }
+    for i in range(cfg.num_layers):
+        lp = f"{p}model.layers.{i}."
+        model[f"layers_{i}"] = {
+            "self_attn": {
+                "q_proj": {"base": _lin(sd, lp + "self_attn.q_proj", bias=False)},
+                "k_proj": {"base": _lin(sd, lp + "self_attn.k_proj", bias=False)},
+                "v_proj": {"base": _lin(sd, lp + "self_attn.v_proj", bias=False)},
+                "o_proj": {"base": _lin(sd, lp + "self_attn.o_proj", bias=False)},
+            },
+            "mlp": {
+                "gate_proj": _lin(sd, lp + "mlp.gate_proj", bias=False),
+                "up_proj": _lin(sd, lp + "mlp.up_proj", bias=False),
+                "down_proj": _lin(sd, lp + "mlp.down_proj", bias=False),
+            },
+            "input_layernorm": {"weight": _np(sd[lp + "input_layernorm.weight"])},
+            "post_attention_layernorm": {"weight": _np(sd[lp + "post_attention_layernorm.weight"])},
+        }
+    out = {"model": model}
+    if f"{p}lm_head.weight" in sd:
+        out["lm_head"] = {"kernel": _np(sd[f"{p}lm_head.weight"]).T}
+    return out
+
+
+def overlay_base(init_params: dict, imported: dict) -> dict:
+    """Graft imported weights over an initialized tree, preserving leaves the
+    import does not provide (fresh LoRA A/B, heads, cross-attention...).
+
+    Imported leaves must exist in init_params with matching shapes."""
+
+    def merge(dst, src, path=""):
+        if not isinstance(src, dict):
+            d = np.asarray(dst)
+            s = np.asarray(src)
+            if d.shape != s.shape:
+                raise ValueError(f"shape mismatch at {path}: {d.shape} vs {s.shape}")
+            return s.astype(d.dtype)
+        out = dict(dst)
+        for k, v in src.items():
+            if k not in out:
+                raise KeyError(f"imported key {path + '/' + k} not in model tree")
+            out[k] = merge(out[k], v, path + "/" + k)
+        return out
+
+    return merge(init_params, imported)
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Read a torch .pt/.pth checkpoint into a flat name->numpy dict without
+    keeping torch tensors alive (host-side; used by the CT-CLIP_v2.pt and
+    fine-tune checkpoint importers)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    if isinstance(obj, dict) and "model" in obj and all(
+        hasattr(v, "detach") for v in obj["model"].values()
+    ):
+        obj = obj["model"]
+    return {k: _np(v) for k, v in obj.items() if hasattr(v, "detach") or isinstance(v, np.ndarray)}
