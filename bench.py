@@ -1,0 +1,216 @@
+"""Benchmark: CTPA preprocess+encode volumes/sec/chip (the BASELINE.json
+north-star metric) at the shipped model scale.
+
+Pipeline measured (per volume): raw CT (160, 512, 512) float32 already staged
+in HBM -> fused HU-rescale/window + trilinear resample + crop/pad to
+(240, 480, 480) -> CTViT patch embed (13,824 tokens, dim 512) -> 4-layer
+spatial axial attention (24 slabs x 576 tokens, CPB bias, PEG) -> 4-layer
+temporal attention (576 columns x 24 tokens) -> VQ-8192 -> temporal mean-pool
++ flatten -> 294912->512 latent projection.  bf16 compute.
+
+vs_baseline: the same workload shape on CPU the way the reference runs it
+(torch: F.interpolate trilinear resample + torch MHA-based factorized encode;
+the reference is 100% torch with no custom kernels, SURVEY.md §2), measured
+in-process.  Prints ONE JSON line on stdout; diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# keep the CPU backend available alongside the TPU plugin so parameter
+# initialization can run host-side (full-size init compiles are wasteful on
+# the device; see also .claude/skills/verify/SKILL.md tunnel notes)
+if os.environ.get("JAX_PLATFORMS") == "axon":
+    os.environ["JAX_PLATFORMS"] = "axon,cpu"
+
+import numpy as np
+
+RAW_SHAPE = (160, 512, 512)
+SPACING = (2.0, 0.75, 0.75)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_tpu(iters: int = 5) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from ctpa.core.config import CTViTConfig, CTCLIPConfig, PreprocessConfig
+    from ctpa.models.ctvit import CTViT
+    from ctpa.ops.attention_ops import l2norm
+    from ctpa.ops.preprocess import preprocess_volume
+    from ctpa.ops.vq import vq_init
+    import flax.linen as nn
+
+    log("devices:", jax.devices())
+    vit_cfg = CTViTConfig()            # shipped scale: dim 512, 4+4, 480/20, 240/10
+    pre_cfg = PreprocessConfig.train()
+    model = CTViT(vit_cfg, dtype=jnp.bfloat16)
+    vq_state = vq_init(jax.random.key(0), vit_cfg.codebook_size, vit_cfg.dim)
+
+    rng = np.random.default_rng(0)
+    raw = jax.device_put(
+        jnp.asarray(rng.integers(-24, 3000, size=RAW_SHAPE), jnp.float32))
+    spacing = jnp.asarray(SPACING, jnp.float32)
+
+    # param VALUES don't matter for a throughput bench: materialize the tree
+    # from eval_shape with cheap numpy randoms (a real CPU init at full size
+    # runs the whole forward in emulated bf16 — minutes of wasted wall clock)
+    def materialize(tree_def):
+        host_rng = np.random.default_rng(0)
+
+        def mk(x):
+            return jnp.asarray(
+                host_rng.normal(0, 0.02, size=x.shape).astype(
+                    np.dtype(x.dtype) if x.dtype != jnp.bfloat16 else np.float32
+                ),
+                dtype=x.dtype,
+            )
+
+        return jax.tree.map(mk, tree_def)
+
+    video_shape = jax.ShapeDtypeStruct((1, 1) + pre_cfg.target_shape, jnp.bfloat16)
+    params_shape = jax.eval_shape(
+        lambda k, v: model.init(k, v, None), jax.random.key(0), video_shape)
+    params = jax.device_put(materialize(params_shape), jax.devices()[0])
+
+    class Latent(nn.Module):
+        dim_image: int = 24 * 24 * 512
+        dim_latent: int = 512
+
+        @nn.compact
+        def __call__(self, tokens):
+            pooled = tokens.mean(axis=1).reshape(tokens.shape[0], -1)
+            return l2norm(nn.Dense(self.dim_latent, use_bias=False,
+                                   dtype=jnp.bfloat16)(pooled))
+
+    lat = Latent()
+    tokens_shape = jax.ShapeDtypeStruct(
+        (1, vit_cfg.temporal_tokens, 24, 24, vit_cfg.dim), jnp.bfloat16)
+    lat_shape = jax.eval_shape(lambda k, t: lat.init(k, t),
+                               jax.random.key(1), tokens_shape)
+    lat_params = jax.device_put(materialize(lat_shape), jax.devices()[0])
+
+    @jax.jit
+    def pipeline(raw):
+        video = preprocess_volume(raw, jnp.float32(1.0), jnp.float32(-1024.0),
+                                  spacing, cfg=pre_cfg)
+        tokens, _ = model.apply(params, video[None].astype(jnp.bfloat16), vq_state)
+        return lat.apply(lat_params, tokens)[0]
+
+    t0 = time.time()
+    out = pipeline(raw)
+    _ = np.asarray(out)
+    log(f"tpu compile+first: {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    for _ in range(iters):
+        out = pipeline(raw)
+        _ = np.asarray(out)      # force completion each iter (axon async quirk)
+    dt = (time.time() - t0) / iters
+    log(f"tpu steady-state: {dt * 1000:.0f} ms/volume")
+    return 1.0 / dt
+
+
+def bench_cpu_reference(iters: int = 2) -> float:
+    """Reference workload shape on CPU: torch trilinear resample (the offline +
+    online prep cost, preprocess_train.py:99-110) + factorized transformer
+    encode with the reference's token geometry (ctvit.py:306-331)."""
+    import torch
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+    dim, heads, depth_s, depth_t = 512, 8, 4, 4
+    t_tok, hw = 24, 576
+
+    raw = torch.randint(-24, 3000, RAW_SHAPE, dtype=torch.int16).float()
+
+    patch_proj = torch.nn.Linear(4000, dim)
+    qkv = [torch.nn.Linear(dim, dim * 3) for _ in range(depth_s + depth_t)]
+    proj = [torch.nn.Linear(dim, dim) for _ in range(depth_s + depth_t)]
+    ff1 = [torch.nn.Linear(dim, dim * 4) for _ in range(depth_s + depth_t)]
+    ff2 = [torch.nn.Linear(dim * 4, dim) for _ in range(depth_s + depth_t)]
+    final = torch.nn.Linear(24 * 24 * dim, dim)
+
+    def mha(x, i):
+        b, n, d = x.shape
+        q, k, v = qkv[i](x).chunk(3, dim=-1)
+        q = q.view(b, n, heads, -1).transpose(1, 2)
+        k = k.view(b, n, heads, -1).transpose(1, 2)
+        v = v.view(b, n, heads, -1).transpose(1, 2)
+        o = F.scaled_dot_product_attention(q, k, v)
+        o = o.transpose(1, 2).reshape(b, n, d)
+        x = x + proj[i](o)
+        return x + ff2[i](F.gelu(ff1[i](x)))
+
+    def one_volume():
+        with torch.no_grad():
+            # resample to target spacing then crop/pad (reference order)
+            scale = [SPACING[i] / t for i, t in enumerate((1.5, 0.75, 0.75))]
+            new = [int(RAW_SHAPE[i] * scale[i]) for i in range(3)]
+            x = F.interpolate(raw[None, None], size=new, mode="trilinear",
+                              align_corners=False)[0, 0]
+            x = x.clamp(-1000, 1000) / 1000
+            # center crop/pad to (240, 480, 480)
+            tgt = (240, 480, 480)
+            pads, slices = [], []
+            for a in range(3):
+                s = x.shape[a]
+                if s > tgt[a]:
+                    st = (s - tgt[a]) // 2
+                    slices.append(slice(st, st + tgt[a]))
+                    pads.append((0, 0))
+                else:
+                    slices.append(slice(None))
+                    before = (tgt[a] - s) // 2
+                    pads.append((before, tgt[a] - s - before))
+            x = x[slices[0], slices[1], slices[2]]
+            flat_pads = [p for pair in reversed(pads) for p in pair]
+            x = F.pad(x, flat_pads, value=-1.0)
+            # patch embed (24, 24, 24, 4000) -> tokens
+            x = x.view(24, 10, 24, 20, 24, 20).permute(0, 2, 4, 1, 3, 5).reshape(
+                24, 24, 24, 4000)
+            tok = patch_proj(x)                         # (t, h, w, d)
+            # spatial: (t, hw, d); temporal: (hw, t, d)
+            s = tok.view(t_tok, hw, dim)
+            for i in range(depth_s):
+                s = mha(s, i)
+            tmp = s.view(t_tok, hw, dim).permute(1, 0, 2)
+            for i in range(depth_t):
+                tmp = mha(tmp, depth_s + i)
+            pooled = tmp.permute(1, 0, 2).mean(dim=0).reshape(1, -1)
+            return final(pooled)
+
+    one_volume()                       # warm up threads/allocs
+    t0 = time.time()
+    for _ in range(iters):
+        one_volume()
+    dt = (time.time() - t0) / iters
+    log(f"cpu reference steady-state: {dt * 1000:.0f} ms/volume")
+    return 1.0 / dt
+
+
+def main():
+    tpu_vps = bench_tpu()
+    try:
+        cpu_vps = bench_cpu_reference()
+    except Exception as e:  # never let the baseline kill the bench line
+        log("cpu baseline failed:", e)
+        cpu_vps = float("nan")
+    vs = tpu_vps / cpu_vps if np.isfinite(cpu_vps) and cpu_vps > 0 else None
+    print(json.dumps({
+        "metric": "preproc_encode_volumes_per_sec_per_chip",
+        "value": round(tpu_vps, 3),
+        "unit": "volumes/sec",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Offline preprocessing CLI — NIfTI -> canonical npz volumes + metadata CSVs.
+
+Replaces data_prep/preprocess_train.py + preprocess_test.py + data_prep.py:
+walk a directory of .nii/.nii.gz scans, extract acquisition metadata, run the
+canonical device-side preprocess (HU window -> resample -> crop/pad), and
+write npz volumes in the reference's sharded folder layout
+`{split}_{id[:2]}/{split}_{id}/{id}.npz` (preprocess_train.py:111-117).
+
+TPU-native: the resample runs on-device via the fused op (batched by shape
+bucket); the host only decodes bytes and writes npz.  No interactive y/n
+destructive prompt and no source deletion (the reference's os.remove at
+preprocess_train.py:128 is dropped deliberately).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from collections import defaultdict
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ctpa.core.config import PreprocessConfig
+from ctpa.data import nifti
+from ctpa.data.manifests import extract_metadata, volume_stem, write_split_metadata
+from ctpa.ops.preprocess import preprocess_volume
+
+
+def find_nii_files(root: str) -> list[str]:
+    out = []
+    for r, _, files in os.walk(root):
+        for f in sorted(files):
+            if f.endswith((".nii", ".nii.gz")):
+                out.append(os.path.join(r, f))
+    return out
+
+
+def sharded_output_path(out_dir: str, split: str, vid: str) -> str:
+    sub = f"{split}_{vid[:2]}"
+    subsub = f"{split}_{vid}"
+    return os.path.join(out_dir, sub, subsub, f"{vid}.npz")
+
+
+def process_one(path: str, out_dir: str, split: str, cfg: PreprocessConfig,
+                window_first: bool = True) -> str:
+    img = nifti.load(path)
+    raw = img.data.astype(np.float32)
+    # reference orientation: transpose (2, 0, 1) -> (z, y, x) (preprocess_train.py:104)
+    raw = np.transpose(raw, (2, 0, 1))
+    sp = img.spacing + (1.0, 1.0, 1.0)
+    spacing = jnp.asarray([sp[2] if len(img.spacing) > 2 else 1.0, sp[0], sp[1]],
+                          jnp.float32)
+    slope = img.scl_slope if img.scl_slope not in (0.0,) else 1.0
+    out = preprocess_volume(
+        jnp.asarray(raw), jnp.float32(slope), jnp.float32(img.scl_inter),
+        spacing, cfg=cfg, window_first=window_first,
+    )
+    vid = volume_stem(path)
+    dst = sharded_output_path(out_dir, split, vid)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    np.savez(dst, np.asarray(out[0], np.float32))
+    return dst
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input-dir", required=True)
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--split", default="train", choices=["train", "valid", "test"])
+    p.add_argument("--train-frac", type=float, default=0.8)
+    p.add_argument("--target-shape", type=int, nargs=3, default=[240, 480, 480])
+    p.add_argument("--window", default="train", choices=["train", "inference"])
+    args = p.parse_args(argv)
+
+    cfg = (PreprocessConfig.train() if args.window == "train"
+           else PreprocessConfig.inference())
+    import dataclasses
+    cfg = dataclasses.replace(cfg, target_shape=tuple(args.target_shape))
+
+    files = find_nii_files(args.input_dir)
+    print(f"found {len(files)} NIfTI volumes", file=sys.stderr)
+    meta = extract_metadata(files)
+    write_split_metadata(meta, args.output_dir, train_frac=args.train_frac)
+
+    by_shape = defaultdict(list)   # shape-bucket so jit reuses executables
+    for f in files:
+        by_shape[nifti.load(f).shape].append(f)
+    n = 0
+    for shape, bucket in by_shape.items():
+        for f in bucket:
+            dst = process_one(f, args.output_dir, args.split, cfg)
+            n += 1
+            if n % 25 == 0:
+                print(f"{n}/{len(files)} -> {dst}", file=sys.stderr)
+    print(f"wrote {n} volumes to {args.output_dir}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

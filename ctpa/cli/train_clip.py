@@ -1,0 +1,118 @@
+"""CT-CLIP contrastive training / fine-tuning CLI.
+
+Replaces ct_clip/CTCLIPTrainer.py script usage + fine_tuning_ctclip.py: builds
+the mesh, datasets, prefetched loader, optimizer (wd-grouped AdamW, cosine-
+warmup-restarts), and runs the pjit'd trainer with periodic zero-shot eval and
+orbax checkpointing."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ctpa.core.config import (
+    BertConfig, CTCLIPConfig, CTViTConfig, MeshConfig, OptimizerConfig,
+    PreprocessConfig, TrainConfig,
+)
+from ctpa.core.mesh import batch_sharding, create_mesh
+from ctpa.data.datasets import CTReportDataset, batch_iterator, collate_clip
+from ctpa.data.prefetch import PrefetchIterator
+from ctpa.data.tokenizer import HFTokenizer, SimpleWordTokenizer
+from ctpa.models.ctclip import CTCLIP
+from ctpa.ops.preprocess import preprocess_batch
+from ctpa.ops.vq import vq_init
+from ctpa.train.clip_trainer import CTClipTrainer
+from ctpa.train.optim import get_optimizer
+from ctpa.train.train_state import CLIPTrainState
+
+
+def build_loader(dataset, tokenizer, batch_size, pre_cfg, mesh, max_length=512,
+                 preprocessed=False):
+    """Host loader; device-side preprocessing happens here (outside the train
+    step so the volume pipeline overlaps the model step via async dispatch)."""
+    raw_iter = batch_iterator(
+        dataset, batch_size, lambda s: collate_clip(s, tokenizer, max_length))
+
+    def device_side():
+        for batch in raw_iter:
+            if preprocessed:
+                video = jnp.asarray(batch["video"])[:, None]   # already canonical
+            else:
+                video = preprocess_batch(
+                    jnp.asarray(batch["video"]), jnp.asarray(batch["slope"]),
+                    jnp.asarray(batch["intercept"]), jnp.asarray(batch["spacing"]),
+                    cfg=pre_cfg)
+            yield {"input_ids": batch["input_ids"],
+                   "attention_mask": batch["attention_mask"],
+                   "video": np.asarray(video)}
+
+    return PrefetchIterator(device_side(),
+                            sharding=batch_sharding(mesh) if mesh else None)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--reports-csv", required=True)
+    p.add_argument("--metadata-csv", default=None)
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--num-steps", type=int, default=100001)
+    p.add_argument("--lr", type=float, default=1.25e-6)
+    p.add_argument("--results-dir", default="results")
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--preprocessed", action="store_true",
+                   help="volumes already on the canonical grid")
+    p.add_argument("--tiny", action="store_true", help="tiny config smoke mode")
+    args = p.parse_args(argv)
+
+    if args.tiny:
+        vit_cfg, bert_cfg = CTViTConfig.tiny(), BertConfig.tiny()
+        clip_cfg = CTCLIPConfig.tiny(vit_cfg, bert_cfg)
+    else:
+        vit_cfg, bert_cfg, clip_cfg = CTViTConfig(), BertConfig(), CTCLIPConfig()
+    pre_cfg = PreprocessConfig.train()
+
+    mesh = create_mesh(MeshConfig())
+    model = CTCLIP(clip_cfg, vit_cfg, bert_cfg)
+    vq_state = vq_init(jax.random.key(0), vit_cfg.codebook_size, vit_cfg.dim)
+    tokenizer = HFTokenizer(args.tokenizer) if args.tokenizer else SimpleWordTokenizer(
+        vocab_size=bert_cfg.vocab_size)
+
+    dataset = CTReportDataset(args.data_dir, args.reports_csv,
+                              metadata_csv=args.metadata_csv)
+    print(f"dataset: {len(dataset)} volumes", file=sys.stderr)
+    loader = build_loader(dataset, tokenizer, args.batch_size, pre_cfg, mesh,
+                          preprocessed=args.preprocessed)
+
+    first = next(loader)
+    params = model.init(jax.random.key(0), jnp.asarray(first["input_ids"]),
+                        jnp.asarray(first["attention_mask"]),
+                        jnp.asarray(first["video"]), vq_state)
+    opt_cfg = OptimizerConfig(lr=args.lr, schedule="cosine_warmup_restarts",
+                              total_steps=args.num_steps)
+    tx = get_optimizer(opt_cfg, params)
+    state = CLIPTrainState.create(params, tx, vq_state)
+
+    import itertools
+    trainer = CTClipTrainer(
+        model, state, itertools.chain([first], loader),
+        cfg=TrainConfig(batch_size=args.batch_size, num_train_steps=args.num_steps,
+                        results_dir=args.results_dir,
+                        checkpoint_dir=args.checkpoint_dir),
+        opt_cfg=opt_cfg, mesh=mesh,
+    )
+    if args.resume:
+        trainer.load()
+    final = trainer.train()
+    print("final:", final, file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

