@@ -75,10 +75,14 @@ def bench_tpu(iters: int = 5) -> float:
 
         return jax.tree.map(mk, tree_def)
 
+    log("stage: eval_shape init")
     video_shape = jax.ShapeDtypeStruct((1, 1) + pre_cfg.target_shape, jnp.bfloat16)
     params_shape = jax.eval_shape(
         lambda k, v: model.init(k, v, None), jax.random.key(0), video_shape)
+    log("stage: materialize params")
     params = jax.device_put(materialize(params_shape), jax.devices()[0])
+    jax.block_until_ready(params)
+    log("stage: params uploaded")
 
     class Latent(nn.Module):
         dim_image: int = 24 * 24 * 512
@@ -96,22 +100,27 @@ def bench_tpu(iters: int = 5) -> float:
     lat_shape = jax.eval_shape(lambda k, t: lat.init(k, t),
                                jax.random.key(1), tokens_shape)
     lat_params = jax.device_put(materialize(lat_shape), jax.devices()[0])
+    jax.block_until_ready(lat_params)
+    log("stage: latent params uploaded")
 
+    # params MUST be jit arguments, not closure captures: captured device
+    # arrays are baked into the program as constants and the compiler tries to
+    # fold hundreds of MB of literals (30+ min compile).
     @jax.jit
-    def pipeline(raw):
+    def pipeline(params, lat_params, vq_state, raw):
         video = preprocess_volume(raw, jnp.float32(1.0), jnp.float32(-1024.0),
                                   spacing, cfg=pre_cfg)
         tokens, _ = model.apply(params, video[None].astype(jnp.bfloat16), vq_state)
         return lat.apply(lat_params, tokens)[0]
 
     t0 = time.time()
-    out = pipeline(raw)
+    out = pipeline(params, lat_params, vq_state, raw)
     _ = np.asarray(out)
     log(f"tpu compile+first: {time.time() - t0:.1f}s")
 
     t0 = time.time()
     for _ in range(iters):
-        out = pipeline(raw)
+        out = pipeline(params, lat_params, vq_state, raw)
         _ = np.asarray(out)      # force completion each iter (axon async quirk)
     dt = (time.time() - t0) / iters
     log(f"tpu steady-state: {dt * 1000:.0f} ms/volume")
