@@ -1,0 +1,143 @@
+"""Report-generation / VQA inference CLI.
+
+Replaces ctpa_report/vqa_inference.py + inference_vqa.py + ct_scan_inference.py:
+loads the latest checkpoint (step-indexed, not mtime-scanning), preprocesses
+scans on device, and decodes with the KV-cached continuous batcher; writes
+JSON/CSV results and optional per-sample tri-plane visualizations.  The
+reference's vision features were computed but unused during generation
+(vqa_inference.py:120 — text-only decoding); here the cross-attention
+conditioning is always active."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ctpa.core.checkpoint import CheckpointManager
+from ctpa.core.config import (
+    CTViTConfig, LLMConfig, LoRAConfig, PreprocessConfig, ReportGenConfig,
+)
+from ctpa.data.datasets import ReportGenDataset, VQADataset, load_npz_volume
+from ctpa.data.tokenizer import HFTokenizer, SimpleWordTokenizer
+from ctpa.eval.artifacts import visualize_sample, write_nlg_results
+from ctpa.eval.nlg import NLGEvaluator
+from ctpa.models.report_generator import CTReportGenerator
+from ctpa.ops.preprocess import preprocess_volume_inference
+from ctpa.pipelines.streaming import ContinuousBatcher, Request
+
+
+def generate_responses(
+    model: CTReportGenerator,
+    params,
+    tokenizer,
+    items: list[dict],
+    pre_cfg: PreprocessConfig,
+    max_new_tokens: int = 128,
+    num_lanes: int = 4,
+    prompt_len: int = 64,
+    temperature: float = 0.7,
+    greedy: bool = False,
+    visualize_dir: str | None = None,
+) -> list[dict]:
+    """Batched KV-cached generation over dataset items (vqa_inference.py
+    generate_responses parity, minus the unused-vision bug)."""
+
+    @jax.jit
+    def encode(video):
+        return model.apply(params, video, method=CTReportGenerator.extract_vision)
+
+    batcher = ContinuousBatcher(
+        model, params, num_lanes=num_lanes,
+        max_len=prompt_len + max_new_tokens + 8,
+        eos_token_id=tokenizer.sep_token_id or 2,
+        temperature=temperature, greedy=greedy,
+    )
+    records = []
+    for i, item in enumerate(items):
+        vol = jnp.asarray(item["volume"])
+        video = preprocess_volume_inference(vol, cfg=pre_cfg)
+        vision = encode(video[None].astype(jnp.float32))[0]
+        prompt = item.get("prompt", item.get("question", ""))
+        toks = tokenizer([prompt], max_length=prompt_len)
+        batcher.submit(Request(
+            request_id=i, input_ids=toks["input_ids"][0],
+            attention_mask=toks["attention_mask"][0], vision=vision,
+            max_new_tokens=max_new_tokens))
+        batcher.step()
+        if visualize_dir:
+            visualize_sample(visualize_dir, np.asarray(video), prompt,
+                             item.get("report", item.get("answer", "")),
+                             "(pending)", f"sample_{i}")
+    results = batcher.run_until_done()
+    for i, item in enumerate(items):
+        res = results[i]
+        records.append({
+            "id": i,
+            "prompt": item.get("prompt", item.get("question", "")),
+            "reference": item.get("report", item.get("answer", "")),
+            "prediction": tokenizer.decode(res.tokens),
+            "tokens": len(res.tokens),
+            "latency_s": round(res.latency_s, 4),
+        })
+    return records
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--jsonl", required=True, help="dataset manifest")
+    p.add_argument("--mode", default="report", choices=["report", "vqa"])
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--out-dir", default="generation_results")
+    p.add_argument("--max-new-tokens", type=int, default=128)
+    p.add_argument("--num-lanes", type=int, default=4)
+    p.add_argument("--greedy", action="store_true")
+    p.add_argument("--visualize", action="store_true")
+    p.add_argument("--max-samples", type=int, default=0)
+    p.add_argument("--tiny", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.tiny:
+        llm_cfg, vit_cfg = LLMConfig.tiny(), CTViTConfig.tiny()
+    else:
+        llm_cfg, vit_cfg = LLMConfig(), CTViTConfig()
+    gen_cfg = ReportGenConfig()
+    model = CTReportGenerator(llm_cfg, vit_cfg, gen_cfg)
+    tokenizer = (HFTokenizer(args.tokenizer) if args.tokenizer
+                 else SimpleWordTokenizer(vocab_size=llm_cfg.vocab_size))
+
+    mgr = CheckpointManager(args.checkpoint_dir)
+    state = mgr.restore()
+    if state is None:
+        print("no checkpoint found", file=sys.stderr)
+        return 1
+    params = state["params"] if isinstance(state, dict) else state.params
+
+    ds = (ReportGenDataset if args.mode == "report" else VQADataset)(args.jsonl)
+    n = min(len(ds), args.max_samples) if args.max_samples else len(ds)
+    items = [ds[i] for i in range(n)]
+    pre_cfg = PreprocessConfig.inference() if not args.tiny else PreprocessConfig(
+        target_shape=(vit_cfg.temporal_size, vit_cfg.image_size, vit_cfg.image_size))
+
+    records = generate_responses(
+        model, params, tokenizer, items, pre_cfg,
+        max_new_tokens=args.max_new_tokens, num_lanes=args.num_lanes,
+        greedy=args.greedy,
+        visualize_dir=f"{args.out_dir}/viz" if args.visualize else None)
+
+    metrics = NLGEvaluator().evaluate(
+        [r["reference"] for r in records], [r["prediction"] for r in records])
+    paths = write_nlg_results(args.out_dir, records, metrics)
+    print({"n": len(records), **{k: round(v, 4) for k, v in metrics.items()}},
+          file=sys.stderr)
+    print("wrote:", paths, file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -110,6 +110,7 @@ def main(argv=None):
     if args.resume:
         trainer.load()
     final = trainer.train()
+    trainer.close()
     print("final:", final, file=sys.stderr)
     return 0
 

@@ -120,6 +120,7 @@ def main(argv=None):
     for epoch in range(args.epochs):
         out = trainer.train_epoch(loader(), epoch)
         print(f"epoch {epoch}: {out}", file=sys.stderr)
+    trainer.close()
     return 0
 
 

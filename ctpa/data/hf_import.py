@@ -149,6 +149,117 @@ def overlay_base(init_params: dict, imported: dict) -> dict:
     return merge(init_params, imported)
 
 
+def _peg(sd: Mapping[str, Array], name: str) -> dict:
+    # torch Conv3d depthwise weight (dim, 1, 3, 3, 3) -> ours (3, 3, 3, 1, dim)
+    w = _np(sd[f"{name}.dsconv.weight"])
+    out = {"kernel": np.transpose(w, (2, 3, 4, 1, 0))}
+    out["bias"] = (_np(sd[f"{name}.dsconv.bias"])
+                   if f"{name}.dsconv.bias" in sd
+                   else np.zeros(w.shape[0], np.float32))
+    return out
+
+
+def _cosine_attn(sd: Mapping[str, Array], name: str) -> dict:
+    out = {
+        "norm": {"gamma": _np(sd[f"{name}.norm.gamma"])},
+        "to_q": {"kernel": _np(sd[f"{name}.to_q.weight"]).T},
+        "to_kv": {"kernel": _np(sd[f"{name}.to_kv.weight"]).T},
+        "to_out": {"kernel": _np(sd[f"{name}.to_out.weight"]).T},
+        "q_scale": _np(sd[f"{name}.q_scale"]),
+        "k_scale": _np(sd[f"{name}.k_scale"]),
+    }
+    nkv = _np(sd.get(f"{name}.null_kv", np.zeros((0,))))
+    if nkv.size:  # (heads, 2*num_null, dim_head) -> (2, heads, num_null, d)
+        h, two_n, d = nkv.shape
+        out["null_kv"] = np.transpose(
+            nkv.reshape(h, two_n // 2, 2, d), (2, 0, 1, 3))
+    return out
+
+
+def _geglu_ff(sd: Mapping[str, Array], name: str) -> dict:
+    return {
+        "norm": _ln(sd, f"{name}.0"),
+        "proj_in": {"kernel": _np(sd[f"{name}.1.weight"]).T},
+        "proj_out": {"kernel": _np(sd[f"{name}.4.weight"]).T},
+    }
+
+
+def _ctvit_transformer(sd: Mapping[str, Array], name: str, depth: int,
+                       peg: bool = True) -> dict:
+    out: dict[str, Any] = {"norm_out": {"gamma": _np(sd[f"{name}.norm_out.gamma"])}}
+    for i in range(depth):
+        lp = f"{name}.layers.{i}"
+        if peg:
+            out[f"peg_{i}"] = _peg(sd, f"{lp}.0")
+        out[f"block_{i}"] = {
+            "attn": _cosine_attn(sd, f"{lp}.1"),
+            "ff": _geglu_ff(sd, f"{lp}.3"),
+        }
+    return out
+
+
+def import_ctvit(sd: Mapping[str, Array], spatial_depth: int, temporal_depth: int,
+                 prefix: str = "", cpb_layers: int = 2) -> dict:
+    """Reference CTViT state_dict (ctvit.py:117-224 module tree, lucidrains
+    layout) -> ctpa CTViT params.  Covers the encoder path the CLIP stack
+    uses; decoder `to_pixels` is mapped when present."""
+    p = prefix
+    params: dict[str, Any] = {
+        "patch_embed": {
+            "norm_in": _ln(sd, f"{p}to_patch_emb.1"),
+            "proj": _lin(sd, f"{p}to_patch_emb.2"),
+            "norm_out": _ln(sd, f"{p}to_patch_emb.3"),
+        },
+        "spatial_rel_pos_bias": {},
+    }
+    cpb: dict[str, Any] = {}
+    for i in range(cpb_layers):
+        cpb[f"mlp_{i}"] = _lin(sd, f"{p}spatial_rel_pos_bias.net.{i}.0")
+    cpb["to_heads"] = _lin(sd, f"{p}spatial_rel_pos_bias.net.{cpb_layers}")
+    params["spatial_rel_pos_bias"] = cpb
+    params["enc_spatial_transformer"] = _ctvit_transformer(
+        sd, f"{p}enc_spatial_transformer", spatial_depth)
+    params["enc_temporal_transformer"] = _ctvit_transformer(
+        sd, f"{p}enc_temporal_transformer", temporal_depth)
+    if f"{p}to_pixels.0.weight" in sd:
+        params["to_pixels"] = _lin(sd, f"{p}to_pixels.0")
+    return params
+
+
+def import_ctclip(sd: Mapping[str, Array], bert_cfg: BertConfig,
+                  spatial_depth: int = 4, temporal_depth: int = 4) -> tuple[dict, dict]:
+    """Reference CT-CLIP_v2.pt checkpoint -> (ctpa CTCLIP params, extras).
+
+    Maps: learnable temperature (ct_clip.py:568), CXR-BERT text tower
+    (text_transformer.*), CTViT encoder (visual_transformer.*), latent
+    projections (to_text_latent/to_visual_latent, ct_clip.py:549/564).
+    `extras` carries the VQ codebook (visual_transformer.vq.*) for VQState.
+    """
+    params: dict[str, Any] = {
+        "temperature": _np(sd["temperature"]),
+        "text_transformer": import_bert(sd, bert_cfg, prefix="text_transformer."),
+        "visual_transformer": import_ctvit(
+            sd, spatial_depth, temporal_depth, prefix="visual_transformer."),
+        "to_text_latent": {"kernel": _np(sd["to_text_latent.weight"]).T},
+        "to_visual_latent": {"kernel": _np(sd["to_visual_latent.weight"]).T},
+    }
+    if "to_text_latent_extra.weight" in sd:
+        params["to_text_latent_extra"] = {"kernel": _np(sd["to_text_latent_extra.weight"]).T}
+        params["to_visual_latent_extra"] = {"kernel": _np(sd["to_visual_latent_extra.weight"]).T}
+    extras = {}
+    for key in ("visual_transformer.vq._codebook.embed",
+                "visual_transformer.vq.codebook"):
+        if key in sd:
+            cb = _np(sd[key])
+            extras["vq_codebook"] = cb[0] if cb.ndim == 3 else cb
+            break
+    for key in ("visual_transformer.vq._codebook.cluster_size",):
+        if key in sd:
+            cs = _np(sd[key])
+            extras["vq_cluster_size"] = cs[0] if cs.ndim == 2 else cs
+    return params, extras
+
+
 def load_hf_snapshot(directory: str) -> dict:
     """Load all weights from a local HF snapshot dir (safetensors shards or
     pytorch_model*.bin) into one name->numpy dict."""

@@ -19,13 +19,17 @@ class SimpleWordTokenizer:
     [CLS] tok ... tok [SEP] pad...   (pad=0, cls=101, sep=102 like BERT)."""
 
     pad_token_id = 0
-    cls_token_id = 101
-    sep_token_id = 102
 
     def __init__(self, vocab_size: int = 30522, max_length: int = 512):
         self.vocab_size = vocab_size
         self.max_length = max_length
-        self._reserved = 999  # ids below this are special/reserved
+        # BERT-style special ids for realistic vocabs; compact ids for tiny
+        # test vocabs (reserved must stay well under vocab_size or hashed ids
+        # would land out of range -> garbage embeddings / NaN losses)
+        if vocab_size >= 1100:
+            self.cls_token_id, self.sep_token_id, self._reserved = 101, 102, 999
+        else:
+            self.cls_token_id, self.sep_token_id, self._reserved = 1, 2, 4
 
     def _tok(self, word: str) -> int:
         return self._reserved + (hash(word) % (self.vocab_size - self._reserved))

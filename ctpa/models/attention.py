@@ -56,20 +56,25 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        inner = int(self.dim * self.mult * 2 / 3)   # attention.py:50 GEGLU sizing
-        x = LayerNorm(dtype=self.dtype)(x)
-        x = nn.Dense(inner * 2, use_bias=False, dtype=self.dtype)(x)
+        inner = int(self.dim * self.mult * 2 / 3)   # attention.py:45 GEGLU sizing
+        # the reference FF uses torch nn.LayerNorm (scale+bias), unlike the
+        # gamma-only LayerNorm used around attention (attention.py:46-47)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(inner * 2, use_bias=False, dtype=self.dtype, name="proj_in")(x)
         x = GEGLU()(x)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype)(x)
+        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="proj_out")(x)
 
 
 class PEG(nn.Module):
     """Depthwise 3D conv positional encoding, residual (attention.py:56-84).
 
-    Like the reference, PEG always convolves over the FULL (t, h, w) token
-    grid, reconstructing it from whichever axial fold the caller is in
-    (spatial: (b*t, h*w, d); temporal: (b*h*w, t, d)) — attention.py:66-80.
+    PEG convolves over the FULL (t, h, w) token grid, reconstructing it from
+    whichever axial fold the caller is in (spatial: (b*t, h*w, d); temporal:
+    (b*h*w, t, d)).  DELIBERATE DIVERGENCE from the reference: attention.py's
+    PEG reshapes the temporal fold (b*h*w, t, d) directly to (b, t, h, w, d),
+    which scrambles the grid (row-major mismatch); here the temporal fold is
+    correctly transposed back so the conv sees the true 3D neighborhood.
     """
 
     dim: int
@@ -83,6 +88,7 @@ class PEG(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.normal(0.02), (3, 3, 3, 1, self.dim), jnp.float32
         )
+        conv_bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
         if fold == "spatial":       # (b*t, h*w, d)
             b = B // t
             grid = x.reshape(b, t, h, w, d)
@@ -92,7 +98,8 @@ class PEG(nn.Module):
         else:                       # (b, t*h*w, d)
             b = B
             grid = x.reshape(b, t, h, w, d)
-        out = grid + peg_conv3d(grid, kernel.astype(self.dtype), causal=self.causal)
+        out = grid + peg_conv3d(grid, kernel.astype(self.dtype), causal=self.causal) \
+            + conv_bias.astype(self.dtype)
         if fold == "spatial":
             return out.reshape(B, n, d)
         if fold == "temporal":
@@ -101,14 +108,19 @@ class PEG(nn.Module):
 
 
 class CosineAttention(nn.Module):
-    """Multi-head attention with QK l2-norm, learned per-head q/k scales, and a
-    learned null key/value (attention.py:88-181)."""
+    """Multi-head attention with QK l2-norm, learned (dim_head,) q/k scales
+    shared across heads, and optional learned null key/values — exact
+    reference geometry (attention.py:88-181: num_null_kv defaults to 0 for the
+    CTViT self-attention; the fused to_kv projection is kept fused so
+    checkpoint import is a plain split)."""
 
     dim: int
     heads: int = 8
     dim_head: int = 32
-    scale: float = 10.0
+    scale: float = 8.0
     causal: bool = False
+    num_null_kv: int = 0
+    norm_context: bool = True
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
@@ -121,23 +133,32 @@ class CosineAttention(nn.Module):
         bias: Optional[jax.Array] = None,
     ):
         inner = self.heads * self.dim_head
-        x = LayerNorm(dtype=self.dtype)(x)
-        kv_in = x if context is None else context
+        x = LayerNorm(dtype=self.dtype, name="norm")(x)
+        if context is not None:
+            kv_in = (LayerNorm(dtype=self.dtype, name="context_norm")(context)
+                     if self.norm_context else context)
+        else:
+            kv_in = x
 
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(kv_in)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(kv_in)
+        kv = nn.Dense(inner * 2, use_bias=False, dtype=self.dtype, name="to_kv")(kv_in)
+        k, v = jnp.split(kv, 2, axis=-1)
         q, k, v = (split_heads(t, self.heads) for t in (q, k, v))
 
-        q_scale = self.param("q_scale", nn.initializers.ones, (self.heads, 1, self.dim_head), jnp.float32)
-        k_scale = self.param("k_scale", nn.initializers.ones, (self.heads, 1, self.dim_head), jnp.float32)
-        null_kv = self.param("null_kv", nn.initializers.normal(1.0), (2, self.heads, 1, self.dim_head), jnp.float32)
+        q_scale = self.param("q_scale", nn.initializers.ones, (self.dim_head,), jnp.float32)
+        k_scale = self.param("k_scale", nn.initializers.ones, (self.dim_head,), jnp.float32)
+        null_kv = None
+        if self.num_null_kv > 0:
+            null_kv = self.param(
+                "null_kv", nn.initializers.normal(1.0),
+                (2, self.heads, self.num_null_kv, self.dim_head), jnp.float32,
+            ).astype(self.dtype)
 
         out = cosine_attention(
             q, k, v,
             q_scale=q_scale.astype(jnp.float32),
             k_scale=k_scale.astype(jnp.float32),
-            null_kv=null_kv.astype(self.dtype),
+            null_kv=null_kv,
             scale=self.scale,
             bias=bias,
             mask=mask,
@@ -161,7 +182,7 @@ class ContinuousPositionBias(nn.Module):
         h = rel
         for i in range(self.num_layers):
             h = nn.Dense(self.dim, dtype=self.dtype, name=f"mlp_{i}")(h)
-            h = nn.leaky_relu(h)
+            h = nn.leaky_relu(h, negative_slope=0.1)   # attention.py:19-20
         h = nn.Dense(self.heads, dtype=self.dtype, name="to_heads")(h)
         return jnp.transpose(h, (2, 0, 1))   # (heads, n, n)
 
@@ -185,9 +206,11 @@ class TransformerBlock(nn.Module):
             name="attn",
         )(x, mask=mask, bias=bias)
         if self.cross_attend:
+            # cross-attention carries 2 null kv pairs (attention.py:305)
             x = x + CosineAttention(
                 dim=self.dim, heads=self.heads, dim_head=self.dim_head,
-                dropout=self.attn_dropout, dtype=self.dtype, name="cross_attn",
+                num_null_kv=2, dropout=self.attn_dropout, dtype=self.dtype,
+                name="cross_attn",
             )(x, context=context)
         x = x + FeedForward(
             dim=self.dim, mult=self.ff_mult, dropout=self.ff_dropout,
@@ -222,8 +245,10 @@ class Transformer(nn.Module):
         if self.remat:
             block_cls = nn.remat(TransformerBlock, static_argnums=(5,))
         for i in range(self.depth):
-            if self.peg and i == 0:
-                x = PEG(dim=self.dim, causal=self.peg_causal, dtype=self.dtype, name="peg")(x, shape3d, fold)
+            if self.peg:
+                # reference applies PEG in EVERY layer (attention.py:302-324)
+                x = PEG(dim=self.dim, causal=self.peg_causal, dtype=self.dtype,
+                        name=f"peg_{i}")(x, shape3d, fold)
             x = block_cls(
                 dim=self.dim, heads=self.heads, dim_head=self.dim_head,
                 ff_mult=self.ff_mult, causal=self.causal,

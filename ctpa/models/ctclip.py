@@ -50,27 +50,36 @@ def matrix_diag(t: jax.Array) -> jax.Array:
     return t[..., i, i]
 
 
-def infonce_loss(
-    sim: jax.Array,
-    decoupled: bool = False,
-) -> jax.Array:
-    """Bidirectional InfoNCE over a temp-scaled (m, n) similarity matrix with
-    positives on the diagonal (ct_clip.py:845-878).  `decoupled` removes the
-    positive from the denominator (DCL, ct_clip.py:865-867)."""
+def infonce_directional(sim: jax.Array, axis: int, decoupled: bool = False) -> jax.Array:
+    """One direction of InfoNCE: positives on the diagonal, denominator over
+    `axis` (1 = text->image over images, 0 = image->text over texts)."""
     m, n = sim.shape
     assert m == n, "contrastive batch must be square"
     pos = matrix_diag(sim)
     if decoupled:
         neg_inf = jnp.finfo(sim.dtype).min
         eye = jnp.eye(m, dtype=bool)
-        denom_t = jax.nn.logsumexp(jnp.where(eye, neg_inf, sim), axis=1)
-        denom_i = jax.nn.logsumexp(jnp.where(eye, neg_inf, sim), axis=0)
+        denom = jax.nn.logsumexp(jnp.where(eye, neg_inf, sim), axis=axis)
     else:
-        denom_t = jax.nn.logsumexp(sim, axis=1)
-        denom_i = jax.nn.logsumexp(sim, axis=0)
-    text_to_image = (denom_t - pos).mean()
-    image_to_text = (denom_i - pos).mean()
-    return (text_to_image + image_to_text) / 2
+        denom = jax.nn.logsumexp(sim, axis=axis)
+    return (denom - pos).mean()
+
+
+def infonce_loss(
+    sim: jax.Array,
+    decoupled: bool = False,
+    sim_image_to_text: jax.Array | None = None,
+) -> jax.Array:
+    """Bidirectional InfoNCE over a temp-scaled (m, n) similarity matrix with
+    positives on the diagonal (ct_clip.py:845-878).  `decoupled` removes the
+    positive from the denominator (DCL, ct_clip.py:865-867).  When the
+    CLOOB-style extra latent projection is active the image->text direction
+    scores a SEPARATE similarity matrix (ct_clip.py:781-784, 858-878)."""
+    t2i = infonce_directional(sim, axis=1, decoupled=decoupled)
+    i2t = infonce_directional(
+        sim if sim_image_to_text is None else sim_image_to_text,
+        axis=0, decoupled=decoupled)
+    return (t2i + i2t) / 2
 
 
 def filip_similarity(
@@ -117,6 +126,32 @@ class CTCLIP(nn.Module):
                                                    dtype=self.dtype, name="to_visual_latent_extra")
         # learnable log-temperature, exp'd at use (ct_clip.py:568, 796)
         self.temperature = self.param("temperature", nn.initializers.constant(1.0), ())
+        if c.use_mlm:
+            from ctpa.models.bert import BertMLMHead
+
+            self.mlm_head = BertMLMHead(self.bert_cfg, dtype=self.dtype, name="mlm_head")
+
+    def init_all(self, input_ids, attention_mask, video, vq_state=None):
+        """Init target that touches every optional head (use as
+        ``model.init(key, ..., method=CTCLIP.init_all)`` when use_mlm is on —
+        plain __call__ never traces the MLM head, so its params would be
+        missing)."""
+        out = self(input_ids, attention_mask, video, vq_state)
+        if self.cfg.use_mlm:
+            _ = self.mlm_logits(input_ids, attention_mask)
+        return out
+
+    def mlm_logits(self, input_ids, attention_mask):
+        """Masked-LM logits over the text tower (MLM SSL capability,
+        reference mlm.py via ct_clip.py:515-522)."""
+        hidden, _ = self.text_transformer(input_ids, attention_mask)
+        return self.mlm_head(hidden)
+
+    def visual_ssl_embed(self, video):
+        """Pooled visual embedding for SimCLR-style SSL views
+        (ct_clip.py:526-545 capability)."""
+        tokens, _ = self.visual_transformer(video, None)
+        return l2norm(self.to_visual_latent(self.pool_image_tokens(tokens)))
 
     # ----- encoders ---------------------------------------------------------
 
@@ -173,6 +208,14 @@ class CTCLIP(nn.Module):
             img_lat = l2norm(self.to_visual_latent(self.pool_image_tokens(tokens)))
             sim = jnp.einsum("md,nd->mn", text_lat, img_lat,
                              preferred_element_type=jnp.float32) * temp
+        sim_i2t = None
+        if self.cfg.extra_latent_projection and not self.cfg.use_all_token_embeds:
+            # CLOOB: the image->text direction uses separate projections
+            # (ct_clip.py:577-581, 781-784)
+            text_extra = l2norm(self.to_text_latent_extra(text_cls))
+            img_extra = l2norm(self.to_visual_latent_extra(self.pool_image_tokens(tokens)))
+            sim_i2t = jnp.einsum("md,nd->mn", text_extra, img_extra,
+                                 preferred_element_type=jnp.float32) * temp
 
         if not return_loss:
             # elementwise text-image score (zero-shot path, ct_clip.py:805-807);
@@ -185,7 +228,8 @@ class CTCLIP(nn.Module):
                               None if vq_out is None else vq_out.counts,
                               None if vq_out is None else vq_out.sums)
 
-        loss = infonce_loss(sim, decoupled=self.cfg.decoupled_contrastive_learning)
+        loss = infonce_loss(sim, decoupled=self.cfg.decoupled_contrastive_learning,
+                            sim_image_to_text=sim_i2t)
         return CLIPOutput(loss, sim, text_lat, img_lat,
                           None if vq_out is None else vq_out.commit_loss,
                           None if vq_out is None else vq_out.counts,

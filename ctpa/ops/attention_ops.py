@@ -30,51 +30,71 @@ def cosine_attention(
     k: jax.Array,               # (b, h, m, d)
     v: jax.Array,               # (b, h, m, d)
     *,
-    q_scale: jax.Array,         # (h, 1, d) learned log-scale, exp'd here
-    k_scale: jax.Array,         # (h, 1, d)
-    null_kv: jax.Array,         # (2, h, 1, d) learned null key/value
-    scale: float = 10.0,
+    q_scale: jax.Array,         # (d,) learned scale, shared across heads
+    k_scale: jax.Array,         # (d,)
+    null_kv: jax.Array | None = None,   # (2, h, num_null, d) learned null k/v
+    scale: float = 8.0,
     bias: jax.Array | None = None,      # (h or 1, n, m) additive pre-softmax
     mask: jax.Array | None = None,      # (b, m) True = keep
     causal: bool = False,
 ) -> jax.Array:
-    """QK-l2-normalised attention with learned scales and null KV.
+    """QK-l2-normalised attention with learned scales and optional null KV.
 
-    Mirrors reference attention.py:141-181 semantics: q,k are l2-normalised per
-    head-dim, multiplied by exp(learned scale), similarity scaled by a fixed
-    temperature, a learned null key/value column is appended (so fully-masked
-    rows still have a valid softmax), and optional ALiBi/CPB bias is added to
-    the real-key logits only.
+    Exact reference semantics (attention.py:140-181): null k/v (if any) are
+    concatenated BEFORE the l2norm, q/k are l2-normalised over head-dim then
+    multiplied by a learned (dim_head,) scale shared across heads, similarity
+    is scaled by a fixed temperature (default 8), bias/mask are padded with
+    zeros/True over the null columns, and causal mode adds ALiBi plus the
+    upper-triangular mask.
     """
     b, h, n, d = q.shape
+    n_null = 0
+    if null_kv is not None:
+        n_null = null_kv.shape[2]
+        nk = jnp.broadcast_to(null_kv[0][None], (b, h, n_null, d)).astype(k.dtype)
+        nv = jnp.broadcast_to(null_kv[1][None], (b, h, n_null, d)).astype(v.dtype)
+        k = jnp.concatenate([nk, k], axis=2)
+        v = jnp.concatenate([nv, v], axis=2)
     m = k.shape[2]
-    q = l2norm(q) * jnp.exp(q_scale)
-    k = l2norm(k) * jnp.exp(k_scale)
 
-    nk = jnp.broadcast_to(l2norm(null_kv[0])[None], (b, h, 1, d)).astype(k.dtype)
-    nv = jnp.broadcast_to(null_kv[1][None], (b, h, 1, d)).astype(v.dtype)
-    k = jnp.concatenate([nk, k], axis=2)
-    v = jnp.concatenate([nv, v], axis=2)
+    q = l2norm(q) * q_scale
+    k = l2norm(k) * k_scale
 
     sim = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32) * scale
 
     if bias is not None:
-        pad = jnp.zeros(bias.shape[:-1] + (1,), bias.dtype)
-        bias = jnp.concatenate([pad, bias], axis=-1)
-        sim = sim + bias[None] if bias.ndim == 3 else sim + bias
+        if n_null:
+            pad = jnp.zeros(bias.shape[:-1] + (n_null,), bias.dtype)
+            bias = jnp.concatenate([pad, bias], axis=-1)
+        sim = sim + (bias[None] if bias.ndim == 3 else bias)
 
     neg = jnp.finfo(sim.dtype).min
     if mask is not None:
-        keep = jnp.concatenate([jnp.ones((b, 1), bool), mask.astype(bool)], axis=1)
+        keep = mask.astype(bool)
+        if n_null:
+            keep = jnp.concatenate([jnp.ones((b, n_null), bool), keep], axis=1)
         sim = jnp.where(keep[:, None, None, :], sim, neg)
     if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
-        cm = jnp.concatenate([jnp.ones((n, 1), bool), col <= row], axis=1)
+        sim = sim + _causal_alibi(h, n, m, n_null)
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, m - n_null), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, m - n_null), 1)
+        cm = col <= (row + (m - n_null) - n)
+        if n_null:
+            cm = jnp.concatenate([jnp.ones((n, n_null), bool), cm], axis=1)
         sim = jnp.where(cm[None, None], sim, neg)
 
     attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
     return jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+
+
+def _causal_alibi(heads: int, n: int, m: int, n_null: int) -> jnp.ndarray:
+    """ALiBi bias over the real-key columns, zero over null columns
+    (attention.py:168-172: rel_pos_bias added before the causal mask)."""
+    real = alibi_bias(heads, n, m - n_null)
+    if n_null:
+        pad = jnp.zeros((heads, n, n_null), real.dtype)
+        real = jnp.concatenate([pad, real], axis=-1)
+    return real[None]
 
 
 def alibi_slopes(heads: int) -> jnp.ndarray:

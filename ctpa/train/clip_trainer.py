@@ -42,16 +42,26 @@ def make_clip_train_step(
     vq_decay: float = 0.99,
     commit_weight: float = 0.0,
     policy: Optional[Policy] = None,
+    use_mlm: bool = False,
+    use_visual_ssl: bool = False,
+    mask_token_id: int = 103,
+    seed: int = 0,
 ):
     """Build the jitted (state, batch) -> (state, metrics) step.
 
     batch: {"input_ids": (B, L), "attention_mask": (B, L), "video": (B, c, T, H, W)}
     Under a mesh, donate the state and shard the batch on 'data'; XLA inserts
     the latent all-gather for the global similarity matrix.
+
+    SSL weighting parity (ct_clip.py:890-899): when enabled, the total loss is
+    contrastive + text_ssl_weight * MLM + image_ssl_weight * SimCLR, with the
+    weights from CTCLIPConfig.  Step-derived rng keeps the masking/augs
+    deterministic and jit-pure.
     """
     policy = policy or Policy()
+    base_key = jax.random.key(seed)
 
-    def loss_fn(params, vq_state, batch):
+    def loss_fn(params, vq_state, batch, step):
         out = model.apply(
             params,
             batch["input_ids"],
@@ -63,11 +73,35 @@ def make_clip_train_step(
         loss = out.loss
         if out.vq_commit_loss is not None and commit_weight > 0:
             loss = loss + commit_weight * out.vq_commit_loss
-        return loss, out
+        metrics_extra = {}
+        if use_mlm:
+            from ctpa.models.mlm import mlm_loss as _mlm
+
+            key = jax.random.fold_in(base_key, step * 2 + 1)
+            tl = _mlm(
+                key,
+                lambda ids, am: model.apply(params, ids, am, method=CTCLIP.mlm_logits),
+                batch["input_ids"], batch["attention_mask"],
+                mask_token_id=mask_token_id,
+            )
+            loss = loss + model.cfg.text_ssl_loss_weight * tl
+            metrics_extra["mlm_loss"] = tl
+        if use_visual_ssl:
+            from ctpa.models.visual_ssl import simclr_ssl_loss
+
+            key = jax.random.fold_in(base_key, step * 2 + 2)
+            vl = simclr_ssl_loss(
+                key,
+                lambda v: model.apply(params, v, method=CTCLIP.visual_ssl_embed),
+                policy.cast_to_compute(batch["video"]),
+            )
+            loss = loss + model.cfg.image_ssl_loss_weight * vl
+            metrics_extra["visual_ssl_loss"] = vl
+        return loss, (out, metrics_extra)
 
     def train_step(state: CLIPTrainState, batch):
-        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.vq_state, batch
+        (loss, (out, metrics_extra)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.vq_state, batch, state.step
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -80,6 +114,7 @@ def make_clip_train_step(
             "loss": loss,
             "grad_norm": gnorm,
             "temperature": jnp.exp(state.params["params"]["temperature"]),
+            **metrics_extra,
         }
         if out.vq_commit_loss is not None:
             metrics["vq_commit"] = out.vq_commit_loss
@@ -173,6 +208,12 @@ class CTClipTrainer:
 
     def save(self, step: int):
         self.ckpt.save(step, jax.device_get(self.state))
+
+    def close(self):
+        """Drain async checkpoint writes before interpreter exit."""
+        self.metrics.flush()
+        self.ckpt.wait()
+        self.ckpt.close()
 
     def load(self, step: Optional[int] = None):
         restored = self.ckpt.restore(step, target=jax.device_get(self.state))

@@ -152,3 +152,10 @@ class ReportTrainer:
                 self.ckpt.save(int(self.state.step) + 1, jax.device_get(self.state),
                                metadata={"kind": "best_val", "epoch": epoch, "score": val})
         return {"epoch": epoch, "mean_loss": mean_loss}
+
+    def close(self):
+        """Drain async checkpoint writes (call before interpreter exit —
+        orbax commits on a thread pool that dies with the process)."""
+        self.metrics.flush()
+        self.ckpt.wait()
+        self.ckpt.close()
