@@ -67,6 +67,11 @@ class CTViTConfig:
     use_vq: bool = True             # vector-quantized bottleneck (ctvit.py:187)
     vq_decay: float = 0.99          # EMA codebook decay
     vq_commitment_weight: float = 1.0
+    # fused full-sequence attention over all t*h*w tokens via the pallas flash
+    # kernel — the TPU-native long-context alternative to axial factorization
+    # (new capability, SURVEY.md §5.7); parity path is fused_attention=False
+    fused_attention: bool = False
+    fused_depth: int = 4
     # decoder / GAN head (generative capability parity; off for CLIP training)
     use_decoder: bool = False
 
@@ -128,6 +133,8 @@ class CTCLIPConfig:
     use_mlm: bool = False
     text_ssl_loss_weight: float = 0.05
     image_ssl_loss_weight: float = 0.05
+    multiview_loss_weight: float = 0.1   # weight on augmented-view InfoNCE
+                                         # (ct_clip.py:649-675, 890-899)
     # Global-batch negatives: all-gather latents over the mesh 'data' axis.
     # (New capability — the reference computes loss on local batch only, §2.4.)
     gather_negatives: bool = True

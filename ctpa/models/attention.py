@@ -20,6 +20,7 @@ from ctpa.ops.attention_ops import (
     alibi_bias,
     continuous_position_bias_grid,
     cosine_attention,
+    l2norm,
     merge_heads,
     peg_conv3d,
     split_heads,
@@ -122,6 +123,7 @@ class CosineAttention(nn.Module):
     num_null_kv: int = 0
     norm_context: bool = True
     dropout: float = 0.0
+    use_flash: bool = False   # pallas flash kernel for long fused sequences
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -154,16 +156,27 @@ class CosineAttention(nn.Module):
                 (2, self.heads, self.num_null_kv, self.dim_head), jnp.float32,
             ).astype(self.dtype)
 
-        out = cosine_attention(
-            q, k, v,
-            q_scale=q_scale.astype(jnp.float32),
-            k_scale=k_scale.astype(jnp.float32),
-            null_kv=null_kv,
-            scale=self.scale,
-            bias=bias,
-            mask=mask,
-            causal=self.causal,
-        )
+        if self.use_flash and mask is None and null_kv is None:
+            # O(n)-memory exact attention for the fused volumetric sequence:
+            # l2norm+scale happen here, the kernel sees plain q/k with a fixed
+            # softmax temperature (optionally with an additive bias).
+            from ctpa.ops.pallas.flash_attention import flash_attention
+
+            qn = (l2norm(q) * q_scale).astype(self.dtype)
+            kn = (l2norm(k) * k_scale).astype(self.dtype)
+            out = flash_attention(qn, kn, v, bias=bias, causal=self.causal,
+                                  scale=self.scale)
+        else:
+            out = cosine_attention(
+                q, k, v,
+                q_scale=q_scale.astype(jnp.float32),
+                k_scale=k_scale.astype(jnp.float32),
+                null_kv=null_kv,
+                scale=self.scale,
+                bias=bias,
+                mask=mask,
+                causal=self.causal,
+            )
         return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_out")(merge_heads(out))
 
 
@@ -196,6 +209,7 @@ class TransformerBlock(nn.Module):
     cross_attend: bool = False
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -203,7 +217,7 @@ class TransformerBlock(nn.Module):
         x = x + CosineAttention(
             dim=self.dim, heads=self.heads, dim_head=self.dim_head,
             causal=self.causal, dropout=self.attn_dropout, dtype=self.dtype,
-            name="attn",
+            use_flash=self.use_flash, name="attn",
         )(x, mask=mask, bias=bias)
         if self.cross_attend:
             # cross-attention carries 2 null kv pairs (attention.py:305)
@@ -237,6 +251,7 @@ class Transformer(nn.Module):
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
     remat: bool = False
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -253,6 +268,7 @@ class Transformer(nn.Module):
                 dim=self.dim, heads=self.heads, dim_head=self.dim_head,
                 ff_mult=self.ff_mult, causal=self.causal,
                 cross_attend=self.cross_attend, attn_dropout=self.attn_dropout,
-                ff_dropout=self.ff_dropout, dtype=self.dtype, name=f"block_{i}",
+                ff_dropout=self.ff_dropout, use_flash=self.use_flash,
+                dtype=self.dtype, name=f"block_{i}",
             )(x, context, mask, bias, deterministic)
         return LayerNorm(dtype=self.dtype, name="norm_out")(x)

@@ -131,6 +131,43 @@ class CTCLIP(nn.Module):
 
             self.mlm_head = BertMLMHead(self.bert_cfg, dtype=self.dtype, name="mlm_head")
 
+    def multiview_loss(
+        self,
+        input_ids, attention_mask, video,
+        aug_input_ids=None, aug_attention_mask=None, aug_video=None,
+        vq_state: Optional[VQState] = None,
+    ) -> jax.Array:
+        """Contrastive loss with augmented views (ct_clip.py:649-675):
+        primary InfoNCE weighted by (1 - w), plus w * mean of the
+        (aug_text, image) and (text, aug_image) view losses."""
+        temp = jnp.exp(self.temperature)
+        w = self.cfg.multiview_loss_weight
+
+        def latents(ids, am, vid):
+            t = self.encode_text(ids, am)
+            i, _ = self.encode_image(vid, vq_state)
+            return t, i
+
+        text_lat, img_lat = latents(input_ids, attention_mask, video)
+
+        def nce(t, i):
+            sim = jnp.einsum("md,nd->mn", t, i,
+                             preferred_element_type=jnp.float32) * temp
+            return infonce_loss(sim, decoupled=self.cfg.decoupled_contrastive_learning)
+
+        loss = nce(text_lat, img_lat)
+        views = []
+        if aug_input_ids is not None:
+            aug_t = self.encode_text(aug_input_ids, aug_attention_mask)
+            views.append(nce(aug_t, img_lat))
+        if aug_video is not None:
+            aug_i, _ = self.encode_image(aug_video, vq_state)
+            views.append(nce(text_lat, aug_i))
+        if not views:
+            return loss
+        aug_loss = sum(views) / len(views)
+        return (1.0 - w) * loss + w * aug_loss
+
     def init_all(self, input_ids, attention_mask, video, vq_state=None):
         """Init target that touches every optional head (use as
         ``model.init(key, ..., method=CTCLIP.init_all)`` when use_mlm is on —

@@ -78,6 +78,9 @@ class CTViT(nn.Module):
         )
         self.enc_spatial = Transformer(depth=c.spatial_depth, name="enc_spatial_transformer", **tkw)
         self.enc_temporal = Transformer(depth=c.temporal_depth, name="enc_temporal_transformer", **tkw)
+        if c.fused_attention:
+            self.enc_fused = Transformer(depth=c.fused_depth, use_flash=True,
+                                         name="enc_fused_transformer", **tkw)
         if c.use_decoder:
             # reference decode() reuses the encoder transformers (ctvit.py:333-360)
             # but a real generative head wants its own stacks; we keep separate
@@ -92,8 +95,14 @@ class CTViT(nn.Module):
         return (c.temporal_tokens, c.image_size // c.patch_size, c.image_size // c.patch_size)
 
     def encode_tokens(self, tokens: jax.Array) -> jax.Array:
-        """Axial encode: spatial fold then temporal fold (ctvit.py:306-331)."""
+        """Axial encode: spatial fold then temporal fold (ctvit.py:306-331).
+        With cfg.fused_attention, exact full-sequence attention over all
+        t*h*w tokens runs instead (pallas flash kernel, O(n) memory)."""
         b, t, h, w, d = tokens.shape
+        if self.cfg.fused_attention:
+            x = rearrange(tokens, "b t h w d -> b (t h w) d")
+            x = self.enc_fused(x, shape3d=(t, h, w), fold="full")
+            return rearrange(x, "b (t h w) d -> b t h w d", t=t, h=h, w=w)
         bias = self.spatial_pos_bias(h, w)                      # (heads, hw, hw)
         x = rearrange(tokens, "b t h w d -> (b t) (h w) d")
         x = self.enc_spatial(x, shape3d=(t, h, w), fold="spatial", bias=bias)
@@ -116,6 +125,15 @@ class CTViT(nn.Module):
         return rearrange(
             pix, "b t h w (c pt p1 p2) -> b c (t pt) (h p1) (w p2)", c=c, pt=pt, p1=p, p2=p
         )
+
+    def decode_from_codebook_indices(self, indices: jax.Array, vq_state: VQState):
+        """Code ids (b, t*h*w) -> reconstructed voxels (ctvit.py:298-301)."""
+        from ctpa.ops.vq import vq_lookup
+
+        b = indices.shape[0]
+        t, h, w = self.grid
+        codes = vq_lookup(vq_state, indices).reshape(b, t, h, w, self.cfg.dim)
+        return self.decode_tokens(codes.astype(self.dtype))
 
     def reconstruct(
         self,

@@ -80,3 +80,23 @@ def test_mlm_and_visual_ssl_weighting():
     assert np.isfinite(m["loss"])
     assert "mlm_loss" in m and m["mlm_loss"] > 0
     assert "visual_ssl_loss" in m and np.isfinite(m["visual_ssl_loss"])
+
+
+def test_multiview_loss():
+    cfg = CTCLIPConfig.tiny(VIT, BERT)
+    model = CTCLIP(cfg, VIT, BERT)
+    vq = vq_init(jax.random.key(0), VIT.codebook_size, VIT.dim)
+    b = _batch()
+    params = model.init(jax.random.key(0), b["input_ids"], b["attention_mask"],
+                        b["video"], vq)
+    aug = _batch(seed=9)
+    loss = model.apply(
+        params, b["input_ids"], b["attention_mask"], b["video"],
+        aug["input_ids"], aug["attention_mask"], aug["video"], vq,
+        method=CTCLIP.multiview_loss)
+    assert np.isfinite(float(loss))
+    # without views: pure primary loss
+    loss0 = model.apply(params, b["input_ids"], b["attention_mask"], b["video"],
+                        vq_state=vq, method=CTCLIP.multiview_loss)
+    assert np.isfinite(float(loss0))
+    assert float(loss) != float(loss0)
