@@ -49,7 +49,9 @@ def bench_tpu(iters: int = 5) -> float:
     import flax.linen as nn
 
     log("devices:", jax.devices())
-    vit_cfg = CTViTConfig()            # shipped scale: dim 512, 4+4, 480/20, 240/10
+    import dataclasses
+    # shipped scale (dim 512, 4+4, 480/20, 240/10) + the pallas patchify kernel
+    vit_cfg = dataclasses.replace(CTViTConfig(), pallas_patchify=True)
     pre_cfg = PreprocessConfig.train()
     model = CTViT(vit_cfg, dtype=jnp.bfloat16)
     vq_state = vq_init(jax.random.key(0), vit_cfg.codebook_size, vit_cfg.dim)
@@ -84,46 +86,44 @@ def bench_tpu(iters: int = 5) -> float:
     jax.block_until_ready(params)
     log("stage: params uploaded")
 
-    class Latent(nn.Module):
-        dim_image: int = 24 * 24 * 512
-        dim_latent: int = 512
-
-        @nn.compact
-        def __call__(self, tokens):
-            pooled = tokens.mean(axis=1).reshape(tokens.shape[0], -1)
-            return l2norm(nn.Dense(self.dim_latent, use_bias=False,
-                                   dtype=jnp.bfloat16)(pooled))
-
-    lat = Latent()
-    tokens_shape = jax.ShapeDtypeStruct(
-        (1, vit_cfg.temporal_tokens, 24, 24, vit_cfg.dim), jnp.bfloat16)
-    lat_shape = jax.eval_shape(lambda k, t: lat.init(k, t),
-                               jax.random.key(1), tokens_shape)
-    lat_params = jax.device_put(materialize(lat_shape), jax.devices()[0])
-    jax.block_until_ready(lat_params)
+    # visual latent projection (294912 -> 512) as a plain weight matrix
+    host_rng2 = np.random.default_rng(1)
+    w_latent = jax.device_put(jnp.asarray(
+        host_rng2.normal(0, 0.002, size=(24 * 24 * vit_cfg.dim, 512)).astype(np.float32),
+        dtype=jnp.bfloat16))
+    jax.block_until_ready(w_latent)
     log("stage: latent params uploaded")
 
     # params MUST be jit arguments, not closure captures: captured device
     # arrays are baked into the program as constants and the compiler tries to
     # fold hundreds of MB of literals (30+ min compile).
     @jax.jit
-    def pipeline(params, lat_params, vq_state, raw):
+    def pipeline(params, w_latent, vq_state, raw):
         video = preprocess_volume(raw, jnp.float32(1.0), jnp.float32(-1024.0),
                                   spacing, cfg=pre_cfg)
         tokens, _ = model.apply(params, video[None].astype(jnp.bfloat16), vq_state)
-        return lat.apply(lat_params, tokens)[0]
+        pooled = tokens.mean(axis=1).reshape(tokens.shape[0], -1)
+        return l2norm(pooled @ w_latent)[0]
 
     t0 = time.time()
-    out = pipeline(params, lat_params, vq_state, raw)
+    out = pipeline(params, w_latent, vq_state, raw)
     _ = np.asarray(out)
     log(f"tpu compile+first: {time.time() - t0:.1f}s")
 
+    # throughput: dispatch all iterations, then force one final transfer —
+    # per-call host/tunnel roundtrips would otherwise dominate (~50-100 ms
+    # each over the axon relay) and hide the device rate
+    iters = max(iters, 20)
+    # warm the dispatch queue, then time with ONE final sync — device
+    # execution is in-order, and each device->host transfer over the axon
+    # relay costs ~35 ms, which would otherwise dominate the measurement
+    outs = [pipeline(params, w_latent, vq_state, raw) for _ in range(3)]
+    jax.block_until_ready(outs[-1])
     t0 = time.time()
-    for _ in range(iters):
-        out = pipeline(params, lat_params, vq_state, raw)
-        _ = np.asarray(out)      # force completion each iter (axon async quirk)
+    outs = [pipeline(params, w_latent, vq_state, raw) for _ in range(iters)]
+    jax.block_until_ready(outs[-1])
     dt = (time.time() - t0) / iters
-    log(f"tpu steady-state: {dt * 1000:.0f} ms/volume")
+    log(f"tpu steady-state (pipelined): {dt * 1000:.1f} ms/volume")
     return 1.0 / dt
 
 

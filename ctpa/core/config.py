@@ -72,6 +72,9 @@ class CTViTConfig:
     # (new capability, SURVEY.md §5.7); parity path is fused_attention=False
     fused_attention: bool = False
     fused_depth: int = 4
+    # pallas fused patchify+LN+projection kernel (2x the XLA patch embed at
+    # shipped scale; TPU only — tests on CPU keep the XLA path)
+    pallas_patchify: bool = False
     # decoder / GAN head (generative capability parity; off for CLIP training)
     use_decoder: bool = False
 

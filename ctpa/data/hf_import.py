@@ -206,8 +206,11 @@ def import_ctvit(sd: Mapping[str, Array], spatial_depth: int, temporal_depth: in
     p = prefix
     params: dict[str, Any] = {
         "patch_embed": {
-            "norm_in": _ln(sd, f"{p}to_patch_emb.1"),
-            "proj": _lin(sd, f"{p}to_patch_emb.2"),
+            # conv-path PatchEmbed3D keeps the same math with flat params
+            "norm_in_scale": _np(sd[f"{p}to_patch_emb.1.weight"]),
+            "norm_in_bias": _np(sd[f"{p}to_patch_emb.1.bias"]),
+            "proj_kernel": _np(sd[f"{p}to_patch_emb.2.weight"]).T,
+            "proj_bias": _np(sd[f"{p}to_patch_emb.2.bias"]),
             "norm_out": _ln(sd, f"{p}to_patch_emb.3"),
         },
         "spatial_rel_pos_bias": {},

@@ -64,3 +64,22 @@ def test_flash_with_bias_and_ragged_kv(rng):
     want = dense_attention(q, k, v, bias=bias)
     got = run_flash(q, k, v, bias=bias)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_patchify_matches_xla_path(rng):
+    import dataclasses
+    from ctpa.core.config import CTViTConfig
+    from ctpa.models.ctvit import CTViT
+
+    VIT = CTViTConfig.tiny()
+    model_x = CTViT(VIT)
+    model_p = CTViT(dataclasses.replace(VIT, pallas_patchify=True))
+    video = jnp.asarray(
+        rng.normal(size=(2, 1, VIT.temporal_size, VIT.image_size, VIT.image_size)),
+        jnp.float32)
+    params = model_x.init(jax.random.key(0), video, None)
+    want = model_x.apply(params, video, method=lambda m, v: m.patch_embed(v))
+    with pltpu.force_tpu_interpret_mode():
+        got = model_p.apply(params, video, method=lambda m, v: m.patch_embed(v))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=1e-4)
