@@ -59,6 +59,10 @@ def main(argv=None):
     p.add_argument("--data-dir", required=True)
     p.add_argument("--reports-csv", required=True)
     p.add_argument("--metadata-csv", default=None)
+    p.add_argument("--valid-data-dir", default=None,
+                   help="preprocessed volumes for periodic zero-shot eval")
+    p.add_argument("--valid-labels-csv", default=None)
+    p.add_argument("--eval-every", type=int, default=2000)
     p.add_argument("--tokenizer", default=None)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--num-steps", type=int, default=100001)
@@ -72,11 +76,17 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.tiny:
+        import dataclasses
+
         vit_cfg, bert_cfg = CTViTConfig.tiny(), BertConfig.tiny()
         clip_cfg = CTCLIPConfig.tiny(vit_cfg, bert_cfg)
+        pre_cfg = dataclasses.replace(
+            PreprocessConfig.train(),
+            target_shape=(vit_cfg.temporal_size, vit_cfg.image_size,
+                          vit_cfg.image_size))
     else:
         vit_cfg, bert_cfg, clip_cfg = CTViTConfig(), BertConfig(), CTCLIPConfig()
-    pre_cfg = PreprocessConfig.train()
+        pre_cfg = PreprocessConfig.train()
 
     mesh = create_mesh(MeshConfig())
     model = CTCLIP(clip_cfg, vit_cfg, bert_cfg)
@@ -87,8 +97,11 @@ def main(argv=None):
     dataset = CTReportDataset(args.data_dir, args.reports_csv,
                               metadata_csv=args.metadata_csv)
     print(f"dataset: {len(dataset)} volumes", file=sys.stderr)
+    # cap tokenization at the text tower's position table (an OOB position
+    # lookup is a silent NaN under XLA)
+    max_length = min(512, bert_cfg.max_position_embeddings)
     loader = build_loader(dataset, tokenizer, args.batch_size, pre_cfg, mesh,
-                          preprocessed=args.preprocessed)
+                          max_length=max_length, preprocessed=args.preprocessed)
 
     first = next(loader)
     params = model.init(jax.random.key(0), jnp.asarray(first["input_ids"]),
@@ -99,13 +112,39 @@ def main(argv=None):
     tx = get_optimizer(opt_cfg, params)
     state = CLIPTrainState.create(params, tx, vq_state)
 
+    # periodic zero-shot eval (CTCLIPTrainer.py:356-453 parity): encode each
+    # validation volume once, score all pathology prompt pairs, write AUROC
+    # artifacts under results_dir/step_N/
+    eval_fn = None
+    if args.valid_data_dir and args.valid_labels_csv:
+        from ctpa.cli.zeroshot_infer import run_zeroshot
+        from ctpa.data.datasets import CTReportInferenceDataset
+        from ctpa.eval.zeroshot import PATHOLOGIES
+
+        valid_ds = CTReportInferenceDataset(
+            args.valid_data_dir, args.reports_csv, args.valid_labels_csv,
+            PATHOLOGIES)
+        import dataclasses
+
+        # eval uses the inference windowing (data_inference.py:82-85 parity)
+        # on the model's input grid
+        eval_pre_cfg = dataclasses.replace(
+            PreprocessConfig.inference(), target_shape=pre_cfg.target_shape)
+
+        def eval_fn(state, step):
+            return run_zeroshot(
+                model, state.params, state.vq_state, valid_ds, tokenizer,
+                out_dir=f"{args.results_dir}/zeroshot_step{step}",
+                pre_cfg=eval_pre_cfg)
+
     import itertools
     trainer = CTClipTrainer(
         model, state, itertools.chain([first], loader),
         cfg=TrainConfig(batch_size=args.batch_size, num_train_steps=args.num_steps,
+                        save_results_every=args.eval_every,
                         results_dir=args.results_dir,
                         checkpoint_dir=args.checkpoint_dir),
-        opt_cfg=opt_cfg, mesh=mesh,
+        opt_cfg=opt_cfg, mesh=mesh, eval_fn=eval_fn,
     )
     if args.resume:
         trainer.load()

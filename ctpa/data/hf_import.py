@@ -126,27 +126,44 @@ def import_llama(sd: Mapping[str, Array], cfg: LLMConfig,
     return out
 
 
-def overlay_base(init_params: dict, imported: dict) -> dict:
+def overlay_base(init_params: dict, imported: dict, allow_missing: bool = False) -> dict:
     """Graft imported weights over an initialized tree, preserving leaves the
     import does not provide (fresh LoRA A/B, heads, cross-attention...).
 
-    Imported leaves must exist in init_params with matching shapes."""
+    Imported leaves must exist in init_params with matching shapes.
+    `allow_missing=True` gives torch `strict=False` semantics
+    (ct_clip.py:593-597): unknown keys and shape mismatches are skipped."""
+
+    skipped: list[str] = []
 
     def merge(dst, src, path=""):
         if not isinstance(src, dict):
             d = np.asarray(dst)
             s = np.asarray(src)
             if d.shape != s.shape:
+                if allow_missing:
+                    skipped.append(f"{path} (shape {s.shape} vs {d.shape})")
+                    return dst
                 raise ValueError(f"shape mismatch at {path}: {d.shape} vs {s.shape}")
             return s.astype(d.dtype)
         out = dict(dst)
         for k, v in src.items():
             if k not in out:
+                if allow_missing:
+                    skipped.append(path + "/" + k)
+                    continue
                 raise KeyError(f"imported key {path + '/' + k} not in model tree")
             out[k] = merge(out[k], v, path + "/" + k)
         return out
 
-    return merge(init_params, imported)
+    merged = merge(init_params, imported)
+    if skipped:
+        from ctpa.core.logging import get_logger
+
+        get_logger().warning("overlay_base skipped %d keys (strict=False): %s%s",
+                             len(skipped), ", ".join(skipped[:5]),
+                             "..." if len(skipped) > 5 else "")
+    return merged
 
 
 def _peg(sd: Mapping[str, Array], name: str) -> dict:

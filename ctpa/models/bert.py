@@ -29,6 +29,9 @@ class BertEmbeddings(nn.Module):
         c = self.cfg
         if position_ids is None:
             position_ids = jnp.arange(input_ids.shape[-1])[None]
+        # OOB gather is silent garbage under XLA — clamp so over-long inputs
+        # degrade gracefully instead of NaN-ing the loss
+        position_ids = jnp.minimum(position_ids, c.max_position_embeddings - 1)
         if token_type_ids is None:
             token_type_ids = jnp.zeros_like(input_ids)
         we = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype, name="word_embeddings")(input_ids)

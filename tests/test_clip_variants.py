@@ -100,3 +100,21 @@ def test_multiview_loss():
                         vq_state=vq, method=CTCLIP.multiview_loss)
     assert np.isfinite(float(loss0))
     assert float(loss) != float(loss0)
+
+
+def test_pretrained_factory_and_lenient_overlay():
+    from ctpa.data.hf_import import overlay_base
+    from ctpa.models.pretrained import build_ctclip
+
+    cfg = CTCLIPConfig.tiny(VIT, BERT)
+    pm = build_ctclip(vit_cfg=VIT, bert_cfg=BERT, clip_cfg=cfg)
+    b = _batch()
+    out = pm.model.apply(pm.params, b["input_ids"], b["attention_mask"],
+                         b["video"], pm.vq_state)
+    assert np.isfinite(float(out.loss))
+
+    # strict=False overlay: unknown keys and shape mismatches are skipped
+    bad = {"nonexistent": {"kernel": np.zeros((3, 3))},
+           "temperature": np.zeros((5,))}
+    merged = overlay_base(pm.params["params"], bad, allow_missing=True)
+    assert merged["temperature"].shape == ()
