@@ -110,20 +110,28 @@ def bench_tpu(iters: int = 5) -> float:
     _ = np.asarray(out)
     log(f"tpu compile+first: {time.time() - t0:.1f}s")
 
-    # throughput: dispatch all iterations, then force one final transfer —
-    # per-call host/tunnel roundtrips would otherwise dominate (~50-100 ms
-    # each over the axon relay) and hide the device rate
-    iters = max(iters, 20)
-    # warm the dispatch queue, then time with ONE final sync — device
-    # execution is in-order, and each device->host transfer over the axon
-    # relay costs ~35 ms, which would otherwise dominate the measurement
-    outs = [pipeline(params, w_latent, vq_state, raw) for _ in range(3)]
-    jax.block_until_ready(outs[-1])
+    # Honest timing on the axon relay backend requires care:
+    #  * block_until_ready does NOT wait for remote completion here — every
+    #    timed sample must force a (tiny) device->host fetch;
+    #  * identical (program, args) executions can be served from a remote
+    #    cache — each call perturbs the input;
+    #  * the fetch itself costs a measured relay roundtrip (~37 ms) that is
+    #    not device time — measured separately and subtracted.
+    iters = max(iters, 10)
     t0 = time.time()
-    outs = [pipeline(params, w_latent, vq_state, raw) for _ in range(iters)]
-    jax.block_until_ready(outs[-1])
-    dt = (time.time() - t0) / iters
-    log(f"tpu steady-state (pipelined): {dt * 1000:.1f} ms/volume")
+    for _ in range(10):
+        _ = np.asarray(out[:1])
+    roundtrip = (time.time() - t0) / 10
+    log(f"relay roundtrip: {roundtrip * 1000:.1f} ms")
+
+    deltas = [jnp.float32(1e-3 * (i + 1)) for i in range(iters)]
+    t0 = time.time()
+    for i in range(iters):
+        o = pipeline(params, w_latent, vq_state, raw + deltas[i])
+        _ = np.asarray(o[:1])
+    per_call = (time.time() - t0) / iters
+    dt = max(per_call - roundtrip, 1e-4)
+    log(f"tpu per-call {per_call * 1000:.1f} ms; device {dt * 1000:.1f} ms/volume")
     return 1.0 / dt
 
 
