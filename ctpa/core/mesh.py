@@ -26,6 +26,26 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+):
+    """Multi-host bring-up (SURVEY.md §5.8 TPU-native equivalent of the
+    reference's Accelerate/NCCL process-group init).  On TPU pods the args are
+    discovered from the environment; pass them explicitly elsewhere.  Safe to
+    call when already initialized."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # already initialized / single-process
+        if "already" not in str(e).lower():
+            raise
+
+
 def create_mesh(cfg: MeshConfig = MeshConfig(), devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """Build a 2D (data, model) mesh over the available devices."""
     devices = list(devices if devices is not None else jax.devices())
