@@ -216,20 +216,36 @@ def batch_iterator(
     seed: int = 0,
     drop_last: bool = True,
     cycle: bool = True,
+    on_error: str = "raise",
 ) -> Iterator[dict]:
     """Shard-aware epoch iterator.  Under multi-process JAX, pass a
     process-sliced dataset or rely on batch sharding: the global batch is
     assembled on every host and pjit places each shard (single-host TPU slices
-    need no slicing)."""
+    need no slicing).
+
+    on_error: 'raise' (default) or 'skip' — skip-and-LOG replaces the
+    reference's silent dummy-tensor substitution (SURVEY.md §5.3): a corrupt
+    sample is dropped and the next index backfills the batch, with a rank-0
+    warning naming the failure."""
+    assert on_error in ("raise", "skip")
     rng = np.random.default_rng(seed)
-    epoch = 0
     while True:
         order = rng.permutation(len(dataset)) if shuffle else np.arange(len(dataset))
-        for i in range(0, len(order) - (batch_size - 1 if drop_last else 0), batch_size):
-            idxs = order[i : i + batch_size]
-            if drop_last and len(idxs) < batch_size:
-                break
-            yield collate([dataset[int(j)] for j in idxs])
-        epoch += 1
+        pos = 0
+        while pos < len(order):
+            samples = []
+            while len(samples) < batch_size and pos < len(order):
+                idx = int(order[pos])
+                pos += 1
+                try:
+                    samples.append(dataset[idx])
+                except Exception as e:  # noqa: BLE001
+                    if on_error == "raise":
+                        raise
+                    from ctpa.core.logging import get_logger
+
+                    get_logger().warning("skipping sample %d: %s", idx, e)
+            if len(samples) == batch_size or (samples and not drop_last):
+                yield collate(samples)
         if not cycle:
             return

@@ -225,3 +225,22 @@ def test_prefetch_propagates_errors():
     with pytest.raises(RuntimeError, match="loader exploded"):
         next(pre)
         next(pre)
+
+
+def test_batch_iterator_skip_on_error(tmp_path, rng):
+    class Flaky:
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            if i == 2:
+                raise ValueError("corrupt sample")
+            return {"x": np.full(3, i, np.float32)}
+
+    it = batch_iterator(Flaky(), 2, lambda s: np.stack([x["x"] for x in s]),
+                        shuffle=False, cycle=False, on_error="skip")
+    batches = list(it)
+    seen = sorted(int(b[i][0]) for b in batches for i in range(len(b)))
+    assert seen == [0, 1, 3, 4]          # idx 2 skipped, 5 dropped (drop_last)
+    with pytest.raises(ValueError):
+        list(batch_iterator(Flaky(), 2, lambda s: s, shuffle=False, cycle=False))

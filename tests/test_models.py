@@ -130,3 +130,25 @@ def test_ctvit_decoder_roundtrip_shape():
     recon, vq_out = model.apply(params, video, vq_state, method=CTViT.reconstruct)
     assert recon.shape == video.shape
     assert vq_out is not None
+
+
+def test_ctclip_remat_matches_plain():
+    """remat=True must be a pure memory/performance knob — identical outputs."""
+    model = CTCLIP(CLIP, VIT, BERT)
+    model_r = CTCLIP(CLIP, VIT, BERT, remat=True)
+    vq_state = vq_init(jax.random.key(0), VIT.codebook_size, VIT.dim)
+    video = make_video(1)
+    ids = jnp.asarray([[5, 6, 7, 8]])
+    mask = jnp.ones_like(ids)
+    params = model.init(jax.random.key(0), ids, mask, video, vq_state)
+    out = model.apply(params, ids, mask, video, vq_state)
+    out_r = model_r.apply(params, ids, mask, video, vq_state)
+    np.testing.assert_allclose(float(out.loss), float(out_r.loss), rtol=1e-5)
+    g = jax.grad(lambda p: model_r.apply(p, ids, mask, video, vq_state).loss)(params)
+    assert np.isfinite(float(optax_global_norm(g)))
+
+
+def optax_global_norm(tree):
+    import optax
+
+    return optax.global_norm(tree)
