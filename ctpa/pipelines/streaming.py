@@ -66,7 +66,13 @@ class ContinuousBatcher:
         greedy: bool = False,
         rng: Optional[jax.Array] = None,
         cache_dtype=jnp.bfloat16,
+        steps_per_sync: int = 1,
     ):
+        """steps_per_sync > 1 enables multi-step scheduling: K decode steps
+        run as one compiled lax.scan between host syncs.  Essential on
+        high-latency links (the axon relay costs ~35 ms per device->host
+        fetch, so K=8 cuts serving latency ~8x); lanes finishing mid-chunk
+        waste at most K-1 steps.  Size max_len with +steps_per_sync slack."""
         self.model = model
         self.params = params
         self.cfg: LLMConfig = model.llm_cfg
@@ -76,6 +82,7 @@ class ContinuousBatcher:
         self.pad = pad_token_id
         self.temperature = temperature
         self.greedy = greedy
+        self.steps_per_sync = max(1, steps_per_sync)
         self.rng = rng if rng is not None else jax.random.key(0)
 
         self.cache = KVCache.create(self.cfg, num_lanes, max_len, dtype=cache_dtype)
@@ -100,7 +107,7 @@ class ContinuousBatcher:
                 method=lambda m, hh, vv: m._fused_logits(hh, vv))[:, 0]
             return logits, lane_cache
 
-        def decode(params, cache, tok, vision, key):
+        def one_step(params, cache, tok, vision, key, done):
             _, hidden, cache = self.model.apply(
                 params, tok[:, None], None, cache,
                 method=lambda m, i, a, c: m.llm(i, a, cache=c))
@@ -113,10 +120,26 @@ class ContinuousBatcher:
                 nxt = jax.random.categorical(
                     key, logits.astype(jnp.float32) / self.temperature, axis=-1
                 ).astype(jnp.int32)
-            return nxt, cache
+            nxt = jnp.where(done, self.pad, nxt)
+            done = done | (nxt == self.eos)
+            return nxt, cache, done
+
+        def decode_chunk(params, cache, tok, vision, key, done):
+            """K decode steps, one host sync: returns (K, lanes) tokens."""
+
+            def body(carry, k):
+                cache, tok, done = carry
+                nxt, cache, done = one_step(params, cache, tok, vision,
+                                            jax.random.fold_in(key, k), done)
+                return (cache, nxt, done), nxt
+
+            (cache, tok, done), toks = jax.lax.scan(
+                body, (cache, tok, done),
+                jnp.arange(self.steps_per_sync))
+            return toks, cache, tok, done
 
         self._prefill = jax.jit(prefill)
-        self._decode = jax.jit(decode, donate_argnums=(1,))
+        self._decode_chunk = jax.jit(decode_chunk, donate_argnums=(1,))
         self._insert = jax.jit(insert_lane, donate_argnums=(0,))
 
     # -------------------------------------------------------------- public
@@ -129,31 +152,35 @@ class ContinuousBatcher:
         return req.request_id
 
     def step(self) -> list[int]:
-        """One decode step over all lanes; returns request ids finished now."""
+        """Advance all lanes by up to `steps_per_sync` decode steps with ONE
+        host sync; returns request ids finished during the chunk."""
         if not self.active.any():
             return []
         self.rng, key = jax.random.split(self.rng)
-        nxt, self.cache = self._decode(
-            self.params, self.cache, self.cur_tok, self.vision, key)
-        self.cur_tok = nxt
-        toks = np.asarray(nxt)
+        done0 = jnp.asarray(~self.active)
+        toks_dev, self.cache, self.cur_tok, _ = self._decode_chunk(
+            self.params, self.cache, self.cur_tok, self.vision, key, done0)
+        toks = np.asarray(toks_dev)                       # (K, lanes) — one fetch
         finished = []
         for lane in range(self.num_lanes):
             if not self.active[lane]:
                 continue
             req = self.lane_req[lane]
             res = self.results[req.request_id]
-            t = int(toks[lane])
-            self.budget[lane] -= 1
-            hit_eos = t == self.eos
-            if not hit_eos:
-                res.tokens.append(t)
-            if hit_eos or self.budget[lane] <= 0:
-                res.finished = True
-                res.latency_s = time.time() - self._t_start[req.request_id]
-                finished.append(req.request_id)
-                self.active[lane] = False
-                self.lane_req[lane] = None
+            for k in range(toks.shape[0]):
+                if res.finished:
+                    break
+                t = int(toks[k, lane])
+                self.budget[lane] -= 1
+                hit_eos = t == self.eos
+                if not hit_eos:
+                    res.tokens.append(t)
+                if hit_eos or self.budget[lane] <= 0:
+                    res.finished = True
+                    res.latency_s = time.time() - self._t_start[req.request_id]
+                    finished.append(req.request_id)
+                    self.active[lane] = False
+                    self.lane_req[lane] = None
         if finished:
             self._fill_lanes()
         return finished

@@ -110,3 +110,23 @@ def test_streaming_pipeline_end_to_end(rg):
     results = pipe.run(scans())
     assert len(results) == 3
     assert all(r.finished and len(r.tokens) == 5 for r in results.values())
+
+
+def test_multi_step_scheduling_matches_single_step(rg):
+    """steps_per_sync=4 must produce identical greedy tokens to K=1."""
+    model, params, video = rg
+    vision = model.apply(params, video, method=CTReportGenerator.extract_vision)[0]
+    p = np.asarray([3, 4, 5], np.int32)
+
+    outs = {}
+    for k in (1, 4):
+        b = ContinuousBatcher(model, params, num_lanes=2, max_len=64,
+                              eos_token_id=-1, greedy=True,
+                              cache_dtype=jnp.float32, steps_per_sync=k)
+        for i in range(3):
+            b.submit(Request(i, p, np.ones(3, np.int32), vision,
+                             max_new_tokens=10))
+        res = b.run_until_done()
+        outs[k] = {i: list(res[i].tokens) for i in range(3)}
+        assert all(res[i].finished for i in range(3))
+    assert outs[1] == outs[4]
