@@ -20,9 +20,9 @@ import jax.numpy as jnp
 
 from ctpa.core.checkpoint import CheckpointManager
 from ctpa.core.config import (
-    CTViTConfig, LLMConfig, LoRAConfig, PreprocessConfig, ReportGenConfig,
+    CTViTConfig, LLMConfig, PreprocessConfig, ReportGenConfig,
 )
-from ctpa.data.datasets import ReportGenDataset, VQADataset, load_npz_volume
+from ctpa.data.datasets import ReportGenDataset, VQADataset
 from ctpa.data.tokenizer import HFTokenizer, SimpleWordTokenizer
 from ctpa.eval.artifacts import visualize_sample, write_nlg_results
 from ctpa.eval.nlg import NLGEvaluator

@@ -10,12 +10,10 @@ process gating for writes.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
-import jax.numpy as jnp
 
-from ctpa.core.mesh import DATA_AXIS, MODEL_AXIS
+from ctpa.core.mesh import DATA_AXIS
 
 
 def axis_present(axis: str) -> bool:

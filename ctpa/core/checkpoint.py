@@ -13,7 +13,6 @@ import json
 import os
 from typing import Any, Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 from ctpa.core.mesh import is_primary

@@ -17,7 +17,7 @@ Conventions used by the target modules:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Mapping
+from typing import Any, Mapping
 
 import numpy as np
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 import gzip
 import struct
 from dataclasses import dataclass
-from typing import BinaryIO, Optional
+from typing import BinaryIO
 
 import numpy as np
 

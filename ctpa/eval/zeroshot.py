@@ -12,7 +12,7 @@ once per run and cached).  This turns 36 full CTCLIP forwards per volume into
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -10,14 +10,13 @@ modules, static shapes, `jax.checkpoint`-able blocks.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from ctpa.ops.attention_ops import (
-    alibi_bias,
     continuous_position_bias_grid,
     cosine_attention,
     l2norm,

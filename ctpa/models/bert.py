@@ -11,7 +11,6 @@ scale+mask+softmax chain; at this length a custom kernel buys nothing on TPU.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -20,7 +20,7 @@ shard_map formulation for manual-collective setups.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import flax.linen as nn
 import jax

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from einops import rearrange
 
 from ctpa.core.config import CTViTConfig
-from ctpa.models.attention import ContinuousPositionBias, LayerNorm, Transformer
+from ctpa.models.attention import ContinuousPositionBias, Transformer
 from ctpa.ops.vq import VQOutput, VQState, vq_encode
 
 

@@ -11,13 +11,11 @@ same pytree, so checkpointing and weight import are uniform.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-
-from ctpa.core.config import LoRAConfig
 
 
 class LoRADense(nn.Module):

@@ -7,7 +7,7 @@ ops (the reference used 2D torchvision transforms on slices)."""
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Callable
 
 import flax.linen as nn
 import jax

@@ -22,7 +22,6 @@ under one compiled executable per source shape.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,13 +15,13 @@ Megatron-style layout:
 from __future__ import annotations
 
 import re
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ctpa.core.mesh import DATA_AXIS, MODEL_AXIS
+from ctpa.core.mesh import MODEL_AXIS
 
 # (path regex, PartitionSpec for 'kernel'-like 2D leaves)
 _COLUMN = P(None, MODEL_AXIS)   # shard output features

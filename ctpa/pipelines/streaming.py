@@ -19,8 +19,6 @@ write offsets + validity bitmap); this module is pure orchestration."""
 from __future__ import annotations
 
 import collections
-import queue
-import threading
 import time
 from dataclasses import dataclass, field
 from typing import Any, Callable, Iterator, Optional
@@ -29,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ctpa.core.config import LLMConfig, PreprocessConfig
+from ctpa.core.config import LLMConfig
 from ctpa.models.llm import KVCache, insert_lane
 from ctpa.models.report_generator import CTReportGenerator
 

@@ -17,17 +17,15 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Any, Callable, Iterator, Optional
+from typing import Callable, Iterator, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ctpa.core.checkpoint import CheckpointManager
-from ctpa.core.config import CTCLIPConfig, OptimizerConfig, TrainConfig
-from ctpa.core.mesh import DATA_AXIS, batch_sharding, is_primary, replicated
+from ctpa.core.config import OptimizerConfig, TrainConfig
+from ctpa.core.mesh import batch_sharding, is_primary, replicated
 from ctpa.core.precision import Policy
 from ctpa.models.ctclip import CTCLIP
 from ctpa.ops.vq import ema_update

@@ -16,7 +16,7 @@ the step counter, so the whole update rule compiles into the pjit'd train step.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -127,17 +127,3 @@ def get_optimizer(cfg: OptimizerConfig, params=None) -> optax.GradientTransforma
     else:
         raise ValueError(f"unknown optimizer {cfg.name!r}")
     return optax.chain(*chain)
-
-
-def multi_group(
-    groups: dict[str, tuple[optax.GradientTransformation, Any]],
-    params,
-    labeler,
-) -> optax.GradientTransformation:
-    """Two-LR-group training (reference train_module.py:363-369: llm lr=2e-5,
-    cross-attn lr=1e-4) via optax.multi_transform.  `labeler(path, leaf)`
-    returns the group name for each param."""
-    import optax
-
-    labels = jax.tree_util.tree_map_with_path(lambda p, v: labeler(p, v), params)
-    return optax.multi_transform({k: v[0] for k, v in groups.items()}, labels)

@@ -17,7 +17,6 @@ here the cross-attention conditioning is always in the loss path.
 from __future__ import annotations
 
 import os
-import time
 from typing import Any, Callable, Iterator, Optional
 
 import jax
@@ -26,7 +25,7 @@ import numpy as np
 import optax
 
 from ctpa.core.checkpoint import CheckpointManager
-from ctpa.core.config import OptimizerConfig, ReportGenConfig, TrainConfig
+from ctpa.core.config import ReportGenConfig, TrainConfig
 from ctpa.core.mesh import batch_sharding, is_primary, replicated
 from ctpa.models.report_generator import CTReportGenerator
 from ctpa.train.metrics import MetricsTracker

@@ -10,7 +10,7 @@ come from one extra vjp and the weight is applied inside the same step."""
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import Any
 
 import flax.struct
 import jax
