@@ -89,10 +89,14 @@ def main(argv=None):
     p.add_argument("--tokenizer", default=None, help="local HF tokenizer path")
     p.add_argument("--out-dir", default="zeroshot_results")
     p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--tiny", action="store_true", help="tiny config smoke mode")
     args = p.parse_args(argv)
 
-    vit_cfg, bert_cfg = CTViTConfig(), BertConfig()
-    clip_cfg = CTCLIPConfig()
+    if args.tiny:
+        vit_cfg, bert_cfg = CTViTConfig.tiny(), BertConfig.tiny()
+        clip_cfg = CTCLIPConfig.tiny(vit_cfg, bert_cfg)
+    else:
+        vit_cfg, bert_cfg, clip_cfg = CTViTConfig(), BertConfig(), CTCLIPConfig()
     model = CTCLIP(clip_cfg, vit_cfg, bert_cfg)
     vq_state = vq_init(jax.random.key(0), vit_cfg.codebook_size, vit_cfg.dim)
 
@@ -103,15 +107,32 @@ def main(argv=None):
     if state is None:
         print("no checkpoint found", file=sys.stderr)
         return 1
-    params = state["params"] if isinstance(state, dict) else state.params
-    vq_state = state.get("vq_state", vq_state) if isinstance(state, dict) else (state.vq_state or vq_state)
+    # targetless orbax restore yields plain dicts — rebuild typed leaves
+    if isinstance(state, dict):
+        params = state["params"]
+        vq_raw = state.get("vq_state")
+        if isinstance(vq_raw, dict):
+            from ctpa.ops.vq import VQState
+
+            vq_state = VQState(**{k: jnp.asarray(v) for k, v in vq_raw.items()})
+    else:
+        params = state.params
+        vq_state = state.vq_state or vq_state
 
     tokenizer = (HFTokenizer(args.tokenizer) if args.tokenizer
-                 else SimpleWordTokenizer())
+                 else SimpleWordTokenizer(
+                     vocab_size=bert_cfg.vocab_size,
+                     max_length=min(512, bert_cfg.max_position_embeddings)))
     dataset = CTReportInferenceDataset(
         args.data_dir, args.reports_csv, args.labels_csv, PATHOLOGIES)
+    import dataclasses
+
+    pre_cfg = dataclasses.replace(
+        PreprocessConfig.inference(),
+        target_shape=(vit_cfg.temporal_size, vit_cfg.image_size, vit_cfg.image_size))
     summary = run_zeroshot(model, params, vq_state, dataset, tokenizer,
-                           args.out_dir, batch_size=args.batch_size)
+                           args.out_dir, pre_cfg=pre_cfg,
+                           batch_size=args.batch_size)
     print(summary, file=sys.stderr)
     return 0
 

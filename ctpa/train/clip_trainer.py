@@ -201,6 +201,11 @@ class CTClipTrainer:
                     self.metrics.log(step, {f"eval/{k}": v for k, v in eval_metrics.items()})
             if step % self.cfg.save_model_every == 0:
                 self.save(step)
+        # always leave a final checkpoint (short runs never hit the periodic
+        # save interval otherwise)
+        final_step = int(self.state.step)
+        if final_step not in (self.ckpt.all_steps() or []):
+            self.save(final_step)
         self.metrics.flush()
         return last
 
