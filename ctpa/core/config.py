@@ -132,6 +132,8 @@ class CTCLIPConfig:
     temperature_init: float = 1.0   # ct_clip.py:568 — nn.Parameter(tensor(1.))
     decoupled_contrastive_learning: bool = False
     extra_latent_projection: bool = False   # CLOOB-style (ct_clip.py:577-581)
+    downsample_image_embeds: bool = False   # conv3d downsample before the
+                                            # latent projection (ct_clip.py:553-562)
     use_all_token_embeds: bool = False      # FILIP (ct_clip.py:829-843)
     use_mlm: bool = False
     text_ssl_loss_weight: float = 0.05

@@ -124,6 +124,12 @@ class CTCLIP(nn.Module):
                                                  dtype=self.dtype, name="to_text_latent_extra")
             self.to_visual_latent_extra = nn.Dense(c.dim_latent, use_bias=False,
                                                    dtype=self.dtype, name="to_visual_latent_extra")
+        if c.downsample_image_embeds:
+            self.downsample_depthwise = self.param(
+                "downsample_depthwise", nn.initializers.normal(0.02),
+                (4, 4, self.vit_cfg.dim), jnp.float32)
+            self.downsample_pointwise = nn.Dense(
+                c.dim_latent, dtype=self.dtype, name="downsample_pointwise")
         # learnable log-temperature, exp'd at use (ct_clip.py:568, 796)
         self.temperature = self.param("temperature", nn.initializers.constant(1.0), ())
         if c.use_mlm:
@@ -208,8 +214,26 @@ class CTCLIP(nn.Module):
         """Temporal mean-pool then flatten (ct_clip.py:715-740): (b,t,h,w,d) ->
         (b, h*w*d).  The flatten feeds the dim_image -> dim_latent projection —
         a 294912x512 (150M-param) matmul in the shipped config; shard it over
-        the 'model' axis for TP (SURVEY.md §7 hard part 5)."""
-        pooled = tokens.mean(axis=1)
+        the 'model' axis for TP (SURVEY.md §7 hard part 5).
+
+        With cfg.downsample_image_embeds, a stride-2 depthwise conv + 1x1 conv
+        shrink the token grid first (ct_clip.py:553-562; depthwise conv written
+        as the shift-and-add form — see ops/attention_ops.peg_conv3d note)."""
+        pooled = tokens.mean(axis=1)                   # (b, h, w, d)
+        if self.cfg.downsample_image_embeds:
+            x = pooled[:, None]                        # (b, 1, h, w, d) fake t
+            dw = self.downsample_depthwise
+            # stride-2 4x4 depthwise over (h, w): grouped conv lowers badly on
+            # TPU, express as 16 shifted strided adds
+            b, _, h, w, d = x.shape
+            xp = jnp.pad(x[:, 0], ((0, 0), (1, 1), (1, 1), (0, 0)))
+            acc = None
+            for i in range(4):
+                for j in range(4):
+                    term = xp[:, i : i + h - 1 : 2, j : j + w - 1 : 2, :] * dw[i, j]
+                    acc = term if acc is None else acc + term
+            x = self.downsample_pointwise(acc)         # 1x1 conv == Dense
+            return rearrange(x, "b h w d -> b (h w d)")
         return rearrange(pooled, "b h w d -> b (h w d)")
 
     def encode_image(self, video, vq_state: Optional[VQState] = None):

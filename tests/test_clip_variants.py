@@ -118,3 +118,16 @@ def test_pretrained_factory_and_lenient_overlay():
            "temperature": np.zeros((5,))}
     merged = overlay_base(pm.params["params"], bad, allow_missing=True)
     assert merged["temperature"].shape == ()
+
+
+def test_downsample_image_embeds():
+    s = VIT.image_size // VIT.patch_size        # 4 in tiny config
+    ds = s // 2
+    cfg = dataclasses.replace(
+        CTCLIPConfig.tiny(VIT, BERT),
+        downsample_image_embeds=True,
+        dim_image=ds * ds * 32,                  # post-downsample flatten dim
+        dim_latent=32)
+    _, params, m = _run(cfg)
+    assert np.isfinite(m["loss"])
+    assert "downsample_pointwise" in params["params"]
