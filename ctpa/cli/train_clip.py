@@ -73,6 +73,8 @@ def main(argv=None):
     p.add_argument("--preprocessed", action="store_true",
                    help="volumes already on the canonical grid")
     p.add_argument("--tiny", action="store_true", help="tiny config smoke mode")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler device trace here (§5.1)")
     args = p.parse_args(argv)
 
     if args.tiny:
@@ -148,7 +150,10 @@ def main(argv=None):
     )
     if args.resume:
         trainer.load()
-    final = trainer.train()
+    from ctpa.core.profiling import trace
+
+    with trace(args.profile_dir):
+        final = trainer.train()
     trainer.close()
     print("final:", final, file=sys.stderr)
     return 0
