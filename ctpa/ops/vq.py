@@ -62,8 +62,9 @@ def vq_encode(state: VQState, x: jax.Array, mask: jax.Array | None = None) -> VQ
     cb = l2norm(state.codebook.astype(jnp.float32))
     sim = jnp.dot(nf, cb.T, preferred_element_type=jnp.float32)   # (n, K)
     idx = jnp.argmax(sim, axis=-1)
-    onehot = jax.nn.one_hot(idx, cb.shape[0], dtype=jnp.float32)  # (n, K)
-    quant = jnp.dot(onehot, cb, preferred_element_type=jnp.float32)
+    # gather + segment-sum instead of one-hot matmuls: the one-hot forms cost
+    # 2 extra (n, K) x (K, d) products (~230 GFLOP/volume at shipped scale)
+    quant = jnp.take(cb, idx, axis=0)                             # (n, d)
 
     if mask is not None:
         m = mask.reshape(-1).astype(jnp.float32)
@@ -74,8 +75,9 @@ def vq_encode(state: VQState, x: jax.Array, mask: jax.Array | None = None) -> VQ
     denom = jnp.maximum(jnp.sum(m), 1.0)
     commit = jnp.sum(diff * m) / denom
 
-    counts = jnp.einsum("n,nk->k", m, onehot, preferred_element_type=jnp.float32)
-    sums = jnp.einsum("n,nk,nd->kd", m, onehot, nf, preferred_element_type=jnp.float32)
+    K = cb.shape[0]
+    counts = jax.ops.segment_sum(m, idx, num_segments=K)
+    sums = jax.ops.segment_sum(nf * m[:, None], idx, num_segments=K)
 
     # straight-through in the caller's dtype/geometry
     quant_st = flat + jax.lax.stop_gradient(quant - flat)
