@@ -110,28 +110,33 @@ def bench_tpu(iters: int = 5) -> float:
     _ = np.asarray(out)
     log(f"tpu compile+first: {time.time() - t0:.1f}s")
 
-    # Honest timing on the axon relay backend requires care:
-    #  * block_until_ready does NOT wait for remote completion here — every
-    #    timed sample must force a (tiny) device->host fetch;
-    #  * identical (program, args) executions can be served from a remote
-    #    cache — each call perturbs the input;
-    #  * the fetch itself costs a measured relay roundtrip (~37 ms) that is
-    #    not device time — measured separately and subtracted.
-    iters = max(iters, 10)
-    t0 = time.time()
-    for _ in range(10):
+    # Honest timing on the axon relay backend (see verify skill):
+    #  * block_until_ready does NOT wait for remote completion — every timed
+    #    sample forces a (tiny) device->host fetch;
+    #  * identical executions can be served from a remote cache — inputs are
+    #    perturbed per call;
+    #  * the fetch costs a relay roundtrip (~35-70 ms) that is not device
+    #    time — measured separately (median of 20) and subtracted.
+    #  (Chained-dependency timing was tried and overstates: every dependent
+    #  program pays ~100 ms relay scheduling latency serially.)
+    iters = max(iters, 15)
+    rts = []
+    for _ in range(20):
+        t0 = time.time()
         _ = np.asarray(out[:1])
-    roundtrip = (time.time() - t0) / 10
-    log(f"relay roundtrip: {roundtrip * 1000:.1f} ms")
+        rts.append(time.time() - t0)
+    roundtrip = float(np.median(rts))
+    log(f"relay roundtrip (median of 20): {roundtrip * 1000:.1f} ms")
 
-    deltas = [jnp.float32(1e-3 * (i + 1)) for i in range(iters)]
-    t0 = time.time()
+    samples = []
     for i in range(iters):
-        o = pipeline(params, w_latent, vq_state, raw + deltas[i])
+        t0 = time.time()
+        o = pipeline(params, w_latent, vq_state, raw + jnp.float32(1e-3 * (i + 1)))
         _ = np.asarray(o[:1])
-    per_call = (time.time() - t0) / iters
+        samples.append(time.time() - t0)
+    per_call = float(np.median(samples))
     dt = max(per_call - roundtrip, 1e-4)
-    log(f"tpu per-call {per_call * 1000:.1f} ms; device {dt * 1000:.1f} ms/volume")
+    log(f"tpu per-call median {per_call * 1000:.1f} ms; device {dt * 1000:.1f} ms/volume")
     return 1.0 / dt
 
 
