@@ -18,15 +18,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# reference pathology list, ctclip_inference.py:286-290
+# reference pathology list, verbatim order (ctclip_inference.py:286-290):
+# 18 entries, 'Pulmonary Embolism' at position 12.  Label npz matrices,
+# aurocs.xlsx columns, and any by-position consumer depend on this order.
 PATHOLOGIES: tuple[str, ...] = (
     "Medical material", "Arterial wall calcification", "Cardiomegaly",
     "Pericardial effusion", "Coronary artery wall calcification",
     "Hiatal hernia", "Lymphadenopathy", "Emphysema", "Atelectasis",
-    "Lung nodule", "Lung opacity", "Pulmonary fibrotic sequela",
-    "Pleural effusion", "Mosaic attenuation pattern", "Peribronchial thickening",
-    "Consolidation", "Bronchiectasis", "Interlobular septal thickening",
-    "Pulmonary Embolism",
+    "Lung nodule", "Lung opacity", "Pulmonary Embolism", "Pleural effusion",
+    "Mosaic attenuation pattern", "Peribronchial thickening", "Consolidation",
+    "Bronchiectasis", "Interlobular septal thickening",
 )
 
 

@@ -19,6 +19,23 @@ def test_prompt_pairs_parity():
     assert "Pulmonary Embolism is present." in prompt_pairs()
 
 
+def test_pathology_list_reference_verbatim():
+    """Byte-identical to ctclip_inference.py:286-290 — 18 entries, reference
+    order, 'Pulmonary Embolism' at index 11.  Artifact column order (npz label
+    matrices, aurocs.xlsx) depends on this."""
+    assert PATHOLOGIES == (
+        "Medical material", "Arterial wall calcification", "Cardiomegaly",
+        "Pericardial effusion", "Coronary artery wall calcification",
+        "Hiatal hernia", "Lymphadenopathy", "Emphysema", "Atelectasis",
+        "Lung nodule", "Lung opacity", "Pulmonary Embolism",
+        "Pleural effusion", "Mosaic attenuation pattern",
+        "Peribronchial thickening", "Consolidation", "Bronchiectasis",
+        "Interlobular septal thickening",
+    )
+    assert len(PATHOLOGIES) == 18
+    assert PATHOLOGIES.index("Pulmonary Embolism") == 11
+
+
 def test_score_prompt_pairs_softmax():
     d = 8
     img = jnp.asarray(np.eye(1, d, dtype=np.float32))          # e0
