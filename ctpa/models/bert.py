@@ -42,16 +42,39 @@ class BertEmbeddings(nn.Module):
 
 
 class BertSelfAttention(nn.Module):
+    """Scaled-dot-product self-attention.  `lora_rank > 0` adds LoRA deltas on
+    the q/k/v projections (reference vqa.py:359-366: peft r=16 α=32 on
+    query/key/value).  The LoRA params live NEXT TO the Dense modules
+    (`query_lora_a` / `query_lora_b`, ...) rather than nesting the Dense under
+    a wrapper, so the HF import path (`hf_import.import_bert` ->
+    layer_i/attention_self/query/kernel) is unchanged and `overlay_base`
+    preserves the fresh LoRA leaves."""
+
     cfg: BertConfig
     dtype: jnp.dtype = jnp.float32
+    lora_rank: int = 0
+    lora_alpha: float = 1.0
+
+    def _proj(self, x, name: str):
+        c = self.cfg
+        y = nn.Dense(c.hidden_size, dtype=self.dtype, name=name)(x)
+        if self.lora_rank > 0:
+            a = self.param(f"{name}_lora_a",
+                           nn.initializers.normal(1.0 / self.lora_rank),
+                           (x.shape[-1], self.lora_rank), jnp.float32)
+            b = self.param(f"{name}_lora_b", nn.initializers.zeros,
+                           (self.lora_rank, c.hidden_size), jnp.float32)
+            scale = self.lora_alpha / self.lora_rank
+            y = y + (x @ a.astype(x.dtype)) @ b.astype(x.dtype) * scale
+        return y
 
     @nn.compact
     def __call__(self, x, attn_bias):
         c = self.cfg
         h, dh = c.num_heads, c.hidden_size // c.num_heads
-        q = nn.Dense(c.hidden_size, dtype=self.dtype, name="query")(x)
-        k = nn.Dense(c.hidden_size, dtype=self.dtype, name="key")(x)
-        v = nn.Dense(c.hidden_size, dtype=self.dtype, name="value")(x)
+        q = self._proj(x, "query")
+        k = self._proj(x, "key")
+        v = self._proj(x, "value")
         q, k, v = (t.reshape(*t.shape[:-1], h, dh).transpose(0, 2, 1, 3) for t in (q, k, v))
         sim = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
         sim = sim / jnp.sqrt(dh).astype(sim.dtype) + attn_bias
@@ -63,11 +86,15 @@ class BertSelfAttention(nn.Module):
 class BertLayer(nn.Module):
     cfg: BertConfig
     dtype: jnp.dtype = jnp.float32
+    lora_rank: int = 0
+    lora_alpha: float = 1.0
 
     @nn.compact
     def __call__(self, x, attn_bias, deterministic=True):
         c = self.cfg
-        attn_out = BertSelfAttention(c, dtype=self.dtype, name="attention_self")(x, attn_bias)
+        attn_out = BertSelfAttention(
+            c, dtype=self.dtype, lora_rank=self.lora_rank,
+            lora_alpha=self.lora_alpha, name="attention_self")(x, attn_bias)
         attn_out = nn.Dense(c.hidden_size, dtype=self.dtype, name="attention_output_dense")(attn_out)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="attention_output_LayerNorm")(x + attn_out)
         inter = nn.Dense(c.intermediate_size, dtype=self.dtype, name="intermediate_dense")(x)
@@ -87,6 +114,8 @@ class BertEncoder(nn.Module):
     cfg: BertConfig
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    lora_rank: int = 0
+    lora_alpha: float = 1.0
 
     @nn.compact
     def __call__(self, input_ids, attention_mask=None, token_type_ids=None, deterministic=True):
@@ -100,7 +129,9 @@ class BertEncoder(nn.Module):
         bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, neg).astype(jnp.float32)
         layer_cls = nn.remat(BertLayer) if self.remat else BertLayer
         for i in range(c.num_layers):
-            x = layer_cls(c, dtype=self.dtype, name=f"layer_{i}")(x, bias, deterministic)
+            x = layer_cls(c, dtype=self.dtype, lora_rank=self.lora_rank,
+                          lora_alpha=self.lora_alpha, name=f"layer_{i}")(
+                x, bias, deterministic)
         return x, x[:, 0]
 
 

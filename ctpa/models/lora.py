@@ -48,7 +48,9 @@ def lora_trainable_mask(params: Any, extra_trainable: tuple[str, ...] = ()) -> A
 
     def label(path, _):
         names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
-        if "lora_a" in names or "lora_b" in names:
+        # matches both the LoRADense layout (.../lora_a) and the BERT in-place
+        # layout (.../query_lora_a) — see BertSelfAttention
+        if any(str(n).endswith(("lora_a", "lora_b")) for n in names):
             return True
         return any(any(t in str(n) for n in names) for t in extra_trainable)
 

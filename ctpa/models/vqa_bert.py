@@ -3,19 +3,21 @@
 CXR-BERT encodes the question; a cross-attention layer attends the text hidden
 states to the projected vision feature; a concat-fusion MLP merges the two
 streams; an lm_head over the BERT vocab scores answer tokens, trained with
-shifted CE masked on padding.  LoRA on the BERT q/k/v projections
-(vqa.py:359-366, r=16 α=32) is available through `lora_rank`/`lora_alpha` —
-implemented by overlaying LoRA deltas on the attention Dense kernels at the
-optimizer level (mask) plus the SimpleVisionFeatureExtractor pooling parity
-(vqa.py:25-74: patch-embed mean pooling)."""
+shifted CE masked on padding.  `lora_rank`/`lora_alpha` put LoRA deltas on the
+BERT q/k/v projections (vqa.py:359-366: peft r=16 α=32 on query/key/value);
+`vqa_trainable_mask` reproduces the peft freeze semantics (BERT base frozen,
+LoRA + cross-attn + projections + fusion + lm_head trainable, CTViT trunk
+no_grad).  SimpleVisionFeatureExtractor is the patch-embed mean-pooling parity
+path (vqa.py:25-74)."""
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import optax
 
 from ctpa.core.config import BertConfig, CTViTConfig
 from ctpa.models.bert import BertEncoder
@@ -43,9 +45,15 @@ class MedicalVQAModel(nn.Module):
     vit_cfg: CTViTConfig
     vision_dim: int = 512
     dtype: jnp.dtype = jnp.float32
+    # reference fine-tune config: LoRA r=16 α=32 on BERT query/key/value
+    # (vqa.py:359-366).  rank=0 disables the overlay (pure inference parity).
+    lora_rank: int = 0
+    lora_alpha: float = 32.0
 
     def setup(self):
         self.text_encoder = BertEncoder(self.bert_cfg, dtype=self.dtype,
+                                        lora_rank=self.lora_rank,
+                                        lora_alpha=self.lora_alpha,
                                         name="text_encoder")
         self.vision_extractor = SimpleVisionFeatureExtractor(
             self.vit_cfg, out_dim=self.vision_dim, dtype=self.dtype,
@@ -116,3 +124,35 @@ class MedicalVQAModel(nn.Module):
         (ids, mask, lengths, done, _), _ = jax.lax.scan(
             body, (ids, mask, lengths, done, rng), None, length=max_new_tokens)
         return ids, lengths
+
+
+def vqa_trainable_mask(params: Any) -> Any:
+    """peft-equivalent freeze semantics for MedicalVQAModel fine-tuning
+    (vqa.py:366 `get_peft_model` freezes the BERT base; vqa.py:369-373 then
+    optimizes all remaining params): True for BERT LoRA deltas and every module
+    outside the two frozen trunks (cross_attention, vision_proj, fusion,
+    lm_head, the extractor projection); False for BERT base weights and the
+    CTViT patch trunk (run under no_grad in the reference, vqa.py:50)."""
+
+    def label(path, _):
+        names = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+        if any(n.endswith(("lora_a", "lora_b")) for n in names):
+            return True
+        if "ctvit" in names or "text_encoder" in names:
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_vqa_optimizer(params: Any, lr: float = 2e-5, weight_decay: float = 0.01,
+                       t_max: int = 10) -> optax.GradientTransformation:
+    """AdamW(lr=2e-5, wd=0.01) + CosineAnnealingLR(T_max=10) over the
+    `vqa_trainable_mask` set (vqa.py:369-376); frozen params get zero updates."""
+    schedule = optax.cosine_decay_schedule(lr, decay_steps=max(t_max, 1))
+    mask = vqa_trainable_mask(params)
+    return optax.multi_transform(
+        {True: optax.adamw(schedule, weight_decay=weight_decay),
+         False: optax.set_to_zero()},
+        mask,
+    )

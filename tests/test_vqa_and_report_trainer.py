@@ -5,6 +5,7 @@ import pytest
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from ctpa.core.config import (
     BertConfig, CTViTConfig, LLMConfig, LoRAConfig, ReportGenConfig, TrainConfig,
@@ -41,6 +42,77 @@ def test_vqa_bert_forward_loss_generate():
         params, video, ids, mask, 4, 3, method=MedicalVQAModel.generate)
     assert out_ids.shape == (2, 8)
     assert int(lengths.max()) <= 4 + 4
+
+
+def test_vqa_bert_lora_identity_at_init():
+    """BERT q/k/v LoRA (vqa.py:359-366) starts as identity: lora_b is zero, so
+    grafting base weights into the LoRA tree reproduces base logits exactly."""
+    video = _video(1)
+    ids = jnp.asarray([[5, 6, 7, 8]], jnp.int32)
+    mask = jnp.ones((1, 4), jnp.int32)
+
+    base = MedicalVQAModel(BERT, VIT, vision_dim=32)
+    lora = MedicalVQAModel(BERT, VIT, vision_dim=32, lora_rank=16, lora_alpha=32.0)
+    p_base = base.init(jax.random.key(0), video, ids, mask)
+    p_lora = lora.init(jax.random.key(0), video, ids, mask)
+
+    # base tree is a strict subtree of the lora tree (lora adds *_lora_a/b next
+    # to the q/k/v Dense params) -> graft shared leaves from base
+    def graft(lp, bp):
+        if isinstance(lp, dict):
+            return {k: graft(v, bp[k]) if k in bp else v for k, v in lp.items()}
+        return bp
+
+    grafted = {"params": graft(p_lora["params"], p_base["params"])}
+    lg = lora.apply(grafted, video, ids, mask)
+    bg = base.apply(p_base, video, ids, mask)
+    np.testing.assert_allclose(np.asarray(lg), np.asarray(bg), rtol=1e-5, atol=1e-5)
+
+
+def test_vqa_bert_masked_training_updates_only_lora_and_heads():
+    """One masked-optimizer step: BERT base + CTViT trunk frozen; LoRA,
+    cross-attention, projections, fusion and lm_head move (peft semantics of
+    vqa.py:359-376)."""
+    from ctpa.models.vqa_bert import make_vqa_optimizer, vqa_trainable_mask
+
+    model = MedicalVQAModel(BERT, VIT, vision_dim=32, lora_rank=4, lora_alpha=8.0)
+    video = _video(2)
+    ids = jnp.asarray([[5, 6, 7, 8], [9, 10, 2, 0]], jnp.int32)
+    mask = (ids != 0).astype(jnp.int32)
+    params = model.init(jax.random.key(0), video, ids, mask)
+    tx = make_vqa_optimizer(params, t_max=10)
+    opt_state = tx.init(params)
+
+    loss, grads = jax.value_and_grad(
+        lambda p: model.apply(p, video, ids, mask, method=MedicalVQAModel.loss)
+    )(params)
+    assert np.isfinite(float(loss))
+    updates, _ = tx.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+
+    trainable = vqa_trainable_mask(params)
+    flat_old = jax.tree_util.tree_leaves_with_path(params)
+    flat_new = dict(jax.tree_util.tree_leaves_with_path(new_params))
+    flat_mask = dict(jax.tree_util.tree_leaves_with_path(trainable))
+    moved_frozen, moved_trainable, total_trainable = [], 0, 0
+    for path, old in flat_old:
+        changed = not np.allclose(np.asarray(old), np.asarray(flat_new[path]))
+        if flat_mask[path]:
+            total_trainable += 1
+            moved_trainable += int(changed)
+        elif changed:
+            moved_frozen.append(jax.tree_util.keystr(path))
+    assert not moved_frozen, f"frozen params moved: {moved_frozen[:5]}"
+    # lora_a has zero grad at init (since b=0 the delta path contributes, but
+    # d loss/d a = x^T (g b^T) != 0 in general); require most trainables moved
+    assert moved_trainable >= total_trainable * 0.5
+    # and specifically at least one LoRA leaf moved
+    lora_moved = [
+        jax.tree_util.keystr(p) for p, old in flat_old
+        if "lora_b" in jax.tree_util.keystr(p)
+        and not np.allclose(np.asarray(old), np.asarray(flat_new[p]))
+    ]
+    assert lora_moved, "no lora_b leaf moved"
 
 
 def test_report_optimizer_freezing():
