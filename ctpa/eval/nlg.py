@@ -8,13 +8,17 @@ precision/recall, BLEU-1/4).
 The `bert_score` package is not in this environment, so BERTScore is
 implemented natively: token embeddings from any encoder callable (our flax
 BERT with imported CXR-BERT weights in production; any embedding fn in tests),
-greedy cosine matching per the BERTScore paper.  No IDF weighting / baseline
-rescaling (the reference enabled rescale_with_baseline; scores here are the
-raw variant — documented difference).
+greedy cosine matching per the BERTScore paper, with optional IDF weighting
+and baseline rescaling.  The reference evaluator runs
+`BERTScorer(lang="en", rescale_with_baseline=True)`
+(evaluation_module.py:53) — rescaling applies (x - b) / (1 - b) to each of
+P/R/F1 with per-metric baseline constants AFTER computing raw F1, exactly as
+the bert_score package does; IDF is off by default there and here.
 """
 
 from __future__ import annotations
 
+import math
 from collections import Counter
 from typing import Callable, Optional, Sequence
 
@@ -91,25 +95,65 @@ def rouge_l(reference: Sequence[str], hypothesis: Sequence[str]) -> dict:
 # ---------------------------------------------------------------- BERTScore
 
 
+def compute_idf(corpora_tokens: Sequence[Sequence]) -> dict:
+    """IDF dict over a reference corpus, bert_score `get_idf_dict` semantics:
+    idf(w) = log((N + 1) / (df(w) + 1)); unseen tokens default to log(N + 1).
+    Tokens may be strings or token ids — anything hashable."""
+    n = len(corpora_tokens)
+    df = Counter()
+    for toks in corpora_tokens:
+        df.update(set(toks))
+    idf = {w: math.log((n + 1) / (c + 1)) for w, c in df.items()}
+    idf["__default__"] = math.log(n + 1)
+    return idf
+
+
+def rescale_with_baseline(scores: dict, baseline: Sequence[float]) -> dict:
+    """bert_score rescale_with_baseline semantics (scorer.py: `(preds - b) /
+    (1 - b)`): each of P/R/F1 is rescaled with its own baseline constant,
+    AFTER raw F1 is computed — F1 is NOT recomputed from rescaled P/R."""
+    bp, br, bf = baseline
+    return {
+        "precision": (scores["precision"] - bp) / (1.0 - bp),
+        "recall": (scores["recall"] - br) / (1.0 - br),
+        "f1": (scores["f1"] - bf) / (1.0 - bf),
+    }
+
+
 def bert_score(
     ref_emb: np.ndarray, ref_mask: np.ndarray,
     hyp_emb: np.ndarray, hyp_mask: np.ndarray,
+    ref_idf: Optional[np.ndarray] = None,
+    hyp_idf: Optional[np.ndarray] = None,
+    baseline: Optional[Sequence[float]] = None,
 ) -> dict:
     """Greedy-matching BERTScore from token embeddings.
 
-    ref_emb: (n_r, d); hyp_emb: (n_h, d); masks 1 = real token."""
+    ref_emb: (n_r, d); hyp_emb: (n_h, d); masks 1 = real token.
+    ref_idf/hyp_idf: optional per-token weights aligned with the UNMASKED
+    rows (same length as emb); recall is idf-weighted over reference tokens,
+    precision over hypothesis tokens (BERTScore paper eq. 1-2).
+    baseline: optional (b_p, b_r, b_f) constants for rescaling
+    (evaluation_module.py:53 `rescale_with_baseline=True`)."""
     def norm(x):
         return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-9)
 
-    r = norm(ref_emb[ref_mask.astype(bool)])
-    h = norm(hyp_emb[hyp_mask.astype(bool)])
+    rsel = ref_mask.astype(bool)
+    hsel = hyp_mask.astype(bool)
+    r = norm(ref_emb[rsel])
+    h = norm(hyp_emb[hsel])
     if len(r) == 0 or len(h) == 0:
         return {"precision": 0.0, "recall": 0.0, "f1": 0.0}
+    rw = np.ones(len(r)) if ref_idf is None else np.asarray(ref_idf, float)[rsel]
+    hw = np.ones(len(h)) if hyp_idf is None else np.asarray(hyp_idf, float)[hsel]
     sim = h @ r.T                                  # (n_h, n_r)
-    p = float(sim.max(axis=1).mean())
-    rec = float(sim.max(axis=0).mean())
+    p = float((sim.max(axis=1) * hw).sum() / max(hw.sum(), 1e-12))
+    rec = float((sim.max(axis=0) * rw).sum() / max(rw.sum(), 1e-12))
     f = 2 * p * rec / max(p + rec, 1e-12)
-    return {"precision": p, "recall": rec, "f1": f}
+    scores = {"precision": p, "recall": rec, "f1": f}
+    if baseline is not None:
+        scores = rescale_with_baseline(scores, baseline)
+    return scores
 
 
 # ---------------------------------------------------------------- suite
@@ -123,12 +167,27 @@ class NLGEvaluator:
     """Batch metric suite (evaluation_module.py:17-224 capability).
 
     embed_fn: optional callable (list[str]) -> (embeddings (b, n, d),
-    mask (b, n)) for BERTScore; None skips it."""
+    mask (b, n)) — or (embeddings, mask, token_ids (b, n)) when IDF weighting
+    is wanted — for BERTScore; None skips it.
+
+    bertscore_baseline: optional (b_p, b_r, b_f) rescaling constants.  The
+    reference runs BERTScorer(rescale_with_baseline=True)
+    (evaluation_module.py:53); the bert_score package ships those constants
+    per (lang, model) — pass the matching triple here (for roberta-large/en
+    the shipped first-layer-agnostic baseline is ~(0.83, 0.83, 0.83); with a
+    custom encoder, compute a baseline by scoring random sentence pairs).
+
+    use_idf: weight BERTScore by reference-corpus IDF (needs embed_fn to
+    return token ids)."""
 
     def __init__(self, embed_fn: Optional[Callable] = None,
-                 tokenize: Callable = simple_tokenize):
+                 tokenize: Callable = simple_tokenize,
+                 bertscore_baseline: Optional[Sequence[float]] = None,
+                 use_idf: bool = False):
         self.embed_fn = embed_fn
         self.tokenize = tokenize
+        self.bertscore_baseline = bertscore_baseline
+        self.use_idf = use_idf
 
     def evaluate(self, references: Sequence[str], hypotheses: Sequence[str]) -> dict:
         assert len(references) == len(hypotheses)
@@ -150,11 +209,39 @@ class NLGEvaluator:
             add("perfect_match", float(ref.strip().lower() == hyp.strip().lower()))
 
         if self.embed_fn is not None:
-            re_, rm = self.embed_fn(list(references))
-            he, hm = self.embed_fn(list(hypotheses))
+            rout = self.embed_fn(list(references))
+            hout = self.embed_fn(list(hypotheses))
+            re_, rm = rout[0], rout[1]
+            he, hm = hout[0], hout[1]
+            rids = rout[2] if len(rout) > 2 else None
+            hids = hout[2] if len(hout) > 2 else None
+            idf = None
+            if self.use_idf:
+                if rids is None:
+                    raise ValueError(
+                        "use_idf requires embed_fn to return (emb, mask, ids)")
+                # IDF over reference corpus (BERTScore paper §3 / bert_score
+                # get_idf_dict computes df over the reference sentences)
+                corpus = [
+                    [int(t) for t, m in zip(np.asarray(rids[i]), np.asarray(rm[i])) if m]
+                    for i in range(len(references))
+                ]
+                idf = compute_idf(corpus)
+
+            def weights(ids_row, idf_dict):
+                if idf_dict is None or ids_row is None:
+                    return None
+                d = idf_dict["__default__"]
+                return np.asarray([idf_dict.get(int(t), d) for t in np.asarray(ids_row)])
+
             for i in range(len(references)):
-                bs = bert_score(np.asarray(re_[i]), np.asarray(rm[i]),
-                                np.asarray(he[i]), np.asarray(hm[i]))
+                bs = bert_score(
+                    np.asarray(re_[i]), np.asarray(rm[i]),
+                    np.asarray(he[i]), np.asarray(hm[i]),
+                    ref_idf=weights(rids[i] if rids is not None else None, idf),
+                    hyp_idf=weights(hids[i] if hids is not None else None, idf),
+                    baseline=self.bertscore_baseline,
+                )
                 add("bertscore_p", bs["precision"])
                 add("bertscore_r", bs["recall"])
                 add("bertscore_f1", bs["f1"])

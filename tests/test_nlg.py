@@ -68,3 +68,81 @@ def test_evaluator_suite():
 
     out2 = NLGEvaluator(embed_fn=fake_embed).evaluate(["a b"], ["a b"])
     assert out2["bertscore_f1"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_bert_score_baseline_rescaling():
+    """Hand-computed fixture for rescale_with_baseline semantics
+    (evaluation_module.py:53): x' = (x - b) / (1 - b), applied to P/R/F1 each
+    with its own constant AFTER raw F1."""
+    from ctpa.eval.nlg import rescale_with_baseline
+
+    rng = np.random.default_rng(1)
+    ref = rng.normal(size=(4, 8))
+    hyp = rng.normal(size=(3, 8))
+    raw = bert_score(ref, np.ones(4), hyp, np.ones(3))
+    b = (0.85, 0.80, 0.825)
+    got = bert_score(ref, np.ones(4), hyp, np.ones(3), baseline=b)
+    for key, bk in zip(("precision", "recall", "f1"), b):
+        assert got[key] == pytest.approx((raw[key] - bk) / (1 - bk), abs=1e-9)
+    # identity pair rescales to exactly 1.0 regardless of baseline
+    ident = bert_score(ref, np.ones(4), ref, np.ones(4), baseline=b)
+    assert ident["f1"] == pytest.approx(1.0, abs=1e-6)
+    # F1 is rescaled directly, NOT recomputed from rescaled P/R
+    p, r = got["precision"], got["recall"]
+    assert got["f1"] != pytest.approx(2 * p * r / (p + r), abs=1e-6)
+    assert rescale_with_baseline(raw, b)["f1"] == pytest.approx(got["f1"])
+
+
+def test_bert_score_idf_weighting():
+    """Hand-computed IDF fixture: ref tokens e0 (idf 2.0) and e1 (idf 0.5),
+    hyp = [e0].  Max-sims over ref = [1, 0] -> idf recall = 2/(2+0.5) = 0.8
+    (vs 0.5 unweighted); precision = 1."""
+    e = np.eye(2, 8)
+    ref = e
+    hyp = e[:1]
+    raw = bert_score(ref, np.ones(2), hyp, np.ones(1))
+    assert raw["recall"] == pytest.approx(0.5, abs=1e-9)
+    got = bert_score(ref, np.ones(2), hyp, np.ones(1),
+                     ref_idf=np.array([2.0, 0.5]), hyp_idf=np.array([1.0]))
+    assert got["precision"] == pytest.approx(1.0, abs=1e-9)
+    assert got["recall"] == pytest.approx(0.8, abs=1e-9)
+
+
+def test_compute_idf_matches_formula():
+    """idf(w) = log((N+1)/(df+1)) with default log(N+1) for unseen tokens —
+    bert_score get_idf_dict semantics."""
+    from ctpa.eval.nlg import compute_idf
+
+    corpus = [["a", "b"], ["a", "c"], ["a", "b", "b"]]  # df: a=3, b=2, c=1
+    idf = compute_idf(corpus)
+    assert idf["a"] == pytest.approx(np.log(4 / 4))
+    assert idf["b"] == pytest.approx(np.log(4 / 3))
+    assert idf["c"] == pytest.approx(np.log(4 / 2))
+    assert idf["__default__"] == pytest.approx(np.log(4))
+
+
+def test_evaluator_idf_and_baseline_end_to_end():
+    """Evaluator threads ids -> corpus IDF -> weighted scores; identical
+    ref/hyp stays exactly 1.0 under both options."""
+    def embed_with_ids(texts):
+        vocab = {}
+        ids = []
+        for t in texts:
+            ids.append([vocab.setdefault(w, len(vocab) + 1) for w in t.split()])
+        n = max(len(i) for i in ids)
+        idmat = np.zeros((len(texts), n), int)
+        mask = np.zeros((len(texts), n))
+        emb = np.zeros((len(texts), n, 16))
+        for r, row in enumerate(ids):
+            for c, tid in enumerate(row):
+                idmat[r, c] = tid
+                mask[r, c] = 1
+                emb[r, c] = np.eye(16)[tid % 16]
+        return emb, mask, idmat
+
+    ev = NLGEvaluator(embed_fn=embed_with_ids, use_idf=True,
+                      bertscore_baseline=(0.5, 0.5, 0.5))
+    out = ev.evaluate(["a b c", "d e"], ["a b c", "d e"])
+    assert out["bertscore_f1"] == pytest.approx(1.0, abs=1e-6)
+    out2 = ev.evaluate(["a b c"], ["a z z"])
+    assert out2["bertscore_f1"] < 1.0
