@@ -319,3 +319,30 @@ def load_torch_checkpoint(path: str) -> dict:
     ):
         obj = obj["model"]
     return {k: _np(v) for k, v in obj.items() if hasattr(v, "detach") or isinstance(v, np.ndarray)}
+
+
+# torchvision vgg16().features conv indices per stage (the Sequential layout
+# conv,relu,conv,relu,pool | conv,relu,conv,relu,pool | 3x(conv,relu),pool ...)
+VGG16_FEATURE_CONV_INDICES: tuple[tuple[int, ...], ...] = (
+    (0, 2), (5, 7), (10, 12, 14), (17, 19, 21), (24, 26, 28),
+)
+
+
+def import_vgg_features(sd: Mapping[str, Array], n_stages: int = 5) -> dict:
+    """torchvision `vgg16(pretrained=True).features` state_dict -> PerceptualNet
+    params (reference ctvit.py:202 uses that module for the perceptual loss).
+
+    Accepts either bare `features` keys ('0.weight', '2.weight', ...) or a
+    full-model dump with a 'features.' prefix.  Conv weights transpose from
+    torch (out, in, kh, kw) to flax (kh, kw, in, out).  `n_stages` truncates
+    the pyramid (e.g. 3 for a 64/128/256 net).  Pair with
+    `PerceptualNet.vgg16()` (or matching stages/convs_per_stage) and graft via
+    `overlay_base` or use directly as {'params': ...}."""
+    prefix = "features." if any(k.startswith("features.") for k in sd) else ""
+    params: dict[str, dict] = {}
+    for i, conv_idxs in enumerate(VGG16_FEATURE_CONV_INDICES[:n_stages]):
+        for j, t in enumerate(conv_idxs):
+            w = _np(sd[f"{prefix}{t}.weight"]).transpose(2, 3, 1, 0)
+            b = _np(sd[f"{prefix}{t}.bias"])
+            params[f"conv_{i}{'abcdef'[j]}"] = {"kernel": w, "bias": b}
+    return {"params": params}

@@ -10,7 +10,7 @@ from a local VGG snapshot via `import_vgg_features`."""
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -59,32 +59,52 @@ class Discriminator(nn.Module):
 
 class PerceptualNet(nn.Module):
     """Conv feature pyramid for perceptual distance.  VGG16-shaped stages so
-    `import_vgg_features` can graft torchvision weights when available."""
+    `hf_import.import_vgg_features` can graft torchvision
+    `vgg16(pretrained=True).features` weights (ctvit.py:202).
+
+    `convs_per_stage` defaults to 2 convs per stage; `PerceptualNet.vgg16()`
+    builds the full torchvision geometry (stages 64/128/256/512/512 with
+    2/2/3/3/3 convs, 3x3 SAME, relu, 2x2 max-pool between stages).  Returns
+    the per-stage pre-pool feature maps; `feats[-1]` after the final stage is
+    the torchvision `features` output up to the last pool (the trailing
+    MaxPool is distance-irrelevant up to a constant subsampling)."""
 
     stages: Sequence[int] = (64, 128, 256)
     channels_in: int = 3
+    convs_per_stage: Optional[Sequence[int]] = None
+
+    @classmethod
+    def vgg16(cls) -> "PerceptualNet":
+        return cls(stages=(64, 128, 256, 512, 512),
+                   convs_per_stage=(2, 2, 3, 3, 3))
 
     @nn.compact
     def __call__(self, x):                      # (b, h, w, c)
         feats = []
-        for i, ch in enumerate(self.stages):
-            x = nn.Conv(ch, (3, 3), name=f"conv_{i}a")(x)
-            x = nn.relu(x)
-            x = nn.Conv(ch, (3, 3), name=f"conv_{i}b")(x)
-            x = nn.relu(x)
+        cps = self.convs_per_stage or (2,) * len(self.stages)
+        for i, (ch, n_convs) in enumerate(zip(self.stages, cps)):
+            for j in range(n_convs):
+                x = nn.Conv(ch, (3, 3), name=f"conv_{i}{'abcdef'[j]}")(x)
+                x = nn.relu(x)
             feats.append(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
         return feats
 
 
 def perceptual_loss(params, net: PerceptualNet, real: jax.Array,
-                    fake: jax.Array) -> jax.Array:
-    """Mean L2 over feature stages (VGG-perceptual parity, ctvit.py:499-514).
-    Inputs are (b, h, w, 1) slices; replicated to 3 channels like the
-    reference's repeat for VGG (ctvit.py:502-506)."""
+                    fake: jax.Array, final_only: bool = False) -> jax.Array:
+    """Perceptual distance (VGG parity, ctvit.py:499-523).  Inputs are
+    (b, h, w, 1) slices; replicated to 3 channels like the reference's repeat
+    for VGG (ctvit.py:502-506).
+
+    final_only=True is the reference's exact formulation — a single MSE on the
+    full feature-stack output (F.mse_loss(vgg(x), vgg(y)), ctvit.py:523);
+    False averages MSE over all pyramid stages (multi-scale variant)."""
     def prep(x):
         return jnp.repeat(x, 3, axis=-1) if x.shape[-1] == 1 else x
 
     fr = net.apply(params, prep(real))
     ff = net.apply(params, prep(fake))
+    if final_only:
+        return jnp.mean(jnp.square(fr[-1] - ff[-1]))
     return sum(jnp.mean(jnp.square(a - b)) for a, b in zip(fr, ff)) / len(fr)
