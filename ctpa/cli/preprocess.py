@@ -1,10 +1,14 @@
-"""Offline preprocessing CLI — NIfTI -> canonical npz volumes + metadata CSVs.
+"""Offline preprocessing CLI — NIfTI / DICOM -> canonical npz volumes +
+metadata CSVs.
 
 Replaces data_prep/preprocess_train.py + preprocess_test.py + data_prep.py:
-walk a directory of .nii/.nii.gz scans, extract acquisition metadata, run the
-canonical device-side preprocess (HU window -> resample -> crop/pad), and
-write npz volumes in the reference's sharded folder layout
+walk a directory of .nii/.nii.gz scans (or DICOM series sub-directories,
+a capability the reference lacks — BASELINE config 5), extract acquisition
+metadata, run the canonical device-side preprocess (HU window -> resample ->
+crop/pad), and write npz volumes in the reference's sharded folder layout
 `{split}_{id[:2]}/{split}_{id}/{id}.npz` (preprocess_train.py:111-117).
+Both ingest paths produce byte-identical canonical npz for the same
+underlying volume (tested in tests/test_data.py).
 
 TPU-native: the resample runs on-device via the fused op (batched by shape
 bucket); the host only decodes bytes and writes npz.  No interactive y/n
@@ -24,8 +28,10 @@ import numpy as np
 import jax.numpy as jnp
 
 from ctpa.core.config import PreprocessConfig
-from ctpa.data import nifti
-from ctpa.data.manifests import extract_metadata, volume_stem, write_split_metadata
+from ctpa.data import dicom, nifti
+from ctpa.data.manifests import (
+    extract_metadata, extract_metadata_dicom, volume_stem, write_split_metadata,
+)
 from ctpa.ops.preprocess import preprocess_volume
 
 
@@ -36,6 +42,16 @@ def find_nii_files(root: str) -> list[str]:
             if f.endswith((".nii", ".nii.gz")):
                 out.append(os.path.join(r, f))
     return out
+
+
+def find_dicom_series(root: str) -> list[str]:
+    """Directories under `root` (inclusive) that directly contain DICOM files;
+    each is treated as one series/volume named by its basename."""
+    out = []
+    for r, _, _files in os.walk(root):
+        if dicom.find_series_files(r):
+            out.append(r)
+    return sorted(out)
 
 
 def sharded_output_path(out_dir: str, split: str, vid: str) -> str:
@@ -65,6 +81,26 @@ def process_one(path: str, out_dir: str, split: str, cfg: PreprocessConfig,
     return dst
 
 
+def process_one_dicom(series_dir: str, out_dir: str, split: str,
+                      cfg: PreprocessConfig, window_first: bool = True) -> str:
+    """DICOM-series analog of `process_one`: load_series already yields
+    (z, y, x) with (z, y, x) spacing, so the same canonical preprocess runs
+    with no transpose; output is byte-identical to the NIfTI path for the
+    same underlying volume."""
+    series = dicom.load_series(series_dir)
+    out = preprocess_volume(
+        jnp.asarray(series.data.astype(np.float32)),
+        jnp.float32(series.slope), jnp.float32(series.intercept),
+        jnp.asarray(series.spacing, jnp.float32),
+        cfg=cfg, window_first=window_first,
+    )
+    vid = os.path.basename(os.path.normpath(series_dir))
+    dst = sharded_output_path(out_dir, split, vid)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    np.savez(dst, np.asarray(out[0], np.float32))
+    return dst
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input-dir", required=True)
@@ -81,20 +117,36 @@ def main(argv=None):
     cfg = dataclasses.replace(cfg, target_shape=tuple(args.target_shape))
 
     files = find_nii_files(args.input_dir)
-    print(f"found {len(files)} NIfTI volumes", file=sys.stderr)
-    meta = extract_metadata(files)
-    write_split_metadata(meta, args.output_dir, train_frac=args.train_frac)
+    series_dirs = find_dicom_series(args.input_dir)
+    print(f"found {len(files)} NIfTI volumes, {len(series_dirs)} DICOM series",
+          file=sys.stderr)
+    metas = []
+    if files:
+        metas.append(extract_metadata(files))
+    if series_dirs:
+        metas.append(extract_metadata_dicom(series_dirs))
+    if not metas:
+        print("nothing to do", file=sys.stderr)
+        return
+    import pandas as pd
+    write_split_metadata(pd.concat(metas, ignore_index=True), args.output_dir,
+                         train_frac=args.train_frac)
 
     by_shape = defaultdict(list)   # shape-bucket so jit reuses executables
     for f in files:
         by_shape[nifti.load(f).shape].append(f)
-    n = 0
+    n, total = 0, len(files) + len(series_dirs)
     for shape, bucket in by_shape.items():
         for f in bucket:
             dst = process_one(f, args.output_dir, args.split, cfg)
             n += 1
             if n % 25 == 0:
-                print(f"{n}/{len(files)} -> {dst}", file=sys.stderr)
+                print(f"{n}/{total} -> {dst}", file=sys.stderr)
+    for d in series_dirs:
+        dst = process_one_dicom(d, args.output_dir, args.split, cfg)
+        n += 1
+        if n % 25 == 0:
+            print(f"{n}/{total} -> {dst}", file=sys.stderr)
     print(f"wrote {n} volumes to {args.output_dir}", file=sys.stderr)
 
 

@@ -62,6 +62,27 @@ def extract_metadata(nii_paths: Iterable[str]) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def extract_metadata_dicom(series_dirs: Iterable[str]) -> pd.DataFrame:
+    """Per-series acquisition metadata, same columns as `extract_metadata`
+    (data_prep.py:6-40 schema) so downstream CSV consumers are ingest-
+    agnostic.  VolumeName is the series directory basename."""
+    from ctpa.data import dicom
+
+    rows = []
+    for d in series_dirs:
+        series = dicom.load_series(d)
+        dz, dy, dx = series.spacing
+        rows.append({
+            "VolumeName": os.path.basename(os.path.normpath(d)),
+            "RescaleSlope": series.slope,
+            "RescaleIntercept": series.intercept,
+            "XYSpacing": [dy, dx],
+            "ZSpacing": dz,
+            "NumSlices": series.shape[0],
+        })
+    return pd.DataFrame(rows)
+
+
 def write_split_metadata(df: pd.DataFrame, out_dir: str, train_frac: float = 0.8,
                          seed: int = 0) -> tuple[str, str]:
     """Shuffled train/test metadata CSVs.  (The reference intended an 80/20
