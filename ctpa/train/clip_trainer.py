@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Callable, Iterator, Optional
+from typing import Any, Callable, Iterator, Optional
 
 import jax
 import jax.numpy as jnp
@@ -125,6 +125,21 @@ def make_clip_train_step(
     return train_step
 
 
+def clip_finetune_mask(params: Any,
+                       unfreeze: tuple[str, ...] = ("visual_transformer",
+                                                    "text_transformer")) -> Any:
+    """Reference fine-tune selection (fine_tuning_ctclip.py:5-15): freeze all
+    CTCLIP params, then unfreeze the listed top-level modules (default: both
+    towers — latent projections and temperature stay frozen, exactly as the
+    reference script leaves them requires_grad=False)."""
+
+    def label(path, _):
+        names = {str(getattr(p, "key", getattr(p, "name", ""))) for p in path}
+        return bool(names & set(unfreeze))
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
 class CTClipTrainer:
     """Driver loop: data iterator -> pjit step -> periodic eval/checkpoint.
 
@@ -145,13 +160,30 @@ class CTClipTrainer:
         mesh=None,
         eval_fn: Optional[Callable[[CLIPTrainState, int], dict]] = None,
         commit_weight: float = 0.0,
+        trainable_mask: Optional[Any] = None,
     ):
+        """`trainable_mask`: optional bool pytree (or callable params -> bool
+        pytree) selecting which params receive updates; False leaves are
+        frozen via optax.set_to_zero.  The reference's fine-tune script
+        freezes everything then unfreezes both towers
+        (fine_tuning_ctclip.py:5-15) — `clip_finetune_mask` reproduces that
+        selection."""
         self.model = model
         self.cfg = cfg
         self.mesh = mesh
         self.train_loader = train_loader
         self.eval_fn = eval_fn
         self.tx = get_optimizer(opt_cfg, state.params)
+        if trainable_mask is not None:
+            mask = (trainable_mask(state.params) if callable(trainable_mask)
+                    else trainable_mask)
+            self.tx = optax.multi_transform(
+                {True: self.tx, False: optax.set_to_zero()}, mask)
+            # the caller's state was created with the unmasked tx; rebuild
+            # opt_state so the multi_transform wrapper owns it
+            state = CLIPTrainState(
+                params=state.params, opt_state=self.tx.init(state.params),
+                vq_state=state.vq_state, step=state.step)
         step_fn = make_clip_train_step(
             model, self.tx, commit_weight=commit_weight,
             policy=Policy() if cfg.precision == "bf16" else Policy(compute_dtype=jnp.float32),

@@ -80,6 +80,53 @@ def test_train_step_sharded_mesh(mesh8, tmp_path):
     assert int(trainer.state.step) == 3
 
 
+def test_finetune_mask_freezes_non_tower_params(tmp_path):
+    """Reference fine-tune semantics (fine_tuning_ctclip.py:5-15): both towers
+    train, latent projections and temperature stay frozen."""
+    from ctpa.train.clip_trainer import clip_finetune_mask
+
+    model, tx, state = make_model_state()
+
+    def loader():
+        i = 0
+        while True:
+            yield make_batch(4, seed=i)
+            i += 1
+
+    trainer = CTClipTrainer(
+        model, state, loader(),
+        cfg=TrainConfig(batch_size=4, num_train_steps=2, save_model_every=1000,
+                        save_results_every=1000,
+                        results_dir=str(tmp_path / "res"),
+                        checkpoint_dir=str(tmp_path / "ckpt"),
+                        precision="fp32"),
+        opt_cfg=OptimizerConfig(lr=1e-2),
+        trainable_mask=clip_finetune_mask,
+    )
+    before = jax.tree.map(np.asarray, state.params)
+    trainer.train(2)
+    after = jax.tree.map(np.asarray, trainer.state.params)
+
+    p0, p1 = before["params"], after["params"]
+    assert np.array_equal(p0["temperature"], p1["temperature"])
+    assert all(
+        np.array_equal(a, b) for a, b in zip(
+            jax.tree.leaves(p0["to_text_latent"]),
+            jax.tree.leaves(p1["to_text_latent"])))
+    moved = [
+        not np.array_equal(a, b) for a, b in zip(
+            jax.tree.leaves(p0["text_transformer"]),
+            jax.tree.leaves(p1["text_transformer"]))
+    ]
+    assert any(moved)
+    moved_v = [
+        not np.array_equal(a, b) for a, b in zip(
+            jax.tree.leaves(p0["visual_transformer"]),
+            jax.tree.leaves(p1["visual_transformer"]))
+    ]
+    assert any(moved_v)
+
+
 def test_global_negatives_match_local_computation(mesh8):
     """contrastive_loss_sharded over 8 shards == unsharded infonce on the
     global batch — the all-gather gives every shard the global loss."""
