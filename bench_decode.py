@@ -1,14 +1,23 @@
 """Secondary benchmark: report-generation decode tokens/sec (BASELINE.json
 north star: >=2x the reference decode, parity NLG).  bench.py (the driver
 metric) covers preproc+encode; this script measures the KV-cached decode path
-at ~1B-param scale on one chip and compares against the reference's decode
-shape (full-prefix re-forward per token, model_components.py:232-261).
+on one chip and compares against the reference's decode shape (full-prefix
+re-forward per token, model_components.py:232-261).
+
+Two geometries:
+  * ``--size 1b``  — 0.96B-param proxy (fast; round-1 number).
+  * ``--size 7b``  — TRUE Meditron-7B geometry (32 layers, hidden 4096,
+    32 heads, intermediate 11008, vocab 32000, bf16 — vqa_meditron.py:425-426).
+    Weights are 13.5 GB in bf16, so params are materialized ON DEVICE with
+    jitted random generators (a host upload over the ~60 MB/s relay tunnel
+    would take ~4 minutes and prove nothing).
 
 Honest-timing rules for the axon relay (see bench.py): per-sample forced
 fetch, perturbed inputs, roundtrip subtracted."""
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -29,18 +38,37 @@ def main():
     import jax.numpy as jnp
 
     from ctpa.core.config import CTViTConfig, LLMConfig, ReportGenConfig
+    from ctpa.core.initutils import device_params
     from ctpa.models.report_generator import CTReportGenerator
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", choices=["1b", "7b"], default="7b")
+    args = ap.parse_args()
+
     log("devices:", jax.devices())
-    llm_cfg = LLMConfig(
-        vocab_size=32000, hidden_size=2048, num_layers=16, num_heads=16,
-        num_kv_heads=16, intermediate_size=5632, max_seq_len=1024,
-    )
+    if args.size == "7b":
+        # epfl-llm/meditron-7b == llama-2-7b geometry (vqa_meditron.py:425-426)
+        llm_cfg = LLMConfig(
+            vocab_size=32000, hidden_size=4096, num_layers=32, num_heads=32,
+            num_kv_heads=32, intermediate_size=11008, max_seq_len=128,
+        )
+        # 12.6 GiB of weights leave ~3 GiB for program buffers on a 15.75 GiB
+        # v5e — the decode while_loop holds 2-3 transient KV-cache copies, so
+        # the cache is kept short (128 slots: 0.5 GiB k+v at batch 4)
+        B, PROMPT, NEW = 4, 32, 96
+        REF_RUNS, RUNS = 2, 3
+    else:
+        llm_cfg = LLMConfig(
+            vocab_size=32000, hidden_size=2048, num_layers=16, num_heads=16,
+            num_kv_heads=16, intermediate_size=5632, max_seq_len=1024,
+        )
+        B, PROMPT, NEW = 8, 64, 256
+        REF_RUNS, RUNS = 4, 3
+
     vit_cfg = CTViTConfig.tiny()
     gen_cfg = ReportGenConfig(vision_dim=128)
     model = CTReportGenerator(llm_cfg, vit_cfg, gen_cfg, dtype=jnp.bfloat16)
 
-    B, PROMPT, NEW = 8, 64, 256
     rng = np.random.default_rng(0)
     video = jnp.asarray(rng.normal(size=(B, 1, vit_cfg.temporal_size,
                                          vit_cfg.image_size, vit_cfg.image_size)),
@@ -49,21 +77,54 @@ def main():
     mask = jnp.ones((B, PROMPT), jnp.int32)
 
     shapes = jax.eval_shape(lambda k: model.init(k, video, ids, mask), jax.random.key(0))
-    hr = np.random.default_rng(0)
-    params = jax.device_put(jax.tree.map(
-        lambda x: jnp.asarray(hr.normal(0, 0.02, size=x.shape).astype(np.float32),
-                              dtype=x.dtype), shapes))
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(shapes))
-    log(f"params: {n_params/1e9:.2f}B")
+    log(f"params: {n_params/1e9:.2f}B ({2*n_params/1e9:.1f} GB bf16)")
 
-    gen = jax.jit(lambda p, v, i, m, key: model.apply(
+    gen_fn = lambda p, v, i, m, key: model.apply(
         p, v, i, m, NEW, eos_token_id=-1, temperature=0.7, rng=key,
-        method=CTReportGenerator.generate))
+        method=CTReportGenerator.generate)
+
+    if args.size == "7b":
+        # At 7B the weight tree barely fits HBM, so the program may not copy
+        # it: compile FIRST with AUTO parameter layouts, then materialize the
+        # weights directly in the layouts the executable negotiated (dot
+        # kernels want major_to_minor=(0,1) weights; feeding default-layout
+        # params makes XLA clone every attention matrix — 3.4 GB of copies,
+        # observed OOM).
+        from jax.experimental.layout import Format, Layout
+
+        shapes_b = jax.tree.map(
+            lambda l: jax.ShapeDtypeStruct(
+                l.shape,
+                jnp.bfloat16 if jnp.issubdtype(l.dtype, jnp.floating) else l.dtype),
+            shapes)
+        auto = jax.tree.map(lambda _: Format(Layout.AUTO), shapes_b)
+        key_s = jax.ShapeDtypeStruct((), jax.random.key(0).dtype)
+        t0 = time.time()
+        gen = jax.jit(gen_fn, in_shardings=(auto, None, None, None, None)).lower(
+            shapes_b,
+            jax.ShapeDtypeStruct(video.shape, video.dtype),
+            jax.ShapeDtypeStruct(ids.shape, ids.dtype),
+            jax.ShapeDtypeStruct(mask.shape, mask.dtype),
+            key_s,
+        ).compile()
+        log(f"AOT compile (decode): {time.time()-t0:.1f}s")
+        param_formats = gen.input_formats[0][0]
+        t0 = time.time()
+        params = device_params(shapes_b, formats=param_formats)
+        jax.block_until_ready(params)
+        log(f"device-side param materialization: {time.time()-t0:.1f}s")
+    else:
+        t0 = time.time()
+        params = device_params(shapes)
+        jax.block_until_ready(params)
+        log(f"device-side param materialization: {time.time()-t0:.1f}s")
+        gen = jax.jit(gen_fn)
 
     t0 = time.time()
     r = gen(params, video, ids, mask, jax.random.key(0))
     _ = np.asarray(r.tokens[:1, :1])
-    log(f"compile+first: {time.time()-t0:.1f}s")
+    log(f"first call: {time.time()-t0:.1f}s")
 
     t0 = time.time()
     for _ in range(5):
@@ -71,31 +132,42 @@ def main():
     roundtrip = (time.time() - t0) / 5
     log(f"relay roundtrip: {roundtrip*1000:.1f} ms")
 
-    RUNS = 3
-    t0 = time.time()
+    times = []
     for k in range(RUNS):
+        t0 = time.time()
         r = gen(params, video, ids, mask, jax.random.key(k + 1))
         _ = np.asarray(r.tokens[:1, :1])
-    per = (time.time() - t0) / RUNS - roundtrip
+        times.append(time.time() - t0 - roundtrip)
+    per = float(np.median(times))
     tput = B * NEW / per
-    log(f"KV-cached decode: {per*1000:.0f} ms for {B}x{NEW} tokens")
+    p50_tok = per / NEW * 1000
+    log(f"KV-cached decode: {per*1000:.0f} ms for {B}x{NEW} tokens "
+        f"({tput:.0f} tok/s, p50 {p50_tok:.1f} ms/step for batch {B})")
 
     # reference decode shape: one full-prefix forward per generated token
-    fwd = jax.jit(lambda p, v, i, m: model.apply(p, v, i, m))
+    fwd_fn = lambda p, v, i, m: model.apply(p, v, i, m)
+    if args.size == "7b":
+        # commit the already-materialized layouts so no weight copies appear
+        fwd = jax.jit(fwd_fn, in_shardings=(param_formats, None, None, None))
+    else:
+        fwd = jax.jit(fwd_fn)
     full_ids = jnp.concatenate([ids, jnp.zeros((B, NEW), jnp.int32)], axis=1)
     full_mask = jnp.ones((B, PROMPT + NEW), jnp.int32)
     lg = fwd(params, video, full_ids, full_mask)
     _ = np.asarray(lg[:1, :1, :1].astype(jnp.float32))
-    t0 = time.time()
-    for k in range(4):
+    ref_times = []
+    for k in range(REF_RUNS):
+        t0 = time.time()
         lg = fwd(params, video, full_ids + k, full_mask)
         _ = np.asarray(lg[:1, :1, :1].astype(jnp.float32))
-    per_fwd = (time.time() - t0) / 4 - roundtrip
+        ref_times.append(time.time() - t0 - roundtrip)
+    per_fwd = float(np.median(ref_times))
     ref_tput = B / per_fwd          # B tokens per full forward
-    log(f"reference shape: {per_fwd*1000:.0f} ms per full-prefix forward")
+    log(f"reference shape: {per_fwd*1000:.0f} ms per full-prefix forward "
+        f"({ref_tput:.1f} tok/s)")
 
     print(json.dumps({
-        "metric": "report_decode_tokens_per_sec",
+        "metric": f"report_decode_tokens_per_sec_{args.size}",
         "value": round(tput, 1),
         "unit": "tokens/sec",
         "vs_baseline": round(tput / ref_tput, 1),

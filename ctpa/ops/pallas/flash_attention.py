@@ -4,16 +4,31 @@ Purpose in this framework (SURVEY.md §5.7): the reference's only long-context
 strategy is axial factorization (576-token spatial / 24-token temporal blocks,
 ctvit.py:306-331).  This kernel adds the TPU-native alternative: exact
 attention over the FUSED 13,824-token volumetric sequence (and LLM prefill at
-long context) in O(n) memory, tiled for the MXU with the softmax running
-statistics kept in VMEM scratch.
+long context) in O(n) memory, tiled for the MXU.
 
-Design (per pallas_guide.md):
-  * grid = (batch*heads, q_blocks); the kv loop is a fori_loop inside the
-    kernel so HBM->VMEM streaming of K/V tiles overlaps compute.
-  * q tile (Bq, d) stays resident; each kv step computes s = q k^T on the MXU,
-    applies the optional additive bias and causal mask, updates (m, l, acc)
-    online, all in fp32 scratch; final out = acc / l cast back to in dtype.
-  * block sizes default to (128, 128) lanes-aligned tiles; d padded to 128.
+Design (per pallas_guide.md; round-2 rewrite):
+  * grid = (batch*heads, q_blocks, kv_blocks) with kv innermost.  Making the
+    kv walk a GRID dimension (instead of a fori_loop over a VMEM-resident
+    K/V) lets the Pallas pipeline double-buffer the (block_k, d) K/V tile
+    DMAs from HBM against compute — K/V never needs whole-sequence VMEM
+    residency, so sequence length is HBM-bound, not VMEM-bound.
+  * Softmax running statistics (m, l) and the output accumulator live in
+    fp32 VMEM scratch carried across the kv grid steps; out is written on the
+    last kv step.
+  * Matmuls run in the INPUT dtype (bf16 on the hot path) with fp32
+    accumulation (`preferred_element_type`) — the round-1 kernel upcast
+    q/k/v to fp32 which runs the MXU at a fraction of its bf16 rate.
+  * Additive bias is kept at its natural (heads, n, m) shape and indexed per
+    grid step (head = g % heads); kv padding is masked IN KERNEL from the
+    static true length — no materialized (b*h, n_pad, m_pad) bias tensor
+    (round 1 built one: 764 MB for the fused sequence).
+
+Known geometry note (docs/ROUND1_NOTES.md): at dim_head=32 the contraction
+pads to 128 lanes, so QK^T/PV run at 25% MXU occupancy regardless of tiling —
+inherent to the head size, shared by the XLA path.  Fused exact attention
+over 13,824 tokens therefore costs ~8x the FLOPs of the axial factorization
+and is a *capability* (exact full-sequence attention), not a faster encoder;
+see docs/benchmarks.md for measured numbers.
 """
 
 from __future__ import annotations
@@ -30,49 +45,65 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, kv_len: int,
-                 block_k: int, scale: float, causal: bool, q_block: int,
-                 has_bias: bool):
-    # q_ref: (Bq, d); k_ref/v_ref: (kv_len, d); bias_ref: (Bq, kv_len) or None
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_scr, l_scr, acc_scr,
+                 *, scale: float, causal: bool, block_q: int, block_k: int,
+                 kv_true_len: int, kv_pad_len: int, has_bias: bool):
+    """One (q-block, kv-block) step.  Scratch (m, l, acc) persists across the
+    kv grid dimension (innermost); initialized at kv step 0, flushed to o_ref
+    on the last kv step."""
     qi = pl.program_id(1)
-    q = q_ref[:].astype(jnp.float32) * scale
-    bq, d = q.shape
-    num_kv = kv_len // block_k
+    kj = pl.program_id(2)
+    num_kv = pl.num_programs(2)
 
-    def body(ki, carry):
-        m_prev, l_prev, acc = carry
-        k = k_ref[pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+    @pl.when(kj == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # causal: skip kv blocks strictly above this q block's diagonal band
+    run = (kj * block_k <= qi * block_q + block_q - 1) if causal else True
+
+    @pl.when(run)
+    def _step():
+        q = q_ref[:]                                   # (block_q, d) in dtype
+        k = k_ref[:]                                   # (block_k, d)
+        v = v_ref[:]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )                                                    # (Bq, block_k)
+        ) * scale                                       # (block_q, block_k) f32
         if has_bias:
-            s = s + bias_ref[:, pl.ds(ki * block_k, block_k)].astype(jnp.float32)
+            s = s + bias_ref[:].astype(jnp.float32)
         if causal:
-            q_pos = qi * q_block + jax.lax.broadcasted_iota(
-                jnp.int32, (bq, block_k), 0)
-            k_pos = ki * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (bq, block_k), 1)
+            q_pos = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            k_pos = kj * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
             s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+        if kv_pad_len > kv_true_len:
+            # static padding of the key axis: mask the tail block's pad cols
+            k_pos = kj * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(k_pos < kv_true_len, s, NEG_INF)
+
+        m_prev = m_scr[:, :1]                           # (block_q, 1)
+        l_prev = l_scr[:, :1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)                          # (block_q, block_k) f32
+        alpha = jnp.exp(m_prev - m_new)                 # (block_q, 1)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        return m_new, l_new, acc
+        # PV on the MXU in the input dtype (standard flash-attn practice)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # (block_q, d) f32
+        acc_scr[:] = acc_scr[:] * alpha + pv
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
-    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc0 = jnp.zeros((bq, d), jnp.float32)
-    if causal:
-        # kv blocks beyond this q block's diagonal contribute nothing
-        last = jnp.minimum(num_kv, (qi + 1) * q_block // block_k + 1)
-    else:
-        last = num_kv
-    m, l, acc = jax.lax.fori_loop(0, last, body, (m0, l0, acc0))
-    o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    @pl.when(kj == num_kv - 1)
+    def _flush():
+        o_ref[:] = (acc_scr[:] / jnp.maximum(l_scr[:, :1], 1e-30)).astype(o_ref.dtype)
 
 
 def _pad_to(x, size, axis):
@@ -90,82 +121,85 @@ def flash_attention(
     q: jax.Array,                    # (b, h, n, d)
     k: jax.Array,                    # (b, h, m, d)
     v: jax.Array,                    # (b, h, m, d)
-    bias: Optional[jax.Array] = None,  # (h, n, m) or (1, n, m) additive
+    bias: Optional[jax.Array] = None,  # (h, n, m) / (1, n, m) / (b, h, n, m)
     causal: bool = False,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 256,
+    block_k: int = 512,
     scale: Optional[float] = None,
 ) -> jax.Array:
     b, h, n, d = q.shape
     m = k.shape[2]
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
 
-    d_pad = max(128, ((d + 127) // 128) * 128)
-    n_pad = ((n + block_q - 1) // block_q) * block_q
-    m_pad = ((m + block_k - 1) // block_k) * block_k
+    def rup(x, mult):
+        return ((x + mult - 1) // mult) * mult
+
+    d_pad = max(128, rup(d, 128))
+    # shrink blocks to the (128-aligned) sequence sizes so short axial folds
+    # don't pay for oversized tiles
+    block_q = min(block_q, rup(n, 128))
+    block_k = min(block_k, rup(m, 128))
+    n_pad = rup(n, block_q)
+    m_pad = rup(m, block_k)
 
     qf = _pad_to(_pad_to(q, n_pad, 2), d_pad, 3).reshape(b * h, n_pad, d_pad)
     kf = _pad_to(_pad_to(k, m_pad, 2), d_pad, 3).reshape(b * h, m_pad, d_pad)
     vf = _pad_to(_pad_to(v, m_pad, 2), d_pad, 3).reshape(b * h, m_pad, d_pad)
 
-    has_bias = bias is not None
-    if has_bias:
-        if bias.ndim == 3:
-            bias = jnp.broadcast_to(bias[None], (b, *bias.shape[-3:])) \
-                if bias.shape[0] in (1, h) else bias[None]
-        bias = jnp.broadcast_to(bias, (b, h, n, m)).reshape(b * h, n, m)
-        # pad kv axis with NEG_INF so padded keys never win the softmax,
-        # q-axis padding value is irrelevant (those rows are dropped)
-        bias = jnp.pad(bias, ((0, 0), (0, n_pad - n), (0, m_pad - m)),
-                       constant_values=(0.0,))
-        if m_pad > m:
-            neg = jnp.full((b * h, n_pad, m_pad - m), NEG_INF, bias.dtype)
-            bias = jnp.concatenate([bias[..., :m], neg], axis=-1)
-    elif m_pad > m:
-        # no user bias but padded keys exist: synthesize a mask-bias
-        has_bias = True
-        bias = jnp.concatenate([
-            jnp.zeros((b * h, n_pad, m), jnp.float32),
-            jnp.full((b * h, n_pad, m_pad - m), NEG_INF, jnp.float32),
-        ], axis=-1)
-
-    kernel = functools.partial(
-        _attn_kernel, kv_len=m_pad, block_k=block_k, scale=scale,
-        causal=causal, q_block=block_q, has_bias=has_bias)
+    grid = (b * h, n_pad // block_q, m_pad // block_k)
 
     in_specs = [
-        pl.BlockSpec((None, block_q, d_pad), lambda g, i: (g, i, 0),
+        pl.BlockSpec((None, block_q, d_pad), lambda g, i, j: (g, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((None, m_pad, d_pad), lambda g, i: (g, 0, 0),
+        pl.BlockSpec((None, block_k, d_pad), lambda g, i, j: (g, j, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((None, m_pad, d_pad), lambda g, i: (g, 0, 0),
+        pl.BlockSpec((None, block_k, d_pad), lambda g, i, j: (g, j, 0),
                      memory_space=pltpu.VMEM),
     ]
     operands = [qf, kf, vf]
+
+    has_bias = bias is not None
     if has_bias:
-        in_specs.append(pl.BlockSpec((None, block_q, m_pad),
-                                     lambda g, i: (g, i, 0),
+        # keep bias at its broadcast shape; index the right (head) slab per
+        # grid step instead of materializing a (b*h, n, m) tensor
+        if bias.ndim == 4:                               # (b, h, n, m)
+            bias = bias.reshape(b * h, n, m)
+            idx = lambda g, i, j: (g, i, j)
+        elif bias.shape[0] == h and h > 1:               # (h, n, m)
+            idx = lambda g, i, j: (g % h, i, j)
+        else:                                            # (1, n, m)
+            idx = lambda g, i, j: (0, i, j)
+        bias = _pad_to(_pad_to(bias, n_pad, 1), m_pad, 2)
+        in_specs.append(pl.BlockSpec((None, block_q, block_k), idx,
                                      memory_space=pltpu.VMEM))
         operands.append(bias)
-    else:
-        kernel = functools.partial(_attn_kernel, kv_len=m_pad, block_k=block_k,
-                                   scale=scale, causal=causal, q_block=block_q,
-                                   has_bias=False)
+
+    kernel = functools.partial(
+        _attn_kernel, scale=scale, causal=causal, block_q=block_q,
+        block_k=block_k, kv_true_len=m, kv_pad_len=m_pad, has_bias=has_bias)
 
     def kernel_entry(*refs):
         if has_bias:
-            q_ref, k_ref, v_ref, b_ref, o_ref = refs
-            kernel(q_ref, k_ref, v_ref, b_ref, o_ref)
+            q_ref, k_ref, v_ref, b_ref, o_ref, m_scr, l_scr, acc_scr = refs
+            kernel(q_ref, k_ref, v_ref, b_ref, o_ref, m_scr, l_scr, acc_scr)
         else:
-            q_ref, k_ref, v_ref, o_ref = refs
-            kernel(q_ref, k_ref, v_ref, None, o_ref)
+            q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = refs
+            kernel(q_ref, k_ref, v_ref, None, o_ref, m_scr, l_scr, acc_scr)
 
     out = pl.pallas_call(
         kernel_entry,
-        grid=(b * h, n_pad // block_q),
+        grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((None, block_q, d_pad), lambda g, i: (g, i, 0),
+        out_specs=pl.BlockSpec((None, block_q, d_pad), lambda g, i, j: (g, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d_pad), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),   # m (row max, replicated)
+            pltpu.VMEM((block_q, 128), jnp.float32),   # l (row sum, replicated)
+            pltpu.VMEM((block_q, d_pad), jnp.float32),  # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
     )(*operands)
     return out.reshape(b, h, n_pad, d_pad)[:, :, :n, :d]
