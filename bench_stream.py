@@ -111,7 +111,24 @@ def main():
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(shapes))
     log(f"params: {n_params/1e9:.2f}B")
     t0 = time.time()
-    params = device_params(shapes, force_dtype=jnp.bfloat16)
+    formats = None
+    if args.size == "7b":
+        # materialize weights directly in the decode program's negotiated
+        # layouts (12.6 GB tree: default layouts cost ~3.4 GB of in-program
+        # copies -> OOM; see streaming.negotiate_param_formats docstring)
+        from ctpa.pipelines.streaming import negotiate_param_formats
+
+        shapes = jax.tree.map(
+            lambda l: jax.ShapeDtypeStruct(
+                l.shape,
+                jnp.bfloat16 if jnp.issubdtype(l.dtype, jnp.floating) else l.dtype),
+            shapes)
+        formats = negotiate_param_formats(
+            model, shapes, num_lanes=args.lanes,
+            max_len=args.prompt_len + args.new_tokens + 8, steps_per_sync=8)
+        log(f"layout negotiation (AOT): {time.time()-t0:.1f}s")
+        t0 = time.time()
+    params = device_params(shapes, force_dtype=jnp.bfloat16, formats=formats)
     jax.block_until_ready(params)
     log(f"param materialization: {time.time()-t0:.1f}s")
 
@@ -149,20 +166,48 @@ def main():
     log(f"warmup (compile prefill+decode+encode): {time.time()-t0:.1f}s")
 
     # ---- the measured pipeline --------------------------------------------
+    # ingest thread: C++ decode -> int16 upload -> encode dispatch; the MAIN
+    # thread decodes continuously, so host->device transfer (the relay
+    # bottleneck: ~1.4 s per 84 MB volume) overlaps token generation
+    import queue as _queue
+    import threading
+
     t_start = time.time()
     tickets = [loader.submit(p) for p in paths]       # C++ pool decodes ahead
-    n_encodes = 0
-    for rid, t in enumerate(tickets):
-        vol, meta = loader.fetch(t)                   # blocks on C++ decode
-        raw = jax.device_put(vol.astype(np.int16))    # half-width HU upload
-        vis = encode(params, raw, jnp.float32(SLOPE), jnp.float32(INTERCEPT),
-                     jnp.asarray(SPACING, jnp.float32))
-        n_encodes += 1
-        batcher.submit(Request(request_id=rid, input_ids=prompt_ids,
-                               attention_mask=prompt_mask, vision=vis,
-                               max_new_tokens=args.new_tokens))
-        batcher.step()                                # decode overlaps ingest
-    results = batcher.run_until_done()
+    ready: _queue.Queue = _queue.Queue()
+
+    def ingest():
+        for rid, t in enumerate(tickets):
+            vol, _meta = loader.fetch(t)              # blocks on C++ decode
+            raw = jax.device_put(vol.astype(np.int16))  # half-width HU upload
+            vis = encode(params, raw, jnp.float32(SLOPE),
+                         jnp.float32(INTERCEPT),
+                         jnp.asarray(SPACING, jnp.float32))
+            ready.put((rid, vis))
+        ready.put(None)
+
+    th = threading.Thread(target=ingest, daemon=True)
+    th.start()
+    n_encodes, ingest_done = 0, False
+    while not (ingest_done and not batcher.active.any() and not batcher.queue):
+        try:
+            item = ready.get_nowait()
+            if item is None:
+                ingest_done = True
+            else:
+                rid, vis = item
+                n_encodes += 1
+                batcher.submit(Request(request_id=rid, input_ids=prompt_ids,
+                                       attention_mask=prompt_mask, vision=vis,
+                                       max_new_tokens=args.new_tokens))
+        except _queue.Empty:
+            pass
+        if batcher.active.any():
+            batcher.step()
+        elif not ingest_done:
+            time.sleep(0.002)
+    th.join()
+    results = batcher.results
     wall = time.time() - t_start
 
     total_tokens = sum(len(r.tokens) for r in results.values() if r.request_id >= 0)

@@ -177,6 +177,12 @@ class LLMConfig:
     rope_theta: float = 10000.0
     rms_norm_eps: float = 1e-5
     tie_embeddings: bool = False
+    # route no-cache forwards (training / long prefill) of at least
+    # flash_min_len tokens through the pallas flash kernel: measured 2.7x XLA
+    # at 2048 tokens x head_dim 128 on v5e (docs/benchmarks.md); TPU only —
+    # keep False on CPU test paths unless running interpreted
+    flash_prefill: bool = False
+    flash_min_len: int = 512
 
     @property
     def head_dim(self) -> int:

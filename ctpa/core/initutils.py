@@ -38,7 +38,10 @@ def device_params(shapes, scale: float = 0.02, force_dtype=None, formats=None):
         # per leaf but layouts repeat per (shape, dtype)
         key = (shape, str(dtype), str(fmt))
         if key not in cache:
-            f = lambda k: jax.random.normal(k, shape, dtype) * jnp.asarray(scale, dtype)
+            if jnp.issubdtype(dtype, jnp.floating) or jnp.issubdtype(dtype, jnp.complexfloating):
+                f = lambda k: jax.random.normal(k, shape, dtype) * jnp.asarray(scale, dtype)
+            else:                       # int/bool leaves (counters, masks)
+                f = lambda k: jnp.zeros(shape, dtype)
             cache[key] = jax.jit(f, out_shardings=fmt) if fmt is not None else jax.jit(f)
         return cache[key]
 

@@ -107,13 +107,18 @@ class LlamaAttention(nn.Module):
     cfg: LLMConfig
     lora: Optional[LoRAConfig] = None
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, positions, kv_write_index, cache_k=None, cache_v=None,
-                 attn_mask=None):
+                 attn_mask=None, key_mask=None):
         """x: (b, n, d). If cache_k/v given (b, max_len, kvh, hd), new k/v are
         written at kv_write_index (b,) and attention runs over the cache;
-        returns (out, new_k, new_v)."""
+        returns (out, new_k, new_v).
+
+        self.use_flash routes the no-cache (training / long-prefill)
+        attention through the pallas flash kernel with causal + key_mask
+        (b, n) semantics instead of the dense attn_mask path."""
         c = self.cfg
         h, kvh, hd = c.num_heads, c.num_kv_heads, c.head_dim
         b, n, _ = x.shape
@@ -148,13 +153,22 @@ class LlamaAttention(nn.Module):
             k_full = jnp.repeat(k_full, rep, axis=2)
             v_full = jnp.repeat(v_full, rep, axis=2)
 
-        sim = jnp.einsum("bnhd,bmhd->bhnm", q, k_full,
-                         preferred_element_type=jnp.float32) / jnp.sqrt(hd)
-        neg = jnp.finfo(jnp.float32).min
-        if attn_mask is not None:
-            sim = jnp.where(attn_mask, sim, neg)
-        attn = jax.nn.softmax(sim, axis=-1).astype(v_full.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v_full).reshape(b, n, h * hd)
+        if self.use_flash and cache_k is None:
+            from ctpa.ops.pallas.flash_attention import flash_attention
+
+            out = flash_attention(
+                q.transpose(0, 2, 1, 3), k_full.transpose(0, 2, 1, 3),
+                v_full.transpose(0, 2, 1, 3), causal=True, kv_mask=key_mask,
+                scale=float(1.0 / hd ** 0.5),
+            ).transpose(0, 2, 1, 3).reshape(b, n, h * hd).astype(x.dtype)
+        else:
+            sim = jnp.einsum("bnhd,bmhd->bhnm", q, k_full,
+                             preferred_element_type=jnp.float32) / jnp.sqrt(hd)
+            neg = jnp.finfo(jnp.float32).min
+            if attn_mask is not None:
+                sim = jnp.where(attn_mask, sim, neg)
+            attn = jax.nn.softmax(sim, axis=-1).astype(v_full.dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v_full).reshape(b, n, h * hd)
         out = LoRADense(c.hidden_size, dtype=self.dtype, name="o_proj",
                         **_lora_args(self.lora, "o_proj"))(out)
         return out, cache_k, cache_v
@@ -178,14 +192,17 @@ class LlamaBlock(nn.Module):
     cfg: LLMConfig
     lora: Optional[LoRAConfig] = None
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, positions, kv_write_index, cache_k=None, cache_v=None,
-                 attn_mask=None):
+                 attn_mask=None, key_mask=None):
         h = RMSNorm(self.cfg.rms_norm_eps, dtype=self.dtype, name="input_layernorm")(x)
         attn_out, ck, cv = LlamaAttention(self.cfg, self.lora, dtype=self.dtype,
+                                          use_flash=self.use_flash,
                                           name="self_attn")(
-            h, positions, kv_write_index, cache_k, cache_v, attn_mask)
+            h, positions, kv_write_index, cache_k, cache_v, attn_mask,
+            key_mask)
         x = x + attn_out
         h = RMSNorm(self.cfg.rms_norm_eps, dtype=self.dtype, name="post_attention_layernorm")(x)
         return x + LlamaMLP(self.cfg, dtype=self.dtype, name="mlp")(h), ck, cv
@@ -246,6 +263,12 @@ class LlamaModel(nn.Module):
             key_slot = jnp.arange(m)[None, None, None, :]
             q_slot = write_slots[:, None, :, None]
             mask = (key_slot <= q_slot) & valid_now[:, None, None, :]
+        elif c.flash_prefill and n >= c.flash_min_len:
+            # no-cache long forward -> pallas flash kernel (causal + key
+            # padding handled in kernel; no (b, 1, n, n) mask materialized)
+            use_flash = True
+            mask = None
+            key_mask = attention_mask
         else:
             m = n
             q_pos = jnp.arange(n)[None, None, :, None]
@@ -253,6 +276,8 @@ class LlamaModel(nn.Module):
             mask = key_pos <= q_pos
             if attention_mask is not None:
                 mask = mask & (attention_mask[:, None, None, :] > 0)
+        if cache is not None or mask is not None:
+            use_flash, key_mask = False, None
 
         write_idx = (
             cache.write_offset if cache is not None else jnp.zeros((b,), jnp.int32)
@@ -262,8 +287,9 @@ class LlamaModel(nn.Module):
         for i in range(c.num_layers):
             ck = cache.k[i] if cache is not None else None
             cv = cache.v[i] if cache is not None else None
-            x, ck, cv = block_cls(c, self.lora, dtype=self.dtype, name=f"layers_{i}")(
-                x, positions, write_idx, ck, cv, mask)
+            x, ck, cv = block_cls(c, self.lora, dtype=self.dtype,
+                                  use_flash=use_flash, name=f"layers_{i}")(
+                x, positions, write_idx, ck, cv, mask, key_mask)
             if cache is not None:
                 new_k.append(ck)
                 new_v.append(cv)

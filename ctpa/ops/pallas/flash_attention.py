@@ -45,9 +45,10 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_scr, l_scr, acc_scr,
-                 *, scale: float, causal: bool, block_q: int, block_k: int,
-                 kv_true_len: int, kv_pad_len: int, has_bias: bool):
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, kvm_ref, o_ref, m_scr, l_scr,
+                 acc_scr, *, scale: float, causal: bool, block_q: int,
+                 block_k: int, kv_true_len: int, kv_pad_len: int,
+                 has_bias: bool, has_kv_mask: bool):
     """One (q-block, kv-block) step.  Scratch (m, l, acc) persists across the
     kv grid dimension (innermost); initialized at kv step 0, flushed to o_ref
     on the last kv step."""
@@ -85,6 +86,10 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_scr, l_scr, acc_scr,
             k_pos = kj * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
             s = jnp.where(k_pos < kv_true_len, s, NEG_INF)
+        if has_kv_mask:
+            # per-sequence key validity (right-padded prompts): (1, block_k)
+            # 0/1 row broadcast over the q tile
+            s = jnp.where(kvm_ref[:] > 0.5, s, NEG_INF)
 
         m_prev = m_scr[:, :1]                           # (block_q, 1)
         l_prev = l_scr[:, :1]
@@ -150,6 +155,7 @@ def flash_attention(
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     scale: Optional[float] = None,
+    kv_mask: Optional[jax.Array] = None,   # (b, m) 1 = real key (right-pad)
 ) -> jax.Array:
     b, h, n, d = q.shape
     m = k.shape[2]
@@ -203,17 +209,27 @@ def flash_attention(
                                      memory_space=pltpu.VMEM))
         operands.append(bias)
 
+    has_kv_mask = kv_mask is not None
+    if has_kv_mask:
+        # (b, m) -> (b, 1, m_pad) fp32 0/1; one (1, block_k) row per step,
+        # shared by all heads of the batch item (g // h)
+        kvm = _pad_to(kv_mask.astype(jnp.float32)[:, None, :], m_pad, 2)
+        in_specs.append(pl.BlockSpec(
+            (None, 1, block_k), lambda g, i, j, h=h: (g // h, 0, j),
+            memory_space=pltpu.VMEM))
+        operands.append(kvm)
+
     kernel = functools.partial(
         _attn_kernel, scale=scale, causal=causal, block_q=block_q,
-        block_k=block_k, kv_true_len=m, kv_pad_len=m_pad, has_bias=has_bias)
+        block_k=block_k, kv_true_len=m, kv_pad_len=m_pad, has_bias=has_bias,
+        has_kv_mask=has_kv_mask)
 
     def kernel_entry(*refs):
-        if has_bias:
-            q_ref, k_ref, v_ref, b_ref, o_ref, m_scr, l_scr, acc_scr = refs
-            kernel(q_ref, k_ref, v_ref, b_ref, o_ref, m_scr, l_scr, acc_scr)
-        else:
-            q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = refs
-            kernel(q_ref, k_ref, v_ref, None, o_ref, m_scr, l_scr, acc_scr)
+        q_ref, k_ref, v_ref, rest = refs[0], refs[1], refs[2], list(refs[3:])
+        b_ref = rest.pop(0) if has_bias else None
+        kvm_ref = rest.pop(0) if has_kv_mask else None
+        o_ref, m_scr, l_scr, acc_scr = rest
+        kernel(q_ref, k_ref, v_ref, b_ref, kvm_ref, o_ref, m_scr, l_scr, acc_scr)
 
     out = pl.pallas_call(
         kernel_entry,

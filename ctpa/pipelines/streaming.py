@@ -49,6 +49,100 @@ class Result:
     latency_s: float = 0.0
 
 
+def _decode_fns(model: CTReportGenerator, *, eos_token_id: int,
+                pad_token_id: int, temperature: float, greedy: bool,
+                steps_per_sync: int):
+    """Pure (prefill, decode_chunk) functions shared by ContinuousBatcher and
+    the AOT layout negotiation below."""
+
+    def prefill(params, ids, mask, vision, lane_cache):
+        _, hidden, lane_cache = model.apply(
+            params, ids, mask, lane_cache,
+            method=lambda m, i, a, c: m.llm(i, a, cache=c))
+        last = jnp.maximum(mask.sum(axis=-1) - 1, 0)
+        h = jnp.take_along_axis(hidden, last[:, None, None], axis=1)
+        logits = model.apply(
+            params, h, vision,
+            method=lambda m, hh, vv: m._fused_logits(hh, vv))[:, 0]
+        return logits, lane_cache
+
+    def one_step(params, cache, tok, vision, key, done):
+        _, hidden, cache = model.apply(
+            params, tok[:, None], None, cache,
+            method=lambda m, i, a, c: m.llm(i, a, cache=c))
+        logits = model.apply(
+            params, hidden, vision,
+            method=lambda m, hh, vv: m._fused_logits(hh, vv))[:, 0]
+        if greedy:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            nxt = jax.random.categorical(
+                key, logits.astype(jnp.float32) / temperature, axis=-1
+            ).astype(jnp.int32)
+        nxt = jnp.where(done, pad_token_id, nxt)
+        done = done | (nxt == eos_token_id)
+        return nxt, cache, done
+
+    def decode_chunk(params, cache, tok, vision, key, done):
+        """K decode steps, one host sync: returns (K, lanes) tokens."""
+
+        def body(carry, k):
+            cache, tok, done = carry
+            nxt, cache, done = one_step(params, cache, tok, vision,
+                                        jax.random.fold_in(key, k), done)
+            return (cache, nxt, done), nxt
+
+        (cache, tok, done), toks = jax.lax.scan(
+            body, (cache, tok, done), jnp.arange(steps_per_sync))
+        return toks, cache, tok, done
+
+    return prefill, decode_chunk
+
+
+def negotiate_param_formats(
+    model: CTReportGenerator,
+    param_shapes,
+    num_lanes: int,
+    max_len: int,
+    steps_per_sync: int = 8,
+    cache_dtype=jnp.bfloat16,
+    temperature: float = 0.7,
+    greedy: bool = False,
+):
+    """AOT-lower the decode-chunk program with AUTO parameter layouts and
+    return the negotiated formats pytree (compile is chipless).
+
+    Why: at 7B the bf16 weight tree is 12.6 GB of a 15.75 GB v5e; if params
+    arrive in default layouts the decode executable clones every attention
+    matrix into its preferred layout (~3.4 GB of HLO temps — OOM).  Serving
+    at this scale must materialize/load weights DIRECTLY into the layouts the
+    decode program wants (`ctpa.core.initutils.device_params(formats=...)`),
+    which also makes the prefill/full-forward programs run copy-free (they
+    prefer the same dot layouts; measured in bench_decode --size 7b)."""
+    from jax.experimental.layout import Format, Layout
+
+    _, decode_chunk = _decode_fns(
+        model, eos_token_id=2, pad_token_id=0, temperature=temperature,
+        greedy=greedy, steps_per_sync=steps_per_sync)
+
+    cache_s = jax.eval_shape(
+        lambda: KVCache.create(model.llm_cfg, num_lanes, max_len, dtype=cache_dtype))
+    vdim = model.gen_cfg.vision_dim
+    sds = jax.ShapeDtypeStruct
+    auto = jax.tree.map(lambda _: Format(Layout.AUTO), param_shapes)
+    compiled = jax.jit(
+        decode_chunk, in_shardings=(auto, None, None, None, None, None),
+        donate_argnums=(1,),
+    ).lower(
+        param_shapes, cache_s,
+        sds((num_lanes,), jnp.int32),
+        sds((num_lanes, vdim), jnp.float32),
+        sds((), jax.random.key(0).dtype),
+        sds((num_lanes,), jnp.bool_),
+    ).compile()
+    return compiled.input_formats[0][0]
+
+
 class ContinuousBatcher:
     """Slot-based continuous batching over CTReportGenerator's LLM."""
 
@@ -94,48 +188,10 @@ class ContinuousBatcher:
         self.queue: collections.deque[Request] = collections.deque()
         self._t_start: dict[int, float] = {}
 
-        def prefill(params, ids, mask, vision, lane_cache):
-            _, hidden, lane_cache = self.model.apply(
-                params, ids, mask, lane_cache,
-                method=lambda m, i, a, c: m.llm(i, a, cache=c))
-            last = jnp.maximum(mask.sum(axis=-1) - 1, 0)
-            h = jnp.take_along_axis(hidden, last[:, None, None], axis=1)
-            logits = self.model.apply(
-                params, h, vision,
-                method=lambda m, hh, vv: m._fused_logits(hh, vv))[:, 0]
-            return logits, lane_cache
-
-        def one_step(params, cache, tok, vision, key, done):
-            _, hidden, cache = self.model.apply(
-                params, tok[:, None], None, cache,
-                method=lambda m, i, a, c: m.llm(i, a, cache=c))
-            logits = self.model.apply(
-                params, hidden, vision,
-                method=lambda m, hh, vv: m._fused_logits(hh, vv))[:, 0]
-            if self.greedy:
-                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            else:
-                nxt = jax.random.categorical(
-                    key, logits.astype(jnp.float32) / self.temperature, axis=-1
-                ).astype(jnp.int32)
-            nxt = jnp.where(done, self.pad, nxt)
-            done = done | (nxt == self.eos)
-            return nxt, cache, done
-
-        def decode_chunk(params, cache, tok, vision, key, done):
-            """K decode steps, one host sync: returns (K, lanes) tokens."""
-
-            def body(carry, k):
-                cache, tok, done = carry
-                nxt, cache, done = one_step(params, cache, tok, vision,
-                                            jax.random.fold_in(key, k), done)
-                return (cache, nxt, done), nxt
-
-            (cache, tok, done), toks = jax.lax.scan(
-                body, (cache, tok, done),
-                jnp.arange(self.steps_per_sync))
-            return toks, cache, tok, done
-
+        prefill, decode_chunk = _decode_fns(
+            model, eos_token_id=self.eos, pad_token_id=self.pad,
+            temperature=temperature, greedy=greedy,
+            steps_per_sync=self.steps_per_sync)
         self._prefill = jax.jit(prefill)
         self._decode_chunk = jax.jit(decode_chunk, donate_argnums=(1,))
         self._insert = jax.jit(insert_lane, donate_argnums=(0,))

@@ -83,3 +83,28 @@ def test_pallas_patchify_matches_xla_path(rng):
         got = model_p.apply(params, video, method=lambda m, v: m.patch_embed(v))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_flash_kv_mask_matches_dense(rng):
+    """Right-padded key masking (the LLM prefill path)."""
+    b, h, n, d = 2, 2, 256, 32
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    lens = jnp.asarray([200, 131])
+    kv_mask = (jnp.arange(n)[None, :] < lens[:, None])
+
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32) / np.sqrt(d)
+    causal = jnp.tril(jnp.ones((n, n), bool))
+    mask = causal[None, None] & kv_mask[:, None, None, :]
+    s = jnp.where(mask, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    want = jnp.einsum("bhnm,bhmd->bhnd", p, v)
+
+    got = run_flash(q, k, v, causal=True, kv_mask=kv_mask)
+    # only real-query rows are comparable (pad queries are dropped by loss)
+    wm = np.asarray(kv_mask)
+    for bi in range(b):
+        np.testing.assert_allclose(
+            np.asarray(got)[bi, :, wm[bi]], np.asarray(want)[bi, :, wm[bi]],
+            rtol=2e-3, atol=2e-3)
