@@ -76,6 +76,10 @@ def main():
     ap.add_argument("--new-tokens", type=int, default=64)
     ap.add_argument("--prompt-len", type=int, default=16)
     ap.add_argument("--data-dir", default="/tmp/ctpa_stream_bench")
+    # decode steps per host sync: on the relay every sync is a ~40-70 ms
+    # roundtrip that also preempts the bulk volume upload (single tunnel),
+    # so serving over the relay wants large chunks; on local PCIe 8 is fine
+    ap.add_argument("--steps-per-sync", type=int, default=8)
     args = ap.parse_args()
 
     if not available():
@@ -125,7 +129,8 @@ def main():
             shapes)
         formats = negotiate_param_formats(
             model, shapes, num_lanes=args.lanes,
-            max_len=args.prompt_len + args.new_tokens + 8, steps_per_sync=8)
+            max_len=args.prompt_len + args.new_tokens + 8,
+            steps_per_sync=args.steps_per_sync)
         log(f"layout negotiation (AOT): {time.time()-t0:.1f}s")
         t0 = time.time()
     params = device_params(shapes, force_dtype=jnp.bfloat16, formats=formats)
@@ -143,7 +148,7 @@ def main():
     batcher = ContinuousBatcher(
         model, params, num_lanes=args.lanes,
         max_len=args.prompt_len + args.new_tokens + 8,
-        eos_token_id=2, temperature=0.7, steps_per_sync=8,
+        eos_token_id=2, temperature=0.7, steps_per_sync=args.steps_per_sync,
         cache_dtype=jnp.bfloat16)
 
     loader = NativeLoader(num_threads=4)

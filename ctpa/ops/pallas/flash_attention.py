@@ -23,6 +23,21 @@ Design (per pallas_guide.md; round-2 rewrite):
     static true length — no materialized (b*h, n_pad, m_pad) bias tensor
     (round 1 built one: 764 MB for the fused sequence).
 
+Differentiation: `flash_attention` carries a custom VJP.
+  * No-bias path (the LLM `flash_prefill` training/prefill geometry): the
+    backward is two more Pallas kernels in the standard flash-bwd form —
+    probabilities are recomputed per tile from the saved per-row logsumexp
+    (never materializing the (n, m) matrix), dK/dV accumulate over the q
+    grid, dQ accumulates over the kv grid, delta = rowsum(dO*O) is computed
+    in-tile from the saved output.
+  * Bias path (CTViT fused attention with the learned CPB bias): the bias
+    gradient is inherently dense — every (q, k) cell carries independent
+    gradient — so the backward recomputes attention densely in XLA and also
+    returns d(bias).  This matches what a dense-attention backward would
+    allocate anyway; for TRAINING the full 13,824-token fused sequence the
+    axial path remains the practical choice (the fused+bias forward is an
+    inference capability, docs/benchmarks.md).
+
 Known geometry note (docs/ROUND1_NOTES.md): at dim_head=32 the contraction
 pads to 128 lanes, so QK^T/PV run at 25% MXU occupancy regardless of tiling —
 inherent to the head size, shared by the XLA path.  Fused exact attention
@@ -45,10 +60,11 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, kvm_ref, o_ref, m_scr, l_scr,
-                 acc_scr, *, scale: float, causal: bool, block_q: int,
-                 block_k: int, kv_true_len: int, kv_pad_len: int,
-                 has_bias: bool, has_kv_mask: bool):
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, kvm_ref, o_ref, lse_ref,
+                 m_scr, l_scr, acc_scr, *, scale: float, causal: bool,
+                 block_q: int, block_k: int, kv_true_len: int,
+                 kv_pad_len: int, has_bias: bool, has_kv_mask: bool,
+                 return_lse: bool):
     """One (q-block, kv-block) step.  Scratch (m, l, acc) persists across the
     kv grid dimension (innermost); initialized at kv step 0, flushed to o_ref
     on the last kv step."""
@@ -108,7 +124,11 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, kvm_ref, o_ref, m_scr, l_scr,
 
     @pl.when(kj == num_kv - 1)
     def _flush():
-        o_ref[:] = (acc_scr[:] / jnp.maximum(l_scr[:, :1], 1e-30)).astype(o_ref.dtype)
+        l_safe = jnp.maximum(l_scr[:, :1], 1e-30)
+        o_ref[:] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
+        if return_lse:
+            # per-row logsumexp, lane-replicated (the bwd kernels read col 0)
+            lse_ref[:] = m_scr[:] + jnp.log(jnp.maximum(l_scr[:], 1e-30))
 
 
 def _pad_to(x, size, axis):
@@ -144,22 +164,12 @@ def _pick_block(size: int, cap: int) -> int:
     return best
 
 
-@functools.partial(
-    jax.jit, static_argnames=("causal", "block_q", "block_k", "scale"))
-def flash_attention(
-    q: jax.Array,                    # (b, h, n, d)
-    k: jax.Array,                    # (b, h, m, d)
-    v: jax.Array,                    # (b, h, m, d)
-    bias: Optional[jax.Array] = None,  # (h, n, m) / (1, n, m) / (b, h, n, m)
-    causal: bool = False,
-    block_q: Optional[int] = None,
-    block_k: Optional[int] = None,
-    scale: Optional[float] = None,
-    kv_mask: Optional[jax.Array] = None,   # (b, m) 1 = real key (right-pad)
-) -> jax.Array:
+def _flash_call(q, k, v, bias, kv_mask, *, causal, block_q, block_k, scale,
+                return_lse):
+    """The forward pallas_call.  Returns out, or (out, lse) with lse shaped
+    (b*h, n) fp32 when return_lse."""
     b, h, n, d = q.shape
     m = k.shape[2]
-    scale = scale if scale is not None else 1.0 / math.sqrt(d)
 
     rup = _rup
     d_pad = max(128, rup(d, 128))
@@ -222,22 +232,37 @@ def flash_attention(
     kernel = functools.partial(
         _attn_kernel, scale=scale, causal=causal, block_q=block_q,
         block_k=block_k, kv_true_len=m, kv_pad_len=m_pad, has_bias=has_bias,
-        has_kv_mask=has_kv_mask)
+        has_kv_mask=has_kv_mask, return_lse=return_lse)
 
     def kernel_entry(*refs):
         q_ref, k_ref, v_ref, rest = refs[0], refs[1], refs[2], list(refs[3:])
         b_ref = rest.pop(0) if has_bias else None
         kvm_ref = rest.pop(0) if has_kv_mask else None
-        o_ref, m_scr, l_scr, acc_scr = rest
-        kernel(q_ref, k_ref, v_ref, b_ref, kvm_ref, o_ref, m_scr, l_scr, acc_scr)
+        if return_lse:
+            o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+        else:
+            o_ref, m_scr, l_scr, acc_scr = rest
+            lse_ref = None
+        kernel(q_ref, k_ref, v_ref, b_ref, kvm_ref, o_ref, lse_ref,
+               m_scr, l_scr, acc_scr)
 
-    out = pl.pallas_call(
+    out_specs = pl.BlockSpec((None, block_q, d_pad), lambda g, i, j: (g, i, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b * h, n_pad, d_pad), q.dtype)
+    if return_lse:
+        out_specs = [out_specs,
+                     pl.BlockSpec((None, block_q, 128),
+                                  lambda g, i, j: (g, i, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((b * h, n_pad, 128), jnp.float32)]
+
+    res = pl.pallas_call(
         kernel_entry,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((None, block_q, d_pad), lambda g, i, j: (g, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d_pad), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),   # m (row max, replicated)
             pltpu.VMEM((block_q, 128), jnp.float32),   # l (row sum, replicated)
@@ -247,4 +272,322 @@ def flash_attention(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
     )(*operands)
-    return out.reshape(b, h, n_pad, d_pad)[:, :, :n, :d]
+    if return_lse:
+        out, lse = res
+        return (out.reshape(b, h, n_pad, d_pad)[:, :, :n, :d],
+                lse[:, :n, 0])
+    return res.reshape(b, h, n_pad, d_pad)[:, :, :n, :d]
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels (no-bias path): standard flash-bwd with per-tile
+# recomputation of p = exp(s - lse) and delta = rowsum(dO * O).
+# ---------------------------------------------------------------------------
+
+
+def _bwd_p(q, k, lse_col, *, scale, causal, qi, kj, block_q, block_k,
+           kv_true_len, kv_pad_len, kvm_ref, has_kv_mask):
+    """Recompute the (block_q, block_k) probability tile from saved lse.
+    Masked cells are zeroed directly (no NEG_INF round trip)."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p = jnp.exp(s - lse_col)
+    valid = None
+    if causal:
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        k_pos = kj * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        valid = k_pos <= q_pos
+    if kv_pad_len > kv_true_len:
+        k_pos = kj * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        pv = k_pos < kv_true_len
+        valid = pv if valid is None else (valid & pv)
+    if has_kv_mask:
+        kv = kvm_ref[:] > 0.5
+        valid = kv if valid is None else (valid & kv)
+    if valid is not None:
+        p = jnp.where(valid, p, 0.0)
+    return p
+
+
+def _dkv_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, kvm_ref,
+                dk_ref, dv_ref, dk_scr, dv_scr, *, scale, causal, block_q,
+                block_k, kv_true_len, kv_pad_len, has_kv_mask):
+    """grid (b*h, kv_blocks, q_blocks) — q innermost; dk/dv accumulate over
+    the q walk for one kv tile."""
+    ki = pl.program_id(1)
+    qj = pl.program_id(2)
+    num_q = pl.num_programs(2)
+
+    @pl.when(qj == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    # causal: q blocks entirely above this kv tile's diagonal contribute 0
+    run = (ki * block_k <= qj * block_q + block_q - 1) if causal else True
+
+    @pl.when(run)
+    def _step():
+        q = q_ref[:]
+        do = do_ref[:]
+        k = k_ref[:]
+        v = v_ref[:]
+        p = _bwd_p(q, k, lse_ref[:, :1], scale=scale, causal=causal, qi=qj,
+                   kj=ki, block_q=block_q, block_k=block_k,
+                   kv_true_len=kv_true_len, kv_pad_len=kv_pad_len,
+                   kvm_ref=kvm_ref, has_kv_mask=has_kv_mask)
+        # dV += P^T dO            (contract the q axis)
+        dv_scr[:] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # dP = dO V^T ; delta = rowsum(dO * O) recomputed in-tile
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        delta = jnp.sum(do.astype(jnp.float32) * o_ref[:].astype(jnp.float32),
+                        axis=-1, keepdims=True)
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        # dK += dS^T Q
+        dk_scr[:] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(qj == num_q - 1)
+    def _flush():
+        dk_ref[:] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[:] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _dq_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, kvm_ref,
+               dq_ref, dq_scr, *, scale, causal, block_q, block_k,
+               kv_true_len, kv_pad_len, has_kv_mask):
+    """grid (b*h, q_blocks, kv_blocks) — kv innermost; dq accumulates over
+    the kv walk for one q tile."""
+    qi = pl.program_id(1)
+    kj = pl.program_id(2)
+    num_kv = pl.num_programs(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    run = (kj * block_k <= qi * block_q + block_q - 1) if causal else True
+
+    @pl.when(run)
+    def _step():
+        q = q_ref[:]
+        do = do_ref[:]
+        k = k_ref[:]
+        v = v_ref[:]
+        p = _bwd_p(q, k, lse_ref[:, :1], scale=scale, causal=causal, qi=qi,
+                   kj=kj, block_q=block_q, block_k=block_k,
+                   kv_true_len=kv_true_len, kv_pad_len=kv_pad_len,
+                   kvm_ref=kvm_ref, has_kv_mask=has_kv_mask)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        delta = jnp.sum(do.astype(jnp.float32) * o_ref[:].astype(jnp.float32),
+                        axis=-1, keepdims=True)
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        # dQ += dS K
+        dq_scr[:] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(kj == num_kv - 1)
+    def _flush():
+        dq_ref[:] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd(q, k, v, kv_mask, out, lse, do, *, causal, scale):
+    """Pallas backward (no bias): returns (dq, dk, dv)."""
+    b, h, n, d = q.shape
+    m = k.shape[2]
+    rup = _rup
+    d_pad = max(128, rup(d, 128))
+    # smaller caps than fwd: bwd tiles keep 4 matmul temporaries live
+    block_q = _pick_block(n, cap=512)
+    block_k = _pick_block(m, cap=512)
+    n_pad = rup(n, block_q)
+    m_pad = rup(m, block_k)
+
+    qf = _pad_to(_pad_to(q, n_pad, 2), d_pad, 3).reshape(b * h, n_pad, d_pad)
+    dof = _pad_to(_pad_to(do, n_pad, 2), d_pad, 3).reshape(b * h, n_pad, d_pad)
+    of = _pad_to(_pad_to(out, n_pad, 2), d_pad, 3).reshape(b * h, n_pad, d_pad)
+    kf = _pad_to(_pad_to(k, m_pad, 2), d_pad, 3).reshape(b * h, m_pad, d_pad)
+    vf = _pad_to(_pad_to(v, m_pad, 2), d_pad, 3).reshape(b * h, m_pad, d_pad)
+    # pad rows get lse=0 -> garbage p there, but their dO/O rows are zero so
+    # every gradient contribution vanishes (ds = p * (0 - 0))
+    lsef = jnp.broadcast_to(
+        _pad_to(lse, n_pad, 1)[:, :, None], (b * h, n_pad, 128)
+    ).astype(jnp.float32)
+
+    has_kv_mask = kv_mask is not None
+    kvm = None
+    if has_kv_mask:
+        kvm = _pad_to(kv_mask.astype(jnp.float32)[:, None, :], m_pad, 2)
+
+    common = dict(scale=scale, causal=causal, block_q=block_q,
+                  block_k=block_k, kv_true_len=m, kv_pad_len=m_pad,
+                  has_kv_mask=has_kv_mask)
+
+    q_spec_i = pl.BlockSpec((None, block_q, d_pad), lambda g, i, j: (g, i, 0),
+                            memory_space=pltpu.VMEM)
+    q_spec_j = pl.BlockSpec((None, block_q, d_pad), lambda g, i, j: (g, j, 0),
+                            memory_space=pltpu.VMEM)
+    k_spec_i = pl.BlockSpec((None, block_k, d_pad), lambda g, i, j: (g, i, 0),
+                            memory_space=pltpu.VMEM)
+    k_spec_j = pl.BlockSpec((None, block_k, d_pad), lambda g, i, j: (g, j, 0),
+                            memory_space=pltpu.VMEM)
+    lse_spec_i = pl.BlockSpec((None, block_q, 128), lambda g, i, j: (g, i, 0),
+                              memory_space=pltpu.VMEM)
+    lse_spec_j = pl.BlockSpec((None, block_q, 128), lambda g, i, j: (g, j, 0),
+                              memory_space=pltpu.VMEM)
+
+    # ---- dK, dV: grid (b*h, kv_blocks, q_blocks) ---------------------------
+    in_specs = [q_spec_j, q_spec_j, q_spec_j, lse_spec_j, k_spec_i, k_spec_i]
+    operands = [qf, dof, of, lsef, kf, vf]
+    if has_kv_mask:
+        in_specs.append(pl.BlockSpec(
+            (None, 1, block_k), lambda g, i, j, h=h: (g // h, 0, i),
+            memory_space=pltpu.VMEM))
+        operands.append(kvm)
+
+    def dkv_entry(*refs):
+        refs = list(refs)
+        kvm_ref = refs.pop(6) if has_kv_mask else None
+        (q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref,
+         dk_ref, dv_ref, dk_scr, dv_scr) = refs
+        _dkv_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, kvm_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr, **common)
+
+    dk, dv = pl.pallas_call(
+        dkv_entry,
+        grid=(b * h, m_pad // block_k, n_pad // block_q),
+        in_specs=in_specs,
+        out_specs=[k_spec_i, k_spec_i],
+        out_shape=[jax.ShapeDtypeStruct((b * h, m_pad, d_pad), k.dtype),
+                   jax.ShapeDtypeStruct((b * h, m_pad, d_pad), v.dtype)],
+        scratch_shapes=[pltpu.VMEM((block_k, d_pad), jnp.float32),
+                        pltpu.VMEM((block_k, d_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(*operands)
+
+    # ---- dQ: grid (b*h, q_blocks, kv_blocks) -------------------------------
+    in_specs = [q_spec_i, q_spec_i, q_spec_i, lse_spec_i, k_spec_j, k_spec_j]
+    operands = [qf, dof, of, lsef, kf, vf]
+    if has_kv_mask:
+        in_specs.append(pl.BlockSpec(
+            (None, 1, block_k), lambda g, i, j, h=h: (g // h, 0, j),
+            memory_space=pltpu.VMEM))
+        operands.append(kvm)
+
+    def dq_entry(*refs):
+        refs = list(refs)
+        kvm_ref = refs.pop(6) if has_kv_mask else None
+        q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, dq_ref, dq_scr = refs
+        _dq_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, kvm_ref,
+                   dq_ref, dq_scr, **common)
+
+    dq = pl.pallas_call(
+        dq_entry,
+        grid=(b * h, n_pad // block_q, m_pad // block_k),
+        in_specs=in_specs,
+        out_specs=q_spec_i,
+        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d_pad), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(*operands)
+
+    dq = dq.reshape(b, h, n_pad, d_pad)[:, :, :n, :d]
+    dk = dk.reshape(b, h, m_pad, d_pad)[:, :, :m, :d]
+    dv = dv.reshape(b, h, m_pad, d_pad)[:, :, :m, :d]
+    return dq, dk, dv
+
+
+def _dense_bwd(q, k, v, bias, kv_mask, do, *, causal, scale):
+    """Exact dense backward for the bias path.  d(bias) is a dense (n, m)
+    gradient by nature, so this allocates what dense attention would."""
+    b, h, n, d = q.shape
+    m = k.shape[2]
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    bias_shape = bias.shape
+    bb = bias if bias.ndim == 4 else bias[None]
+    s = s + bb.astype(jnp.float32)
+    valid = jnp.ones((1, 1, n, m), bool)
+    if causal:
+        valid = valid & (jnp.arange(m)[None, None, None, :]
+                         <= jnp.arange(n)[None, None, :, None])
+    if kv_mask is not None:
+        valid = valid & (kv_mask[:, None, None, :] > 0)
+    s = jnp.where(valid, s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)                     # (b, h, n, m) f32
+    dof = do.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    dp = jnp.einsum("bhnd,bhmd->bhnm", dof, vf)
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+    ds = p * (dp - delta)                              # grad wrt s (pre-mask)
+    ds = jnp.where(valid, ds, 0.0)
+    dq = jnp.einsum("bhnm,bhmd->bhnd", ds, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhnm,bhnd->bhmd", ds, q.astype(jnp.float32)) * scale
+    dv = jnp.einsum("bhnm,bhnd->bhmd", p, dof)
+    dbias = ds
+    if bias.ndim < 4:                                  # sum the batch bcast
+        dbias = jnp.sum(dbias, axis=0)
+        if bias.shape[0] == 1 and h > 1:               # (1, n, m)
+            dbias = jnp.sum(dbias, axis=0, keepdims=True)
+    dbias = dbias.reshape(bias_shape).astype(bias.dtype)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dbias)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fa(causal: bool, block_q, block_k, scale: float):
+    """custom_vjp'd flash attention for one static (causal, tiles, scale)."""
+
+    @jax.custom_vjp
+    def fa(q, k, v, bias, kv_mask):
+        return _flash_call(q, k, v, bias, kv_mask, causal=causal,
+                           block_q=block_q, block_k=block_k, scale=scale,
+                           return_lse=False)
+
+    def fa_fwd(q, k, v, bias, kv_mask):
+        out, lse = _flash_call(q, k, v, bias, kv_mask, causal=causal,
+                               block_q=block_q, block_k=block_k, scale=scale,
+                               return_lse=True)
+        return out, (q, k, v, bias, kv_mask, out, lse)
+
+    def fa_bwd(res, do):
+        q, k, v, bias, kv_mask, out, lse = res
+        if bias is not None:
+            dq, dk, dv, dbias = _dense_bwd(q, k, v, bias, kv_mask, do,
+                                           causal=causal, scale=scale)
+        else:
+            dq, dk, dv = _flash_bwd(q, k, v, kv_mask, out, lse, do,
+                                    causal=causal, scale=scale)
+            dbias = None
+        return dq, dk, dv, dbias, None
+
+    fa.defvjp(fa_fwd, fa_bwd)
+    return fa
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "block_q", "block_k", "scale"))
+def flash_attention(
+    q: jax.Array,                    # (b, h, n, d)
+    k: jax.Array,                    # (b, h, m, d)
+    v: jax.Array,                    # (b, h, m, d)
+    bias: Optional[jax.Array] = None,  # (h, n, m) / (1, n, m) / (b, h, n, m)
+    causal: bool = False,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+    scale: Optional[float] = None,
+    kv_mask: Optional[jax.Array] = None,   # (b, m) 1 = real key (right-pad)
+) -> jax.Array:
+    d = q.shape[-1]
+    scale = float(scale) if scale is not None else 1.0 / math.sqrt(d)
+    return _make_fa(causal, block_q, block_k, scale)(q, k, v, bias, kv_mask)

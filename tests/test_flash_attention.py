@@ -108,3 +108,119 @@ def test_flash_kv_mask_matches_dense(rng):
         np.testing.assert_allclose(
             np.asarray(got)[bi, :, wm[bi]], np.asarray(want)[bi, :, wm[bi]],
             rtol=2e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Gradients (custom VJP): pallas bwd kernels (no bias) and dense bwd (bias)
+# ---------------------------------------------------------------------------
+
+
+def _loss_pair(fn_flash, fn_dense, args_flash, args_dense, wrt):
+    def mk(fn, args):
+        def loss(*diff):
+            a = list(args)
+            for slot, val in zip(wrt, diff):
+                a[slot] = val
+            out = fn(*a)
+            # position-weighted sum -> non-uniform cotangent
+            w = jnp.arange(out.size, dtype=jnp.float32).reshape(out.shape)
+            return jnp.sum(out.astype(jnp.float32) * w * 1e-3)
+        return loss
+    diff_f = [args_flash[i] for i in wrt]
+    diff_d = [args_dense[i] for i in wrt]
+    gf = jax.grad(mk(fn_flash, args_flash), argnums=tuple(range(len(wrt))))(*diff_f)
+    gd = jax.grad(mk(fn_dense, args_dense), argnums=tuple(range(len(wrt))))(*diff_d)
+    return gf, gd
+
+
+def test_flash_grad_matches_dense_causal_kvmask(rng):
+    """The LLM flash_prefill training geometry: causal + right-pad kv_mask.
+    dq/dk/dv from the pallas bwd kernels vs autodiff through dense."""
+    b, h, n, d = 2, 2, 256, 32
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    lens = jnp.asarray([256, 131])
+    kv_mask = (jnp.arange(n)[None, :] < lens[:, None])
+
+    def dense(q, k, v):
+        s = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32) / np.sqrt(d)
+        mask = jnp.tril(jnp.ones((n, n), bool))[None, None] & kv_mask[:, None, None, :]
+        p = jax.nn.softmax(jnp.where(mask, s, -1e30), axis=-1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", p, v)
+        # zero pad-query rows (their grads are dropped by any real loss)
+        return out * kv_mask[:, None, :, None]
+
+    def flash(q, k, v):
+        out = flash_attention(q, k, v, causal=True, kv_mask=kv_mask)
+        return out * kv_mask[:, None, :, None]
+
+    with pltpu.force_tpu_interpret_mode():
+        (gq, gk, gv), (wq, wk, wv) = _loss_pair(
+            flash, dense, (q, k, v), (q, k, v), wrt=(0, 1, 2))
+    for g, w, name in ((gq, wq, "dq"), (gk, wk, "dk"), (gv, wv, "dv")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+def test_flash_grad_matches_dense_noncausal(rng):
+    b, h, n, m, d = 1, 2, 130, 200, 32
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, m, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, m, d)), jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        (gq, gk, gv), (wq, wk, wv) = _loss_pair(
+            lambda q, k, v: flash_attention(q, k, v),
+            lambda q, k, v: dense_attention(q, k, v),
+            (q, k, v), (q, k, v), wrt=(0, 1, 2))
+    for g, w, name in ((gq, wq, "dq"), (gk, wk, "dk"), (gv, wv, "dv")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+def test_flash_grad_with_bias_includes_dbias(rng):
+    """Bias (CPB) path: dense backward, including the bias gradient."""
+    b, h, n, m, d = 1, 2, 128, 128, 32
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, m, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, m, d)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(h, n, m)), jnp.float32) * 0.1
+
+    with pltpu.force_tpu_interpret_mode():
+        (gq, gk, gv, gb), (wq, wk, wv, wb) = _loss_pair(
+            lambda q, k, v, bb: flash_attention(q, k, v, bias=bb),
+            lambda q, k, v, bb: dense_attention(q, k, v, bias=bb),
+            (q, k, v, bias), (q, k, v, bias), wrt=(0, 1, 2, 3))
+    for g, w, name in ((gq, wq, "dq"), (gk, wk, "dk"), (gv, wv, "dv"),
+                       (gb, wb, "dbias")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+def test_llm_flash_prefill_grad(rng):
+    """End-to-end: jax.grad through the LLM with flash_prefill=True."""
+    import dataclasses
+
+    from ctpa.core.config import LLMConfig
+    from ctpa.models.llm import LlamaForCausalLM
+
+    cfg = dataclasses.replace(LLMConfig.tiny(), flash_prefill=True,
+                              flash_min_len=16)
+    model = LlamaForCausalLM(cfg)
+    b, n = 2, 48
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size, size=(b, n)), jnp.int32)
+    lens = np.asarray([48, 31])
+    mask = jnp.asarray(np.arange(n)[None, :] < lens[:, None], jnp.int32)
+
+    def loss(p):
+        logits, _, _ = model.apply(p, ids, mask)
+        lm = mask[:, :, None].astype(jnp.float32)
+        return jnp.sum((logits.astype(jnp.float32) * lm) ** 2) / mask.sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        params = model.init(jax.random.key(0), ids, mask)
+        g = jax.grad(loss)(params)
+    norms = [float(jnp.linalg.norm(x)) for x in jax.tree.leaves(g)]
+    assert all(np.isfinite(norms)), norms
+    assert max(norms) > 0.0
