@@ -44,7 +44,9 @@ def log(*a):
 
 def make_dataset(data_dir: str, n: int, shape, seed: int = 0) -> list[str]:
     """Synthetic CT series as int16 npz files (the storage dtype of real CT;
-    the native loader converts on decode)."""
+    the native loader converts on decode).  The directory is keyed by shape
+    so --size tiny and --size 7b runs never reuse each other's volumes."""
+    data_dir = f"{data_dir}_{'x'.join(map(str, shape))}"
     os.makedirs(data_dir, exist_ok=True)
     paths = []
     rng = np.random.default_rng(seed)
@@ -180,14 +182,23 @@ def main():
     t_start = time.time()
     tickets = [loader.submit(p) for p in paths]       # C++ pool decodes ahead
     ready: _queue.Queue = _queue.Queue()
+    tl = {"fetch": 0.0, "put": 0.0, "enc": 0.0, "step": 0.0, "n_steps": 0}
 
     def ingest():
         for rid, t in enumerate(tickets):
+            t0 = time.time()
             vol, _meta = loader.fetch(t)              # blocks on C++ decode
+            t1 = time.time()
             raw = jax.device_put(vol.astype(np.int16))  # half-width HU upload
+            jax.block_until_ready(raw)
+            t2 = time.time()
             vis = encode(params, raw, jnp.float32(SLOPE),
                          jnp.float32(INTERCEPT),
                          jnp.asarray(SPACING, jnp.float32))
+            t3 = time.time()
+            tl["fetch"] += t1 - t0
+            tl["put"] += t2 - t1
+            tl["enc"] += t3 - t2
             ready.put((rid, vis))
         ready.put(None)
 
@@ -208,12 +219,19 @@ def main():
         except _queue.Empty:
             pass
         if batcher.active.any():
+            t0 = time.time()
             batcher.step()
+            tl["step"] += time.time() - t0
+            tl["n_steps"] += 1
         elif not ingest_done:
             time.sleep(0.002)
     th.join()
     results = batcher.results
     wall = time.time() - t_start
+    log(f"timeline: fetch {tl['fetch']:.1f}s, upload {tl['put']:.1f}s, "
+        f"encode-dispatch {tl['enc']:.1f}s (ingest thread); "
+        f"{tl['n_steps']} decode chunks totalling {tl['step']:.1f}s "
+        f"(main thread)")
 
     total_tokens = sum(len(r.tokens) for r in results.values() if r.request_id >= 0)
     lat = sorted(r.latency_s for r in results.values() if r.request_id >= 0)

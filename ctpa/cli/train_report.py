@@ -51,12 +51,19 @@ def main(argv=None):
     p.add_argument("--results-dir", default="report_results")
     p.add_argument("--checkpoint-dir", default="report_checkpoints")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--flash-prefill", action="store_true",
+                   help="route the full training forward through the pallas "
+                        "flash kernel (TPU; needs max-length >= 512)")
     args = p.parse_args(argv)
 
     if args.tiny:
         llm_cfg, vit_cfg = LLMConfig.tiny(), CTViTConfig.tiny()
     else:
         llm_cfg, vit_cfg = LLMConfig(), CTViTConfig()
+    if args.flash_prefill:
+        import dataclasses
+
+        llm_cfg = dataclasses.replace(llm_cfg, flash_prefill=True)
     lora = LoRAConfig(rank=args.lora_rank, alpha=args.lora_alpha)
     gen_cfg = ReportGenConfig(lora=lora)
     model = CTReportGenerator(llm_cfg, vit_cfg, gen_cfg, lora=lora,

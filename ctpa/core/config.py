@@ -179,8 +179,9 @@ class LLMConfig:
     tie_embeddings: bool = False
     # route no-cache forwards (training / long prefill) of at least
     # flash_min_len tokens through the pallas flash kernel: measured 2.7x XLA
-    # at 2048 tokens x head_dim 128 on v5e (docs/benchmarks.md); TPU only —
-    # keep False on CPU test paths unless running interpreted
+    # at 2048 tokens x head_dim 128 on v5e (docs/benchmarks.md); fully
+    # differentiable (custom-VJP pallas backward). TPU only — keep False on
+    # CPU test paths unless running interpreted
     flash_prefill: bool = False
     flash_min_len: int = 512
 

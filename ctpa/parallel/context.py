@@ -1,0 +1,111 @@
+"""Context (sequence) parallelism — exact attention over a sharded sequence.
+
+SURVEY.md §5.7: the reference has NO sequence-length scaling machinery; its
+long axis is the fused 13,824-token volumetric sequence (ctvit.py:169-174),
+handled only by axial factorization.  This module is the TPU-native
+extension the survey calls for: shard the sequence over a mesh axis so each
+device holds n/p query tokens, all-gather K/V over ICI, and run exact
+(flash) attention on the local query block.
+
+Design notes:
+  * All-gather-KV (DeepSpeed-SP / "Ulysses-lite" style) rather than ring
+    attention: at CTViT scale the full K/V is 13,824 x 512 x 2 x 2 B = 28 MB
+    per layer — trivially resident, and one `all_gather` over ICI is both
+    simpler and faster than p ppermute hops unless K/V itself exceeds HBM.
+    Activation memory for attention drops from O(n) to O(n/p) q-side, and
+    the O(n^2) score work is split p ways.
+  * Differentiable end-to-end: `jax.lax.all_gather` transposes to
+    `psum_scatter` (producing the correct summed dK/dV shards) and the local
+    attention is the custom-VJP flash kernel (ops/pallas/flash_attention).
+  * Causal attention is NOT supported here: the local flash kernel indexes
+    causality from position 0, and the LLM's sequence scaling need is served
+    by the KV cache + tensor parallelism (parallel/sharding.LLM_RULES).  The
+    target workload is the NON-causal fused volumetric sequence.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+
+def _dense_attention(q, k, v, bias, kv_mask, scale):
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        bb = bias if bias.ndim == 4 else bias[None]
+        s = s + bb.astype(jnp.float32)
+    if kv_mask is not None:
+        s = jnp.where(kv_mask[:, None, None, :] > 0, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhnm,bhmd->bhnd", p, v)
+
+
+def context_parallel_attention(
+    q: jax.Array,                      # (b, h, n, d)
+    k: jax.Array,                      # (b, h, n, d)
+    v: jax.Array,                      # (b, h, n, d)
+    mesh: Mesh,
+    axis: str,
+    bias: Optional[jax.Array] = None,  # (h, n, n) / (1, n, n) additive (CPB)
+    kv_mask: Optional[jax.Array] = None,   # (b, n) 1 = real key
+    scale: Optional[float] = None,
+    impl: str = "flash",               # "flash" (pallas) | "dense" (XLA)
+) -> jax.Array:
+    """Exact non-causal attention with the sequence dim sharded over
+    ``axis``.  Inputs may be global (replicated) arrays or already sharded
+    with the matching specs; output is sequence-sharded the same way."""
+    n = q.shape[2]
+    p_size = mesh.shape[axis]
+    if n % p_size != 0:
+        raise ValueError(f"sequence {n} not divisible by axis '{axis}' size "
+                         f"{p_size}")
+    if scale is None:
+        scale = 1.0 / (q.shape[-1] ** 0.5)
+    scale = float(scale)
+
+    seq_spec = P(None, None, axis, None)
+    in_specs = [seq_spec, seq_spec, seq_spec]
+    args = [q, k, v]
+    has_bias = bias is not None
+    if has_bias:
+        # bias rows follow the q shard; the key axis stays full
+        in_specs.append(P(None, axis, None) if bias.ndim == 3
+                        else P(None, None, axis, None))
+        args.append(bias)
+    has_kvm = kv_mask is not None
+    if has_kvm:
+        in_specs.append(P())           # key validity spans the full sequence
+        args.append(kv_mask)
+
+    def inner(*local):
+        local = list(local)
+        q_blk, k_blk, v_blk = local[:3]
+        bias_blk = local[3] if has_bias else None
+        kvm = local[3 + has_bias] if has_kvm else None
+        k_full = jax.lax.all_gather(k_blk, axis, axis=2, tiled=True)
+        v_full = jax.lax.all_gather(v_blk, axis, axis=2, tiled=True)
+        if impl == "flash":
+            from ctpa.ops.pallas.flash_attention import flash_attention
+
+            return flash_attention(q_blk, k_full, v_full, bias=bias_blk,
+                                   scale=scale, kv_mask=kvm)
+        return _dense_attention(q_blk, k_full, v_full, bias_blk, kvm, scale)
+
+    fn = shard_map(inner, mesh=mesh, in_specs=tuple(in_specs),
+                   out_specs=seq_spec, check_rep=False)
+    return fn(*args)
+
+
+def sequence_sharding(mesh: Mesh, axis: str):
+    """NamedSharding for (b, h, n, d) activations with n over ``axis`` —
+    place q/k/v with this before calling context_parallel_attention to avoid
+    a resharding all-to-all on entry."""
+    from jax.sharding import NamedSharding
+
+    return NamedSharding(mesh, P(None, None, axis, None))
