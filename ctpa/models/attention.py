@@ -123,6 +123,10 @@ class CosineAttention(nn.Module):
     norm_context: bool = True
     dropout: float = 0.0
     use_flash: bool = False   # pallas flash kernel for long fused sequences
+    # context parallelism: shard the fused sequence over cp_axis of cp_mesh
+    # (parallel/context.py) — only meaningful with use_flash on long folds
+    cp_mesh: Optional[object] = None
+    cp_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -163,8 +167,15 @@ class CosineAttention(nn.Module):
 
             qn = (l2norm(q) * q_scale).astype(self.dtype)
             kn = (l2norm(k) * k_scale).astype(self.dtype)
-            out = flash_attention(qn, kn, v, bias=bias, causal=self.causal,
-                                  scale=self.scale)
+            if self.cp_mesh is not None and not self.causal:
+                from ctpa.parallel.context import context_parallel_attention
+
+                out = context_parallel_attention(
+                    qn, kn, v, self.cp_mesh, self.cp_axis, bias=bias,
+                    scale=self.scale, impl="flash")
+            else:
+                out = flash_attention(qn, kn, v, bias=bias, causal=self.causal,
+                                      scale=self.scale)
         else:
             out = cosine_attention(
                 q, k, v,
@@ -209,6 +220,8 @@ class TransformerBlock(nn.Module):
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
     use_flash: bool = False
+    cp_mesh: object = None
+    cp_axis: str = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -216,7 +229,8 @@ class TransformerBlock(nn.Module):
         x = x + CosineAttention(
             dim=self.dim, heads=self.heads, dim_head=self.dim_head,
             causal=self.causal, dropout=self.attn_dropout, dtype=self.dtype,
-            use_flash=self.use_flash, name="attn",
+            use_flash=self.use_flash, cp_mesh=self.cp_mesh,
+            cp_axis=self.cp_axis, name="attn",
         )(x, mask=mask, bias=bias)
         if self.cross_attend:
             # cross-attention carries 2 null kv pairs (attention.py:305)
@@ -251,6 +265,8 @@ class Transformer(nn.Module):
     ff_dropout: float = 0.0
     remat: bool = False
     use_flash: bool = False
+    cp_mesh: object = None
+    cp_axis: str = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -268,6 +284,7 @@ class Transformer(nn.Module):
                 ff_mult=self.ff_mult, causal=self.causal,
                 cross_attend=self.cross_attend, attn_dropout=self.attn_dropout,
                 ff_dropout=self.ff_dropout, use_flash=self.use_flash,
+                cp_mesh=self.cp_mesh, cp_axis=self.cp_axis,
                 dtype=self.dtype, name=f"block_{i}",
             )(x, context, mask, bias, deterministic)
         return LayerNorm(dtype=self.dtype, name="norm_out")(x)

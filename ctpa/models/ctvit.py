@@ -112,6 +112,10 @@ class CTViT(nn.Module):
     cfg: CTViTConfig
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    # context parallelism for the fused full-sequence encoder: shard the
+    # t*h*w token axis over cp_axis of cp_mesh (parallel/context.py)
+    cp_mesh: object = None
+    cp_axis: str = None
 
     def setup(self):
         c = self.cfg
@@ -128,6 +132,8 @@ class CTViT(nn.Module):
         self.enc_temporal = Transformer(depth=c.temporal_depth, name="enc_temporal_transformer", **tkw)
         if c.fused_attention:
             self.enc_fused = Transformer(depth=c.fused_depth, use_flash=True,
+                                         cp_mesh=self.cp_mesh,
+                                         cp_axis=self.cp_axis,
                                          name="enc_fused_transformer", **tkw)
         if c.use_decoder:
             # reference decode() reuses the encoder transformers (ctvit.py:333-360)

@@ -101,3 +101,35 @@ def test_cp_rejects_indivisible(mesh, rng):
     q = jnp.zeros((1, 1, 100, 32))
     with pytest.raises(ValueError):
         context_parallel_attention(q, q, q, mesh, DATA_AXIS, impl="dense")
+
+
+def test_ctvit_fused_encoder_cp_matches_unsharded(rng):
+    """CTViT(cp_mesh=...) shards the fused-encoder sequence; output must
+    match the unsharded fused path (interpret mode on CPU, 2-way mesh)."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import Mesh
+
+    from ctpa.core.config import CTViTConfig
+    from ctpa.models.ctvit import CTViT
+
+    cfg = dataclasses.replace(CTViTConfig.tiny(), fused_attention=True,
+                              fused_depth=1)
+    video = jnp.asarray(rng.normal(size=(1, 1, cfg.temporal_size,
+                                         cfg.image_size, cfg.image_size)),
+                        jnp.float32)
+    base = CTViT(cfg)
+    devs = np.asarray(jax.devices()[:2]).reshape(2, 1)
+    mesh2 = Mesh(devs, (DATA_AXIS, "model"))
+    cp = CTViT(cfg, cp_mesh=mesh2, cp_axis=DATA_AXIS)
+
+    def encode(m, v):
+        return m.encode_tokens(m.patch_embed(v))
+
+    with pltpu.force_tpu_interpret_mode():
+        params = base.init(jax.random.key(0), video, method=lambda m, v: encode(m, v))
+        want = base.apply(params, video, method=lambda m, v: encode(m, v))
+        got = cp.apply(params, video, method=lambda m, v: encode(m, v))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
