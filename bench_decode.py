@@ -43,6 +43,8 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", choices=["1b", "7b"], default="7b")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="override decode batch (0 = per-size default)")
     args = ap.parse_args()
 
     log("devices:", jax.devices())
@@ -57,6 +59,8 @@ def main():
         # the cache is kept short (128 slots: 0.5 GiB k+v at batch 4)
         B, PROMPT, NEW = 4, 32, 96
         REF_RUNS, RUNS = 2, 3
+        if args.batch:
+            B = args.batch
     else:
         llm_cfg = LLMConfig(
             vocab_size=32000, hidden_size=2048, num_layers=16, num_heads=16,
