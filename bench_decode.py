@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--size", choices=["1b", "7b"], default="7b")
     ap.add_argument("--batch", type=int, default=0,
                     help="override decode batch (0 = per-size default)")
+    ap.add_argument("--quant", choices=["none", "int8"], default="none",
+                    help="weight-only int8 serving quantization (ops/quant.py)")
     args = ap.parse_args()
 
     log("devices:", jax.devices())
@@ -69,6 +71,10 @@ def main():
         B, PROMPT, NEW = 8, 64, 256
         REF_RUNS, RUNS = 4, 3
 
+    if args.quant == "int8":
+        import dataclasses
+
+        llm_cfg = dataclasses.replace(llm_cfg, weight_quant="int8")
     vit_cfg = CTViTConfig.tiny()
     gen_cfg = ReportGenConfig(vision_dim=128)
     model = CTReportGenerator(llm_cfg, vit_cfg, gen_cfg, dtype=jnp.bfloat16)
@@ -82,7 +88,10 @@ def main():
 
     shapes = jax.eval_shape(lambda k: model.init(k, video, ids, mask), jax.random.key(0))
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(shapes))
-    log(f"params: {n_params/1e9:.2f}B ({2*n_params/1e9:.1f} GB bf16)")
+    n_bytes = sum(int(np.prod(x.shape)) * (1 if x.dtype == jnp.int8 else 2)
+                  for x in jax.tree.leaves(shapes))
+    log(f"params: {n_params/1e9:.2f}B ({n_bytes/1e9:.1f} GB on device, "
+        f"quant={args.quant})")
 
     gen_fn = lambda p, v, i, m, key: model.apply(
         p, v, i, m, NEW, eos_token_id=-1, temperature=0.7, rng=key,

@@ -11,7 +11,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any
+from typing import Any, Optional
 
 
 @dataclass(frozen=True)
@@ -184,6 +184,12 @@ class LLMConfig:
     # CPU test paths unless running interpreted
     flash_prefill: bool = False
     flash_min_len: int = 512
+    # weight-only int8 serving quantization (ops/quant.py): projections store
+    # {kernel_q: int8, scale: f32} (see quant.quantize_tree) and decode reads
+    # half the HBM bytes per step — decode is weight-read bound at 7B.
+    # Incompatible with LoRA overlays (merge adapters before quantizing).
+    weight_quant: Optional[str] = None   # None | "int8"
+    quant_impl: str = "pallas"           # "pallas" | "xla"
 
     @property
     def head_dim(self) -> int:

@@ -31,6 +31,44 @@ from ctpa.models.lora import LoRADense
 from ctpa.ops.rotary import apply_rope, rope_frequencies
 
 
+class Int8Dense(nn.Module):
+    """Weight-only int8 projection for serving (ops/quant.py): params are
+    {kernel_q: int8 (in, out), scale: f32 (out,)} as produced by
+    `quant.quantize_tree`.  Activations stay in `dtype`; the matmul reads
+    int8 weights from HBM (half the bytes of bf16 — decode is weight-read
+    bound) and dequantizes in-register."""
+
+    features: int
+    impl: str = "pallas"          # "pallas" | "xla" (ops/quant.int8_matmul)
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        from ctpa.ops.quant import int8_matmul
+
+        w8 = self.param("kernel_q", nn.initializers.zeros,
+                        (x.shape[-1], self.features), jnp.int8)
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        return int8_matmul(x.astype(self.dtype), w8, scale, impl=self.impl)
+
+
+def _proj(cfg: LLMConfig, features: int, name: str, dtype,
+          lora: Optional[LoRAConfig] = None, lora_name: Optional[str] = None):
+    """Projection factory: int8-quantized for serving when
+    cfg.weight_quant == 'int8' (LoRA overlays are a training feature and are
+    rejected in that mode), LoRADense otherwise."""
+    if getattr(cfg, "weight_quant", None) == "int8":
+        if lora is not None and lora_name in (lora.target_projections or ()):
+            raise ValueError("LoRA overlays are not supported with int8 "
+                             "weight quantization (merge adapters first)")
+        return Int8Dense(features, impl=cfg.quant_impl, dtype=dtype, name=name)
+    if lora_name is not None:
+        return LoRADense(features, dtype=dtype, name=name,
+                         **_lora_args(lora, lora_name))
+    return nn.Dense(features, use_bias=False, dtype=dtype, name=name)
+
+
 class RMSNorm(nn.Module):
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
@@ -123,9 +161,9 @@ class LlamaAttention(nn.Module):
         h, kvh, hd = c.num_heads, c.num_kv_heads, c.head_dim
         b, n, _ = x.shape
 
-        q = LoRADense(h * hd, dtype=self.dtype, name="q_proj", **_lora_args(self.lora, "q_proj"))(x)
-        k = LoRADense(kvh * hd, dtype=self.dtype, name="k_proj", **_lora_args(self.lora, "k_proj"))(x)
-        v = LoRADense(kvh * hd, dtype=self.dtype, name="v_proj", **_lora_args(self.lora, "v_proj"))(x)
+        q = _proj(c, h * hd, "q_proj", self.dtype, self.lora, "q_proj")(x)
+        k = _proj(c, kvh * hd, "k_proj", self.dtype, self.lora, "k_proj")(x)
+        v = _proj(c, kvh * hd, "v_proj", self.dtype, self.lora, "v_proj")(x)
         q = q.reshape(b, n, h, hd)
         k = k.reshape(b, n, kvh, hd)
         v = v.reshape(b, n, kvh, hd)
@@ -169,8 +207,8 @@ class LlamaAttention(nn.Module):
                 sim = jnp.where(attn_mask, sim, neg)
             attn = jax.nn.softmax(sim, axis=-1).astype(v_full.dtype)
             out = jnp.einsum("bhnm,bmhd->bnhd", attn, v_full).reshape(b, n, h * hd)
-        out = LoRADense(c.hidden_size, dtype=self.dtype, name="o_proj",
-                        **_lora_args(self.lora, "o_proj"))(out)
+        out = _proj(c, c.hidden_size, "o_proj", self.dtype, self.lora,
+                    "o_proj")(out)
         return out, cache_k, cache_v
 
 
@@ -181,9 +219,9 @@ class LlamaMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        gate = nn.Dense(c.intermediate_size, use_bias=False, dtype=self.dtype, name="gate_proj")(x)
-        up = nn.Dense(c.intermediate_size, use_bias=False, dtype=self.dtype, name="up_proj")(x)
-        return nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype, name="down_proj")(
+        gate = _proj(c, c.intermediate_size, "gate_proj", self.dtype)(x)
+        up = _proj(c, c.intermediate_size, "up_proj", self.dtype)(x)
+        return _proj(c, c.hidden_size, "down_proj", self.dtype)(
             nn.silu(gate) * up
         )
 
@@ -316,8 +354,8 @@ class LlamaForCausalLM(nn.Module):
         self.model = LlamaModel(self.cfg, self.lora, dtype=self.dtype,
                                 remat=self.remat, name="model")
         if not self.cfg.tie_embeddings:
-            self.lm_head = nn.Dense(self.cfg.vocab_size, use_bias=False,
-                                    dtype=self.dtype, name="lm_head")
+            self.lm_head = _proj(self.cfg, self.cfg.vocab_size, "lm_head",
+                                 self.dtype)
 
     def apply_lm_head(self, hidden):
         if self.cfg.tie_embeddings:

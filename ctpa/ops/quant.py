@@ -1,0 +1,156 @@
+"""Weight-only int8 quantization for serving.
+
+Why: Meditron-7B decode on one v5e is WEIGHT-READ bound (docs/benchmarks.md:
+21-23 ms/step ≈ the 12.6 GB of bf16 weights streaming from HBM each step;
+batch 4→8 costs only ~10%).  Storing the big projections as int8 with
+per-output-channel scales halves the bytes read per step — the standard
+weight-only serving quantization (activations stay bf16; MXU compute is
+bf16 after an in-register dequant, so there is no activation-quant quality
+cliff).  This is a capability the reference does not have (it loads Meditron
+in bf16, train_module.py:307-313) — pure serving upside.
+
+Two dequant-matmul implementations:
+  * `int8_matmul(..., impl="xla")`: `x @ (w8 -> bf16)` and scale the output
+    columns.  XLA usually fuses the convert into the dot read on TPU; kept
+    as the fallback and the numerics oracle.
+  * `int8_matmul(..., impl="pallas")`: explicit kernel — w8 tiles are DMA'd
+    from HBM as int8 (half the bytes of bf16), converted to bf16 in VMEM,
+    and fed to the MXU with fp32 accumulation; per-column scales applied at
+    the flush.  Guarantees the bandwidth win regardless of XLA fusion
+    decisions.
+
+Quantization: symmetric per-output-channel absmax
+  w8[:, j] = round(w[:, j] / s_j),  s_j = max|w[:, j]| / 127
+Per-channel (not per-tensor) keeps the worst-case relative error of llama
+projections ≈ 0.4% — below bf16 rounding noise accumulated across a layer.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def quantize_int8(w: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(in, out) float weights -> (w8 int8 (in, out), scale f32 (out,))."""
+    absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
+    scale = jnp.maximum(absmax / 127.0, 1e-12)
+    w8 = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127
+                  ).astype(jnp.int8)
+    return w8, scale
+
+
+def dequantize_int8(w8: jax.Array, scale: jax.Array, dtype=jnp.bfloat16):
+    return (w8.astype(jnp.float32) * scale).astype(dtype)
+
+
+def _rup(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _q_kernel(x_ref, w_ref, s_ref, o_ref, acc_scr, *, n_in_blocks: int):
+    """grid (m_blocks, out_blocks, in_blocks), in innermost.  w tile arrives
+    int8 from HBM (half-bandwidth), is converted in VMEM, and runs on the MXU
+    in the activation dtype with fp32 accumulation.  The m grid dimension
+    keeps prefill-sized row counts out of VMEM (decode has one m block)."""
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    x = x_ref[:]                                    # (block_m, block_in) bf16
+    w = w_ref[:].astype(x.dtype)                    # (block_in, block_out)
+    acc_scr[:] += jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(i == n_in_blocks - 1)
+    def _flush():
+        o_ref[:] = (acc_scr[:] * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("impl", "block_in", "block_out"))
+def int8_matmul(
+    x: jax.Array,          # (..., in) activations (bf16 on the hot path)
+    w8: jax.Array,         # (in, out) int8
+    scale: jax.Array,      # (out,) f32
+    impl: str = "pallas",
+    block_in: int = 2048,
+    block_out: int = 1024,
+) -> jax.Array:
+    *lead, d_in = x.shape
+    d_out = w8.shape[1]
+    if impl == "xla":
+        y = jax.lax.dot_general(
+            x, w8.astype(x.dtype), (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return (y * scale.astype(jnp.float32)).astype(x.dtype)
+
+    xm = x.reshape(-1, d_in)
+    m = xm.shape[0]
+    # sublane granularity: bf16 wants >=16 rows; prefill-sized row counts are
+    # split over an m grid dimension (weights re-read per m block — prefill
+    # is compute-bound so the extra reads don't bind)
+    block_m = max(16, min(_rup(m, 16), 256))
+    m_pad = _rup(max(m, 16), block_m)
+    in_pad = _rup(d_in, block_in)
+    out_pad = _rup(d_out, block_out)
+    xp = jnp.pad(xm, ((0, m_pad - m), (0, in_pad - d_in)))
+    wp = jnp.pad(w8, ((0, in_pad - d_in), (0, out_pad - d_out)))
+    sp = jnp.pad(scale, (0, out_pad - d_out)).reshape(1, out_pad)
+
+    n_in_blocks = in_pad // block_in
+    out = pl.pallas_call(
+        functools.partial(_q_kernel, n_in_blocks=n_in_blocks),
+        grid=(m_pad // block_m, out_pad // block_out, n_in_blocks),
+        in_specs=[
+            pl.BlockSpec((block_m, block_in), lambda mi, o, i: (mi, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_in, block_out), lambda mi, o, i: (i, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_out), lambda mi, o, i: (0, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_out), lambda mi, o, i: (mi, o),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, out_pad), x.dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_out), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(xp, wp, sp)
+    return out[:m, :d_out].reshape(*lead, d_out)
+
+
+def quantize_tree(params, *, targets: tuple[str, ...] = (
+        "q_proj", "k_proj", "v_proj", "o_proj",
+        "gate_proj", "up_proj", "down_proj", "lm_head")):
+    """Convert an LLM param tree for int8 serving: every `kernel` leaf under
+    a targeted projection becomes {kernel_q: int8, scale: f32}.  The tree
+    then matches what `Int8Dense` (models/llm.py) expects."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out: dict = {}
+
+    def assign(d, keys, val):
+        for k in keys[:-1]:
+            d = d.setdefault(k, {})
+        d[keys[-1]] = val
+
+    for kp, leaf in flat:
+        keys = [getattr(k, "key", getattr(k, "name", str(k))) for k in kp]
+        if keys[-1] == "kernel" and any(t in keys for t in targets):
+            # LoRADense nests its frozen projection as <proj>/base/kernel;
+            # Int8Dense replaces the whole LoRADense, so collapse that level
+            base = keys[:-1]
+            if base and base[-1] == "base":
+                base = base[:-1]
+            w8, s = quantize_int8(leaf)
+            assign(out, base + ["kernel_q"], w8)
+            assign(out, base + ["scale"], s)
+        else:
+            assign(out, keys, leaf)
+    return out

@@ -1,0 +1,108 @@
+"""Weight-only int8 serving quantization (ops/quant.py, models/llm.Int8Dense).
+New capability beyond the reference (it loads Meditron in bf16,
+train_module.py:307-313); decode at 7B is weight-read bound so int8 weights
+halve the per-step HBM traffic."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from ctpa.ops.quant import (dequantize_int8, int8_matmul, quantize_int8,
+                            quantize_tree)
+
+
+def test_quantize_roundtrip_error_bound(rng):
+    w = jnp.asarray(rng.normal(size=(256, 128)) * 0.04, jnp.float32)
+    w8, s = quantize_int8(w)
+    assert w8.dtype == jnp.int8 and s.shape == (128,)
+    back = dequantize_int8(w8, s, jnp.float32)
+    # symmetric per-channel absmax: error <= scale/2 per element
+    err = np.abs(np.asarray(back) - np.asarray(w))
+    bound = np.asarray(s)[None, :] * 0.5 + 1e-8
+    assert (err <= bound).all()
+
+
+def test_int8_matmul_xla_matches_dequant(rng):
+    x = jnp.asarray(rng.normal(size=(4, 256)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(256, 192)) * 0.05, jnp.float32)
+    w8, s = quantize_int8(w)
+    want = x @ dequantize_int8(w8, s, jnp.float32)
+    got = int8_matmul(x, w8, s, impl="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_int8_matmul_pallas_matches_xla(rng):
+    x = jnp.asarray(rng.normal(size=(4, 384)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(384, 300)) * 0.05, jnp.float32)
+    w8, s = quantize_int8(w)
+    want = int8_matmul(x, w8, s, impl="xla")
+    with pltpu.force_tpu_interpret_mode():
+        got = int8_matmul(x, w8, s, impl="pallas", block_in=128, block_out=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_quantize_tree_structure():
+    from ctpa.core.config import LLMConfig
+    from ctpa.models.llm import LlamaForCausalLM
+
+    cfg = LLMConfig.tiny()
+    model = LlamaForCausalLM(cfg)
+    ids = jnp.zeros((1, 8), jnp.int32)
+    params = model.init(jax.random.key(0), ids, jnp.ones((1, 8), jnp.int32))
+    qp = quantize_tree(params)
+    flat = {jax.tree_util.keystr(kp): v.dtype
+            for kp, v in jax.tree_util.tree_flatten_with_path(qp)[0]}
+    qkeys = [k for k in flat if "kernel_q" in k]
+    assert qkeys and all(flat[k] == jnp.int8 for k in qkeys)
+    assert any("q_proj" in k for k in qkeys)
+    assert any("lm_head" in k for k in qkeys)
+    # embeddings / norms untouched
+    assert any("embed" in k and "kernel_q" not in k for k in flat)
+
+
+def test_quantized_llm_decode_matches_fp(rng):
+    """Int8Dense wired via LLMConfig.weight_quant: full-forward logits of the
+    quantized model track the fp32 model (same weights, quantized), and the
+    greedy next token agrees."""
+    from ctpa.core.config import LLMConfig
+    from ctpa.models.llm import LlamaForCausalLM
+
+    cfg = LLMConfig.tiny()
+    cfg_q = dataclasses.replace(cfg, weight_quant="int8", quant_impl="xla")
+    fp = LlamaForCausalLM(cfg)
+    qm = LlamaForCausalLM(cfg_q)
+
+    b, n = 2, 16
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size, size=(b, n)), jnp.int32)
+    mask = jnp.ones((b, n), jnp.int32)
+    params = fp.init(jax.random.key(0), ids, mask)
+    qparams = quantize_tree(params)
+
+    want, _, _ = fp.apply(params, ids, mask)
+    got, _, _ = qm.apply(qparams, ids, mask)
+    w = np.asarray(want, np.float32)
+    g = np.asarray(got, np.float32)
+    # int8 weight error accumulates over layers: require close logits and
+    # matching greedy decisions
+    assert np.abs(g - w).max() / (np.abs(w).max() + 1e-9) < 0.05
+    assert (g.argmax(-1) == w.argmax(-1)).mean() > 0.95
+
+
+def test_quant_rejects_lora():
+    from ctpa.core.config import LLMConfig, LoRAConfig
+    from ctpa.models.llm import LlamaForCausalLM
+
+    cfg = dataclasses.replace(LLMConfig.tiny(), weight_quant="int8",
+                              quant_impl="xla")
+    lora = LoRAConfig(rank=4, alpha=8.0)
+    model = LlamaForCausalLM(cfg, lora=lora)
+    ids = jnp.zeros((1, 4), jnp.int32)
+    with pytest.raises(ValueError):
+        model.init(jax.random.key(0), ids, jnp.ones((1, 4), jnp.int32))
