@@ -190,6 +190,11 @@ class LLMConfig:
     # Incompatible with LoRA overlays (merge adapters before quantizing).
     weight_quant: Optional[str] = None   # None | "int8"
     quant_impl: str = "pallas"           # "pallas" | "xla"
+    # fuse q/k/v -> qkv_proj and gate/up -> gateup_proj in the quantized
+    # model (pallas launch count per decode step: 7 -> 4 per layer); exact
+    # because scales are per-output-channel.  quantize_tree(fuse=...) must
+    # match this flag.
+    quant_fused: bool = True
 
     @property
     def head_dim(self) -> int:

@@ -161,9 +161,24 @@ class LlamaAttention(nn.Module):
         h, kvh, hd = c.num_heads, c.num_kv_heads, c.head_dim
         b, n, _ = x.shape
 
-        q = _proj(c, h * hd, "q_proj", self.dtype, self.lora, "q_proj")(x)
-        k = _proj(c, kvh * hd, "k_proj", self.dtype, self.lora, "k_proj")(x)
-        v = _proj(c, kvh * hd, "v_proj", self.dtype, self.lora, "v_proj")(x)
+        if getattr(c, "weight_quant", None) == "int8" and c.quant_fused:
+            # fused qkv projection (quantize_tree(fuse=True) layout): one
+            # int8 kernel launch instead of three; exact because scales are
+            # per-output-channel
+            if self.lora is not None and any(
+                    t in (self.lora.target_projections or ())
+                    for t in ("q_proj", "k_proj", "v_proj")):
+                raise ValueError("LoRA overlays are not supported with int8 "
+                                 "weight quantization (merge adapters first)")
+            qkv = Int8Dense(h * hd + 2 * kvh * hd, impl=c.quant_impl,
+                            dtype=self.dtype, name="qkv_proj")(x)
+            q, k, v = (qkv[..., : h * hd],
+                       qkv[..., h * hd : h * hd + kvh * hd],
+                       qkv[..., h * hd + kvh * hd :])
+        else:
+            q = _proj(c, h * hd, "q_proj", self.dtype, self.lora, "q_proj")(x)
+            k = _proj(c, kvh * hd, "k_proj", self.dtype, self.lora, "k_proj")(x)
+            v = _proj(c, kvh * hd, "v_proj", self.dtype, self.lora, "v_proj")(x)
         q = q.reshape(b, n, h, hd)
         k = k.reshape(b, n, kvh, hd)
         v = v.reshape(b, n, kvh, hd)
@@ -219,8 +234,14 @@ class LlamaMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        gate = _proj(c, c.intermediate_size, "gate_proj", self.dtype)(x)
-        up = _proj(c, c.intermediate_size, "up_proj", self.dtype)(x)
+        if getattr(c, "weight_quant", None) == "int8" and c.quant_fused:
+            gu = Int8Dense(2 * c.intermediate_size, impl=c.quant_impl,
+                           dtype=self.dtype, name="gateup_proj")(x)
+            gate = gu[..., : c.intermediate_size]
+            up = gu[..., c.intermediate_size :]
+        else:
+            gate = _proj(c, c.intermediate_size, "gate_proj", self.dtype)(x)
+            up = _proj(c, c.intermediate_size, "up_proj", self.dtype)(x)
         return _proj(c, c.hidden_size, "down_proj", self.dtype)(
             nn.silu(gate) * up
         )

@@ -128,17 +128,32 @@ def int8_matmul(
 
 def quantize_tree(params, *, targets: tuple[str, ...] = (
         "q_proj", "k_proj", "v_proj", "o_proj",
-        "gate_proj", "up_proj", "down_proj", "lm_head")):
+        "gate_proj", "up_proj", "down_proj", "lm_head"),
+        fuse: bool = True):
     """Convert an LLM param tree for int8 serving: every `kernel` leaf under
     a targeted projection becomes {kernel_q: int8, scale: f32}.  The tree
-    then matches what `Int8Dense` (models/llm.py) expects."""
+    then matches what `Int8Dense` (models/llm.py) expects.
+
+    fuse=True additionally merges q/k/v -> qkv_proj and gate/up ->
+    gateup_proj along the output axis (the layout `LLMConfig.quant_fused`
+    models expect): per-output-channel scales make the fusion numerically
+    EXACT, and it cuts the pallas launches per decode step from 7 to 4 per
+    layer — launch overhead is the gap to bf16 at batch 8
+    (docs/benchmarks.md)."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     out: dict = {}
+    pending: dict = {}   # parent-path tuple -> {proj_name: kernel}
 
     def assign(d, keys, val):
         for k in keys[:-1]:
             d = d.setdefault(k, {})
         d[keys[-1]] = val
+
+    FUSE_GROUPS = {
+        "qkv_proj": ("q_proj", "k_proj", "v_proj"),
+        "gateup_proj": ("gate_proj", "up_proj"),
+    }
+    fused_members = {m for g in FUSE_GROUPS.values() for m in g} if fuse else set()
 
     for kp, leaf in flat:
         keys = [getattr(k, "key", getattr(k, "name", str(k))) for k in kp]
@@ -148,9 +163,22 @@ def quantize_tree(params, *, targets: tuple[str, ...] = (
             base = keys[:-1]
             if base and base[-1] == "base":
                 base = base[:-1]
+            proj = base[-1]
+            if proj in fused_members:
+                pending.setdefault(tuple(base[:-1]), {})[proj] = leaf
+                continue
             w8, s = quantize_int8(leaf)
             assign(out, base + ["kernel_q"], w8)
             assign(out, base + ["scale"], s)
         else:
             assign(out, keys, leaf)
+
+    for parent, kernels in pending.items():
+        for fused_name, members in FUSE_GROUPS.items():
+            if not all(m in kernels for m in members):
+                continue
+            w = jnp.concatenate([kernels[m] for m in members], axis=1)
+            w8, s = quantize_int8(w)
+            assign(out, list(parent) + [fused_name, "kernel_q"], w8)
+            assign(out, list(parent) + [fused_name, "scale"], s)
     return out

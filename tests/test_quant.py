@@ -56,15 +56,23 @@ def test_quantize_tree_structure():
     model = LlamaForCausalLM(cfg)
     ids = jnp.zeros((1, 8), jnp.int32)
     params = model.init(jax.random.key(0), ids, jnp.ones((1, 8), jnp.int32))
-    qp = quantize_tree(params)
+    qp = quantize_tree(params)   # fuse=True default
     flat = {jax.tree_util.keystr(kp): v.dtype
             for kp, v in jax.tree_util.tree_flatten_with_path(qp)[0]}
     qkeys = [k for k in flat if "kernel_q" in k]
     assert qkeys and all(flat[k] == jnp.int8 for k in qkeys)
-    assert any("q_proj" in k for k in qkeys)
+    assert any("qkv_proj" in k for k in qkeys)       # q/k/v fused
+    assert any("gateup_proj" in k for k in qkeys)    # gate/up fused
+    assert not any("q_proj" in k for k in qkeys)
     assert any("lm_head" in k for k in qkeys)
     # embeddings / norms untouched
     assert any("embed" in k and "kernel_q" not in k for k in flat)
+
+    up = quantize_tree(params, fuse=False)
+    ukeys = [jax.tree_util.keystr(kp)
+             for kp, _ in jax.tree_util.tree_flatten_with_path(up)[0]]
+    assert any("q_proj" in k and "kernel_q" in k for k in ukeys)
+    assert not any("qkv_proj" in k for k in ukeys)
 
 
 def test_quantized_llm_decode_matches_fp(rng):
@@ -75,24 +83,25 @@ def test_quantized_llm_decode_matches_fp(rng):
     from ctpa.models.llm import LlamaForCausalLM
 
     cfg = LLMConfig.tiny()
-    cfg_q = dataclasses.replace(cfg, weight_quant="int8", quant_impl="xla")
-    fp = LlamaForCausalLM(cfg)
-    qm = LlamaForCausalLM(cfg_q)
-
     b, n = 2, 16
     ids = jnp.asarray(rng.integers(1, cfg.vocab_size, size=(b, n)), jnp.int32)
     mask = jnp.ones((b, n), jnp.int32)
+    fp = LlamaForCausalLM(cfg)
     params = fp.init(jax.random.key(0), ids, mask)
-    qparams = quantize_tree(params)
-
     want, _, _ = fp.apply(params, ids, mask)
-    got, _, _ = qm.apply(qparams, ids, mask)
     w = np.asarray(want, np.float32)
-    g = np.asarray(got, np.float32)
-    # int8 weight error accumulates over layers: require close logits and
-    # matching greedy decisions
-    assert np.abs(g - w).max() / (np.abs(w).max() + 1e-9) < 0.05
-    assert (g.argmax(-1) == w.argmax(-1)).mean() > 0.95
+
+    for fused in (True, False):
+        cfg_q = dataclasses.replace(cfg, weight_quant="int8",
+                                    quant_impl="xla", quant_fused=fused)
+        qm = LlamaForCausalLM(cfg_q)
+        qparams = quantize_tree(params, fuse=fused)
+        got, _, _ = qm.apply(qparams, ids, mask)
+        g = np.asarray(got, np.float32)
+        # int8 weight error accumulates over layers: require close logits
+        # and matching greedy decisions
+        assert np.abs(g - w).max() / (np.abs(w).max() + 1e-9) < 0.05, fused
+        assert (g.argmax(-1) == w.argmax(-1)).mean() > 0.95, fused
 
 
 def test_quant_rejects_lora():
