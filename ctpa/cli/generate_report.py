@@ -100,12 +100,20 @@ def main(argv=None):
     p.add_argument("--visualize", action="store_true")
     p.add_argument("--max-samples", type=int, default=0)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--quant", choices=["none", "int8"], default="none",
+                   help="weight-only int8 serving quantization of the LLM "
+                        "(ops/quant.py): ~half the weight HBM, bigger "
+                        "batches/caches per chip")
     args = p.parse_args(argv)
 
     if args.tiny:
         llm_cfg, vit_cfg = LLMConfig.tiny(), CTViTConfig.tiny()
     else:
         llm_cfg, vit_cfg = LLMConfig(), CTViTConfig()
+    if args.quant == "int8":
+        import dataclasses
+
+        llm_cfg = dataclasses.replace(llm_cfg, weight_quant="int8")
     gen_cfg = ReportGenConfig()
     model = CTReportGenerator(llm_cfg, vit_cfg, gen_cfg)
     tokenizer = (HFTokenizer(args.tokenizer) if args.tokenizer
@@ -117,6 +125,10 @@ def main(argv=None):
         print("no checkpoint found", file=sys.stderr)
         return 1
     params = state["params"] if isinstance(state, dict) else state.params
+    if args.quant == "int8":
+        from ctpa.ops.quant import quantize_tree
+
+        params = quantize_tree(params)
 
     ds = (ReportGenDataset if args.mode == "report" else VQADataset)(args.jsonl)
     n = min(len(ds), args.max_samples) if args.max_samples else len(ds)

@@ -115,3 +115,44 @@ def test_quant_rejects_lora():
     ids = jnp.zeros((1, 4), jnp.int32)
     with pytest.raises(ValueError):
         model.init(jax.random.key(0), ids, jnp.ones((1, 4), jnp.int32))
+
+
+def test_quantized_model_serves_in_batcher(rng, tmp_path):
+    """End-to-end serving lifecycle: train-dtype params -> quantize_tree ->
+    orbax save/restore -> ContinuousBatcher decode with the quantized model."""
+    from ctpa.core.checkpoint import CheckpointManager
+    from ctpa.core.config import CTViTConfig, LLMConfig, ReportGenConfig
+    from ctpa.models.report_generator import CTReportGenerator
+    from ctpa.pipelines.streaming import ContinuousBatcher, Request
+
+    llm_cfg = LLMConfig.tiny()
+    vit_cfg = CTViTConfig.tiny()
+    gen_cfg = ReportGenConfig(vision_dim=128)
+    fp_model = CTReportGenerator(llm_cfg, vit_cfg, gen_cfg)
+
+    video = jnp.zeros((1, 1, vit_cfg.temporal_size, vit_cfg.image_size,
+                       vit_cfg.image_size), jnp.float32)
+    pids = jnp.asarray(np.arange(1, 9)[None], jnp.int32)
+    params = fp_model.init(jax.random.key(0), video, pids, pids)
+    qparams = quantize_tree(params)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(0, {"params": qparams})
+    restored = mgr.restore()["params"]
+    chk = jax.tree_util.tree_all(
+        jax.tree.map(lambda a, b: bool(jnp.all(a == b)), qparams, restored))
+    assert chk
+
+    q_cfg = dataclasses.replace(llm_cfg, weight_quant="int8",
+                                quant_impl="xla")
+    q_model = CTReportGenerator(q_cfg, vit_cfg, gen_cfg)
+    batcher = ContinuousBatcher(q_model, restored, num_lanes=2, max_len=24,
+                                eos_token_id=-1, greedy=True)
+    vis = jnp.zeros((128,), jnp.float32)
+    for rid in range(2):
+        batcher.submit(Request(request_id=rid, input_ids=pids[0],
+                               attention_mask=jnp.ones((8,), jnp.int32),
+                               vision=vis, max_new_tokens=6))
+    results = batcher.run_until_done()
+    assert len(results) == 2
+    assert all(len(r.tokens) == 6 for r in results.values())
