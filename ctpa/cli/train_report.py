@@ -90,9 +90,21 @@ def main(argv=None):
         print("loaded LLM weights from", args.llm_weights, file=sys.stderr)
 
     steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
-    tx = make_report_optimizer(params, gen_cfg,
-                               total_steps=steps_per_epoch * args.epochs)
-    state = SimpleTrainState.create(params, tx)
+    total_steps = steps_per_epoch * args.epochs
+    if args.tiny:
+        tx = make_report_optimizer(params, gen_cfg, total_steps=total_steps)
+        state = SimpleTrainState.create(params, tx)
+        step_fn = None
+    else:
+        # LoRA-scale: gradients only for trainable leaves — a full-tree grad
+        # at 7B is another 13.5 GB and OOMs the chip
+        from ctpa.train.report_trainer import make_partitioned_report_step
+
+        step_fn, opt0 = make_partitioned_report_step(
+            model, params, gen_cfg, total_steps=total_steps)
+        tx = make_report_optimizer(params, gen_cfg, total_steps=total_steps)
+        state = SimpleTrainState(params=params, opt_state=opt0,
+                                 step=jnp.zeros((), jnp.int32))
 
     def eval_fn(state):
         if val_ds is None:
@@ -116,6 +128,7 @@ def main(argv=None):
         cfg=TrainConfig(results_dir=args.results_dir,
                         checkpoint_dir=args.checkpoint_dir),
         eval_fn=eval_fn,
+        step_fn=step_fn,
     )
 
     def loader():

@@ -126,6 +126,21 @@ class CTReportGenerator(nn.Module):
         """Shifted-label CE, pad-masked (train_module.py:87-101).  `label_mask`
         optionally restricts the loss to answer tokens (VQA fine-tune)."""
         logits = self(video, input_ids, attention_mask)
+        return self._ce(logits, input_ids, attention_mask, label_mask)
+
+    def loss_from_vision(self, vision, input_ids, attention_mask,
+                         label_mask=None):
+        """Same CE but over PRECOMPUTED vision features (b, vision_dim).
+        For LoRA fine-tuning the vision trunk is frozen, so extracting
+        features in a separate program keeps the big video tensor and the
+        trunk's activations out of the training step — at 7B that's the
+        difference between fitting one chip and a ~270 MB HBM OOM."""
+        _, hidden, _ = self.llm(input_ids, attention_mask)
+        fused = self.cross_attention(hidden, vision)
+        logits = self.llm.apply_lm_head(fused)
+        return self._ce(logits, input_ids, attention_mask, label_mask)
+
+    def _ce(self, logits, input_ids, attention_mask, label_mask=None):
         targets = input_ids[:, 1:]
         logits = logits[:, :-1]
         mask = attention_mask[:, 1:].astype(jnp.float32)

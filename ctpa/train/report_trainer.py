@@ -51,17 +51,7 @@ def make_report_optimizer(
       * 'frozen': zero updates
     """
 
-    def label(path, _):
-        if _path_has(path, "cross_attention", "vision_feature_extractor/proj",
-                     "vision_feature_extractor/norm"):
-            return "head"
-        if _path_has(path, "lora_a", "lora_b"):
-            return "llm"
-        if train_full_llm and _path_has(path, "llm/"):
-            return "llm"
-        return "frozen"
-
-    labels = jax.tree_util.tree_map_with_path(label, params)
+    labels = trainable_labels(params, train_full_llm)
     groups = {
         "head": optax.adamw(onecycle(gen_cfg.cross_attn_lr, total_steps), weight_decay=1e-2),
         "llm": optax.adamw(onecycle(gen_cfg.llm_lr, total_steps), weight_decay=1e-2),
@@ -91,6 +81,100 @@ def make_report_train_step(model: CTReportGenerator, tx: optax.GradientTransform
     return step
 
 
+def trainable_labels(params: Any, train_full_llm: bool = False) -> Any:
+    """The head/llm/frozen group tree used by both optimizer variants."""
+
+    def label(path, _):
+        if _path_has(path, "cross_attention", "vision_feature_extractor/proj",
+                     "vision_feature_extractor/norm"):
+            return "head"
+        if _path_has(path, "lora_a", "lora_b"):
+            return "llm"
+        if train_full_llm and _path_has(path, "llm/"):
+            return "llm"
+        return "frozen"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_partitioned_report_step(
+    model: CTReportGenerator,
+    params: Any,
+    gen_cfg: ReportGenConfig,
+    total_steps: int,
+    grad_clip: float = 1.0,
+    train_full_llm: bool = False,
+):
+    """LoRA-scale fine-tuning step that differentiates ONLY the trainable
+    leaves.  `make_report_train_step` takes gradients of the FULL tree (the
+    optax mask merely zeroes the updates) — at Meditron-7B that materializes
+    a 13.5 GB gradient tree next to the 13.5 GB weights and OOMs one v5e.
+    Here the frozen leaves are closed over (no cotangents exist for them),
+    so the gradient tree is the LoRA+head subset (~MBs at 7B) and a 7B LoRA
+    fine-tune fits a single chip.
+
+    Returns (step_fn, init_opt_state): `step_fn(state, batch)` with
+    `state.opt_state` being the optimizer state over the trainable-leaf
+    list (checkpoint it as-is)."""
+    labels_tree = trainable_labels(params, train_full_llm)
+    flat_params, treedef = jax.tree_util.tree_flatten(params)
+    flat_labels = jax.tree_util.tree_leaves(labels_tree)
+    t_idx = [i for i, l in enumerate(flat_labels) if l != "frozen"]
+    if not t_idx:
+        raise ValueError("no trainable parameters under the report labels")
+    sub_labels = [flat_labels[i] for i in t_idx]
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.multi_transform(
+            {
+                "head": optax.adamw(onecycle(gen_cfg.cross_attn_lr, total_steps),
+                                    weight_decay=1e-2),
+                "llm": optax.adamw(onecycle(gen_cfg.llm_lr, total_steps),
+                                   weight_decay=1e-2),
+            },
+            sub_labels,
+        ),
+    )
+
+    def step(state: SimpleTrainState, batch):
+        leaves = jax.tree_util.tree_leaves(state.params)
+        trainable = [leaves[i] for i in t_idx]
+
+        def loss_fn(t_leaves):
+            merged = list(leaves)
+            for j, i in enumerate(t_idx):
+                merged[i] = t_leaves[j]
+            p = jax.tree_util.tree_unflatten(treedef, merged)
+            if "vision" in batch:
+                # precomputed features (separate extract_vision program):
+                # keeps the video tensor + frozen-trunk activations out of
+                # the training step's HBM footprint
+                return model.apply(
+                    p, batch["vision"], batch["input_ids"],
+                    batch["attention_mask"], batch.get("label_mask"),
+                    method=CTReportGenerator.loss_from_vision,
+                )
+            return model.apply(
+                p, batch["video"], batch["input_ids"], batch["attention_mask"],
+                batch.get("label_mask"), method=CTReportGenerator.loss,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(trainable)
+        updates, opt_state = tx.update(grads, state.opt_state, trainable)
+        new_t = optax.apply_updates(trainable, updates)
+        merged = list(leaves)
+        for j, i in enumerate(t_idx):
+            merged[i] = new_t[j]
+        new_params = jax.tree_util.tree_unflatten(treedef, merged)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        return SimpleTrainState(params=new_params, opt_state=opt_state,
+                                step=state.step + 1), metrics
+
+    init_opt_state = tx.init([flat_params[i] for i in t_idx])
+    return step, init_opt_state
+
+
 class ReportTrainer:
     """Epoch-driven fine-tune loop with best-by-loss / best-by-val checkpoints
     (train_module.py:153-214 semantics)."""
@@ -104,12 +188,15 @@ class ReportTrainer:
         mesh=None,
         eval_fn: Optional[Callable[[SimpleTrainState], dict]] = None,
         eval_frequency: int = 1,
+        step_fn=None,
     ):
         self.model = model
         self.cfg = cfg
         self.eval_fn = eval_fn
         self.eval_frequency = eval_frequency
-        step_fn = make_report_train_step(model, tx)
+        # default: full-tree grads with optax masking (fine at small scale);
+        # pass make_partitioned_report_step's fn for 7B LoRA fine-tunes
+        step_fn = step_fn or make_report_train_step(model, tx)
         if mesh is not None:
             st_sh = jax.tree.map(lambda _: replicated(mesh), state)
             self._step = jax.jit(step_fn, in_shardings=(st_sh, batch_sharding(mesh)),

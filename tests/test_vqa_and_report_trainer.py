@@ -176,3 +176,86 @@ def test_report_trainer_epoch_and_best_ckpt(tmp_path):
     assert np.isfinite(out["mean_loss"])
     trainer.ckpt.wait()
     assert len(trainer.ckpt.all_steps()) >= 1  # best-by-loss + best-by-val saved
+
+
+def test_partitioned_step_matches_masked_full_grad():
+    """make_partitioned_report_step differentiates only trainable leaves;
+    its updates must equal the full-grad+mask step's, and frozen leaves must
+    be bit-identical after the step (7B LoRA fine-tunes rely on this: a
+    full-tree grad is another 13.5 GB)."""
+    from ctpa.train.report_trainer import (
+        make_partitioned_report_step, make_report_train_step,
+        trainable_labels)
+
+    lora = LoRAConfig(rank=2, alpha=4.0, target_projections=("q_proj", "v_proj"))
+    gen_cfg = ReportGenConfig(vision_dim=32)
+    model = CTReportGenerator(LLM, VIT, gen_cfg, lora=lora)
+    video = _video(1)
+    ids = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    mask = jnp.ones((1, 4), jnp.int32)
+    params = model.init(jax.random.key(0), video, ids, mask)
+    batch = {"video": video, "input_ids": ids, "attention_mask": mask}
+
+    tx = make_report_optimizer(params, gen_cfg, total_steps=10)
+    full_state = SimpleTrainState.create(params, tx)
+    full_step = jax.jit(make_report_train_step(model, tx))
+    fs, fm = full_step(full_state, batch)
+
+    part_step, opt0 = make_partitioned_report_step(model, params, gen_cfg,
+                                                   total_steps=10)
+    ps, pm = jax.jit(part_step)(
+        SimpleTrainState(params=params, opt_state=opt0,
+                         step=jnp.zeros((), jnp.int32)), batch)
+
+    np.testing.assert_allclose(float(pm["loss"]), float(fm["loss"]), rtol=1e-5)
+    labels = trainable_labels(params)
+    flat_f = jax.tree_util.tree_flatten_with_path(fs.params)[0]
+    flat_p = {jax.tree_util.keystr(kp): v
+              for kp, v in jax.tree_util.tree_flatten_with_path(ps.params)[0]}
+    flat_0 = {jax.tree_util.keystr(kp): v
+              for kp, v in jax.tree_util.tree_flatten_with_path(params)[0]}
+    flat_l = {jax.tree_util.keystr(kp): v
+              for kp, v in jax.tree_util.tree_flatten_with_path(labels)[0]}
+    n_trained = n_moved = 0
+    for kp, f_leaf in flat_f:
+        k = jax.tree_util.keystr(kp)
+        p_leaf = flat_p[k]
+        if flat_l[k] == "frozen":
+            assert bool(jnp.all(p_leaf == flat_0[k])), k
+        else:
+            n_trained += 1
+            np.testing.assert_allclose(np.asarray(p_leaf), np.asarray(f_leaf),
+                                       rtol=2e-4, atol=2e-5, err_msg=k)
+            n_moved += int(not bool(jnp.all(p_leaf == flat_0[k])))
+    # most trainables moved (zero-init biases can have exactly-zero grads)
+    assert n_trained > 0 and n_moved >= n_trained * 0.5
+
+
+def test_loss_from_vision_matches_loss():
+    """Precomputed-vision loss path == video loss path, and the partitioned
+    step accepts a 'vision' batch."""
+    from ctpa.train.report_trainer import make_partitioned_report_step
+    from ctpa.train.train_state import SimpleTrainState
+
+    lora = LoRAConfig(rank=2, alpha=4.0, target_projections=("q_proj",))
+    gen_cfg = ReportGenConfig(vision_dim=32)
+    model = CTReportGenerator(LLM, VIT, gen_cfg, lora=lora)
+    video = _video(1)
+    ids = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    mask = jnp.ones((1, 4), jnp.int32)
+    params = model.init(jax.random.key(0), video, ids, mask)
+
+    want = model.apply(params, video, ids, mask,
+                       method=CTReportGenerator.loss)
+    vision = model.apply(params, video, method=CTReportGenerator.extract_vision)
+    got = model.apply(params, vision, ids, mask,
+                      method=CTReportGenerator.loss_from_vision)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+
+    step_fn, opt0 = make_partitioned_report_step(model, params, gen_cfg,
+                                                 total_steps=10)
+    st = SimpleTrainState(params=params, opt_state=opt0,
+                          step=jnp.zeros((), jnp.int32))
+    _, m = jax.jit(step_fn)(st, {"vision": vision, "input_ids": ids,
+                                 "attention_mask": mask})
+    np.testing.assert_allclose(float(m["loss"]), float(want), rtol=1e-5)
