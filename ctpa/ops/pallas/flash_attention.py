@@ -60,14 +60,16 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, kvm_ref, o_ref, lse_ref,
-                 m_scr, l_scr, acc_scr, *, scale: float, causal: bool,
-                 block_q: int, block_k: int, kv_true_len: int,
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, kvm_ref, qo_ref, o_ref,
+                 lse_ref, m_scr, l_scr, acc_scr, *, scale: float,
+                 causal: bool, block_q: int, block_k: int, kv_true_len: int,
                  kv_pad_len: int, has_bias: bool, has_kv_mask: bool,
-                 return_lse: bool):
+                 has_q_offset: bool, return_lse: bool):
     """One (q-block, kv-block) step.  Scratch (m, l, acc) persists across the
     kv grid dimension (innermost); initialized at kv step 0, flushed to o_ref
-    on the last kv step."""
+    on the last kv step.  qo_ref (SMEM scalar) shifts causal q positions by a
+    DYNAMIC global offset — the context-parallel case where this call's
+    queries are shard [off, off+n) of a longer sequence."""
     qi = pl.program_id(1)
     kj = pl.program_id(2)
     num_kv = pl.num_programs(2)
@@ -79,7 +81,13 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, kvm_ref, o_ref, lse_ref,
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     # causal: skip kv blocks strictly above this q block's diagonal band
-    run = (kj * block_k <= qi * block_q + block_q - 1) if causal else True
+    # (dynamic when the q offset is dynamic — pl.when takes a traced bool)
+    if not causal:
+        run = True
+    elif has_q_offset:
+        run = kj * block_k <= qo_ref[0, 0] + qi * block_q + block_q - 1
+    else:
+        run = kj * block_k <= qi * block_q + block_q - 1
 
     @pl.when(run)
     def _step():
@@ -94,6 +102,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, kvm_ref, o_ref, lse_ref,
         if causal:
             q_pos = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
+            if has_q_offset:
+                q_pos = q_pos + qo_ref[0, 0]
             k_pos = kj * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
             s = jnp.where(k_pos <= q_pos, s, NEG_INF)
@@ -164,8 +174,8 @@ def _pick_block(size: int, cap: int) -> int:
     return best
 
 
-def _flash_call(q, k, v, bias, kv_mask, *, causal, block_q, block_k, scale,
-                return_lse):
+def _flash_call(q, k, v, bias, kv_mask, q_offset, *, causal, block_q,
+                block_k, scale, return_lse):
     """The forward pallas_call.  Returns out, or (out, lse) with lse shaped
     (b*h, n) fp32 when return_lse."""
     b, h, n, d = q.shape
@@ -229,21 +239,30 @@ def _flash_call(q, k, v, bias, kv_mask, *, causal, block_q, block_k, scale,
             memory_space=pltpu.VMEM))
         operands.append(kvm)
 
+    has_q_offset = q_offset is not None
+    if has_q_offset:
+        qo = jnp.asarray(q_offset, jnp.int32).reshape(1, 1)
+        in_specs.append(pl.BlockSpec((1, 1), lambda g, i, j: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        operands.append(qo)
+
     kernel = functools.partial(
         _attn_kernel, scale=scale, causal=causal, block_q=block_q,
         block_k=block_k, kv_true_len=m, kv_pad_len=m_pad, has_bias=has_bias,
-        has_kv_mask=has_kv_mask, return_lse=return_lse)
+        has_kv_mask=has_kv_mask, has_q_offset=has_q_offset,
+        return_lse=return_lse)
 
     def kernel_entry(*refs):
         q_ref, k_ref, v_ref, rest = refs[0], refs[1], refs[2], list(refs[3:])
         b_ref = rest.pop(0) if has_bias else None
         kvm_ref = rest.pop(0) if has_kv_mask else None
+        qo_ref = rest.pop(0) if has_q_offset else None
         if return_lse:
             o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
         else:
             o_ref, m_scr, l_scr, acc_scr = rest
             lse_ref = None
-        kernel(q_ref, k_ref, v_ref, b_ref, kvm_ref, o_ref, lse_ref,
+        kernel(q_ref, k_ref, v_ref, b_ref, kvm_ref, qo_ref, o_ref, lse_ref,
                m_scr, l_scr, acc_scr)
 
     out_specs = pl.BlockSpec((None, block_q, d_pad), lambda g, i, j: (g, i, 0),
@@ -286,7 +305,7 @@ def _flash_call(q, k, v, bias, kv_mask, *, causal, block_q, block_k, scale,
 
 
 def _bwd_p(q, k, lse_col, *, scale, causal, qi, kj, block_q, block_k,
-           kv_true_len, kv_pad_len, kvm_ref, has_kv_mask):
+           kv_true_len, kv_pad_len, kvm_ref, has_kv_mask, qo_ref=None):
     """Recompute the (block_q, block_k) probability tile from saved lse.
     Masked cells are zeroed directly (no NEG_INF round trip)."""
     s = jax.lax.dot_general(
@@ -297,6 +316,8 @@ def _bwd_p(q, k, lse_col, *, scale, causal, qi, kj, block_q, block_k,
     if causal:
         q_pos = qi * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 0)
+        if qo_ref is not None:
+            q_pos = q_pos + qo_ref[0, 0]
         k_pos = kj * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
         valid = k_pos <= q_pos
@@ -314,8 +335,8 @@ def _bwd_p(q, k, lse_col, *, scale, causal, qi, kj, block_q, block_k,
 
 
 def _dkv_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, kvm_ref,
-                dk_ref, dv_ref, dk_scr, dv_scr, *, scale, causal, block_q,
-                block_k, kv_true_len, kv_pad_len, has_kv_mask):
+                qo_ref, dk_ref, dv_ref, dk_scr, dv_scr, *, scale, causal,
+                block_q, block_k, kv_true_len, kv_pad_len, has_kv_mask):
     """grid (b*h, kv_blocks, q_blocks) — q innermost; dk/dv accumulate over
     the q walk for one kv tile."""
     ki = pl.program_id(1)
@@ -328,7 +349,12 @@ def _dkv_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, kvm_ref,
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
     # causal: q blocks entirely above this kv tile's diagonal contribute 0
-    run = (ki * block_k <= qj * block_q + block_q - 1) if causal else True
+    if not causal:
+        run = True
+    elif qo_ref is not None:
+        run = ki * block_k <= qo_ref[0, 0] + qj * block_q + block_q - 1
+    else:
+        run = ki * block_k <= qj * block_q + block_q - 1
 
     @pl.when(run)
     def _step():
@@ -339,7 +365,7 @@ def _dkv_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, kvm_ref,
         p = _bwd_p(q, k, lse_ref[:, :1], scale=scale, causal=causal, qi=qj,
                    kj=ki, block_q=block_q, block_k=block_k,
                    kv_true_len=kv_true_len, kv_pad_len=kv_pad_len,
-                   kvm_ref=kvm_ref, has_kv_mask=has_kv_mask)
+                   kvm_ref=kvm_ref, has_kv_mask=has_kv_mask, qo_ref=qo_ref)
         # dV += P^T dO            (contract the q axis)
         dv_scr[:] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -361,7 +387,7 @@ def _dkv_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, kvm_ref,
 
 
 def _dq_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, kvm_ref,
-               dq_ref, dq_scr, *, scale, causal, block_q, block_k,
+               qo_ref, dq_ref, dq_scr, *, scale, causal, block_q, block_k,
                kv_true_len, kv_pad_len, has_kv_mask):
     """grid (b*h, q_blocks, kv_blocks) — kv innermost; dq accumulates over
     the kv walk for one q tile."""
@@ -373,7 +399,12 @@ def _dq_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, kvm_ref,
     def _init():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    run = (kj * block_k <= qi * block_q + block_q - 1) if causal else True
+    if not causal:
+        run = True
+    elif qo_ref is not None:
+        run = kj * block_k <= qo_ref[0, 0] + qi * block_q + block_q - 1
+    else:
+        run = kj * block_k <= qi * block_q + block_q - 1
 
     @pl.when(run)
     def _step():
@@ -384,7 +415,7 @@ def _dq_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, kvm_ref,
         p = _bwd_p(q, k, lse_ref[:, :1], scale=scale, causal=causal, qi=qi,
                    kj=kj, block_q=block_q, block_k=block_k,
                    kv_true_len=kv_true_len, kv_pad_len=kv_pad_len,
-                   kvm_ref=kvm_ref, has_kv_mask=has_kv_mask)
+                   kvm_ref=kvm_ref, has_kv_mask=has_kv_mask, qo_ref=qo_ref)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         delta = jnp.sum(do.astype(jnp.float32) * o_ref[:].astype(jnp.float32),
@@ -399,7 +430,7 @@ def _dq_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, kvm_ref,
         dq_ref[:] = dq_scr[:].astype(dq_ref.dtype)
 
 
-def _flash_bwd(q, k, v, kv_mask, out, lse, do, *, causal, scale):
+def _flash_bwd(q, k, v, kv_mask, q_offset, out, lse, do, *, causal, scale):
     """Pallas backward (no bias): returns (dq, dk, dv)."""
     b, h, n, d = q.shape
     m = k.shape[2]
@@ -426,6 +457,11 @@ def _flash_bwd(q, k, v, kv_mask, out, lse, do, *, causal, scale):
     kvm = None
     if has_kv_mask:
         kvm = _pad_to(kv_mask.astype(jnp.float32)[:, None, :], m_pad, 2)
+    has_q_offset = q_offset is not None
+    qo = (jnp.asarray(q_offset, jnp.int32).reshape(1, 1)
+          if has_q_offset else None)
+    qo_spec = pl.BlockSpec((1, 1), lambda g, i, j: (0, 0),
+                           memory_space=pltpu.SMEM)
 
     common = dict(scale=scale, causal=causal, block_q=block_q,
                   block_k=block_k, kv_true_len=m, kv_pad_len=m_pad,
@@ -452,14 +488,18 @@ def _flash_bwd(q, k, v, kv_mask, out, lse, do, *, causal, scale):
             (None, 1, block_k), lambda g, i, j, h=h: (g // h, 0, i),
             memory_space=pltpu.VMEM))
         operands.append(kvm)
+    if has_q_offset:
+        in_specs.append(qo_spec)
+        operands.append(qo)
 
     def dkv_entry(*refs):
         refs = list(refs)
+        qo_ref = refs.pop(6 + has_kv_mask) if has_q_offset else None
         kvm_ref = refs.pop(6) if has_kv_mask else None
         (q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref,
          dk_ref, dv_ref, dk_scr, dv_scr) = refs
         _dkv_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, kvm_ref,
-                    dk_ref, dv_ref, dk_scr, dv_scr, **common)
+                    qo_ref, dk_ref, dv_ref, dk_scr, dv_scr, **common)
 
     dk, dv = pl.pallas_call(
         dkv_entry,
@@ -482,13 +522,17 @@ def _flash_bwd(q, k, v, kv_mask, out, lse, do, *, causal, scale):
             (None, 1, block_k), lambda g, i, j, h=h: (g // h, 0, j),
             memory_space=pltpu.VMEM))
         operands.append(kvm)
+    if has_q_offset:
+        in_specs.append(qo_spec)
+        operands.append(qo)
 
     def dq_entry(*refs):
         refs = list(refs)
+        qo_ref = refs.pop(6 + has_kv_mask) if has_q_offset else None
         kvm_ref = refs.pop(6) if has_kv_mask else None
         q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, dq_ref, dq_scr = refs
         _dq_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, kvm_ref,
-                   dq_ref, dq_scr, **common)
+                   qo_ref, dq_ref, dq_scr, **common)
 
     dq = pl.pallas_call(
         dq_entry,
@@ -507,7 +551,7 @@ def _flash_bwd(q, k, v, kv_mask, out, lse, do, *, causal, scale):
     return dq, dk, dv
 
 
-def _dense_bwd(q, k, v, bias, kv_mask, do, *, causal, scale):
+def _dense_bwd(q, k, v, bias, kv_mask, q_offset, do, *, causal, scale):
     """Exact dense backward for the bias path.  d(bias) is a dense (n, m)
     gradient by nature, so this allocates what dense attention would."""
     b, h, n, d = q.shape
@@ -519,8 +563,10 @@ def _dense_bwd(q, k, v, bias, kv_mask, do, *, causal, scale):
     s = s + bb.astype(jnp.float32)
     valid = jnp.ones((1, 1, n, m), bool)
     if causal:
-        valid = valid & (jnp.arange(m)[None, None, None, :]
-                         <= jnp.arange(n)[None, None, :, None])
+        q_pos = jnp.arange(n)[None, None, :, None]
+        if q_offset is not None:
+            q_pos = q_pos + jnp.asarray(q_offset, jnp.int32).reshape(())
+        valid = valid & (jnp.arange(m)[None, None, None, :] <= q_pos)
     if kv_mask is not None:
         valid = valid & (kv_mask[:, None, None, :] > 0)
     s = jnp.where(valid, s, NEG_INF)
@@ -549,27 +595,27 @@ def _make_fa(causal: bool, block_q, block_k, scale: float):
     """custom_vjp'd flash attention for one static (causal, tiles, scale)."""
 
     @jax.custom_vjp
-    def fa(q, k, v, bias, kv_mask):
-        return _flash_call(q, k, v, bias, kv_mask, causal=causal,
+    def fa(q, k, v, bias, kv_mask, q_offset):
+        return _flash_call(q, k, v, bias, kv_mask, q_offset, causal=causal,
                            block_q=block_q, block_k=block_k, scale=scale,
                            return_lse=False)
 
-    def fa_fwd(q, k, v, bias, kv_mask):
-        out, lse = _flash_call(q, k, v, bias, kv_mask, causal=causal,
-                               block_q=block_q, block_k=block_k, scale=scale,
-                               return_lse=True)
-        return out, (q, k, v, bias, kv_mask, out, lse)
+    def fa_fwd(q, k, v, bias, kv_mask, q_offset):
+        out, lse = _flash_call(q, k, v, bias, kv_mask, q_offset,
+                               causal=causal, block_q=block_q,
+                               block_k=block_k, scale=scale, return_lse=True)
+        return out, (q, k, v, bias, kv_mask, q_offset, out, lse)
 
     def fa_bwd(res, do):
-        q, k, v, bias, kv_mask, out, lse = res
+        q, k, v, bias, kv_mask, q_offset, out, lse = res
         if bias is not None:
-            dq, dk, dv, dbias = _dense_bwd(q, k, v, bias, kv_mask, do,
-                                           causal=causal, scale=scale)
+            dq, dk, dv, dbias = _dense_bwd(q, k, v, bias, kv_mask, q_offset,
+                                           do, causal=causal, scale=scale)
         else:
-            dq, dk, dv = _flash_bwd(q, k, v, kv_mask, out, lse, do,
+            dq, dk, dv = _flash_bwd(q, k, v, kv_mask, q_offset, out, lse, do,
                                     causal=causal, scale=scale)
             dbias = None
-        return dq, dk, dv, dbias, None
+        return dq, dk, dv, dbias, None, None
 
     fa.defvjp(fa_fwd, fa_bwd)
     return fa
@@ -587,7 +633,11 @@ def flash_attention(
     block_k: Optional[int] = None,
     scale: Optional[float] = None,
     kv_mask: Optional[jax.Array] = None,   # (b, m) 1 = real key (right-pad)
+    q_offset: Optional[jax.Array] = None,  # scalar: queries are the shard
+                                           # [off, off+n) of a longer causal
+                                           # sequence (context parallelism)
 ) -> jax.Array:
     d = q.shape[-1]
     scale = float(scale) if scale is not None else 1.0 / math.sqrt(d)
-    return _make_fa(causal, block_q, block_k, scale)(q, k, v, bias, kv_mask)
+    return _make_fa(causal, block_q, block_k, scale)(q, k, v, bias, kv_mask,
+                                                     q_offset)

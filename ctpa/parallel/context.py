@@ -17,10 +17,12 @@ Design notes:
   * Differentiable end-to-end: `jax.lax.all_gather` transposes to
     `psum_scatter` (producing the correct summed dK/dV shards) and the local
     attention is the custom-VJP flash kernel (ops/pallas/flash_attention).
-  * Causal attention is NOT supported here: the local flash kernel indexes
-    causality from position 0, and the LLM's sequence scaling need is served
-    by the KV cache + tensor parallelism (parallel/sharding.LLM_RULES).  The
-    target workload is the NON-causal fused volumetric sequence.
+  * Causal attention works through the flash kernel's dynamic `q_offset`:
+    each shard's queries are rows [idx*n/p, (idx+1)*n/p) of the global
+    sequence, so the kernel shifts its causal comparison by the shard offset
+    (read from SMEM; the diagonal-band grid skip stays active).  This is the
+    LLM-training sequence-parallel path; the fused volumetric sequence uses
+    the non-causal path.
 """
 
 from __future__ import annotations
@@ -34,12 +36,19 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 
-def _dense_attention(q, k, v, bias, kv_mask, scale):
+def _dense_attention(q, k, v, bias, kv_mask, scale, causal=False,
+                     q_offset=None):
+    n, m = q.shape[2], k.shape[2]
     s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                    preferred_element_type=jnp.float32) * scale
     if bias is not None:
         bb = bias if bias.ndim == 4 else bias[None]
         s = s + bb.astype(jnp.float32)
+    if causal:
+        q_pos = jnp.arange(n)[None, None, :, None]
+        if q_offset is not None:
+            q_pos = q_pos + jnp.asarray(q_offset, jnp.int32).reshape(())
+        s = jnp.where(jnp.arange(m)[None, None, None, :] <= q_pos, s, -1e30)
     if kv_mask is not None:
         s = jnp.where(kv_mask[:, None, None, :] > 0, s, -1e30)
     p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
@@ -56,10 +65,13 @@ def context_parallel_attention(
     kv_mask: Optional[jax.Array] = None,   # (b, n) 1 = real key
     scale: Optional[float] = None,
     impl: str = "flash",               # "flash" (pallas) | "dense" (XLA)
+    causal: bool = False,
 ) -> jax.Array:
-    """Exact non-causal attention with the sequence dim sharded over
-    ``axis``.  Inputs may be global (replicated) arrays or already sharded
-    with the matching specs; output is sequence-sharded the same way."""
+    """Exact attention with the sequence dim sharded over ``axis``.
+    Inputs may be global (replicated) arrays or already sharded with the
+    matching specs; output is sequence-sharded the same way.  causal=True
+    shifts each shard's causal mask by its global query offset (LLM
+    sequence parallelism)."""
     n = q.shape[2]
     p_size = mesh.shape[axis]
     if n % p_size != 0:
@@ -83,6 +95,8 @@ def context_parallel_attention(
         in_specs.append(P())           # key validity spans the full sequence
         args.append(kv_mask)
 
+    n_local = n // p_size
+
     def inner(*local):
         local = list(local)
         q_blk, k_blk, v_blk = local[:3]
@@ -90,12 +104,16 @@ def context_parallel_attention(
         kvm = local[3 + has_bias] if has_kvm else None
         k_full = jax.lax.all_gather(k_blk, axis, axis=2, tiled=True)
         v_full = jax.lax.all_gather(v_blk, axis, axis=2, tiled=True)
+        q_off = (jax.lax.axis_index(axis) * n_local).astype(jnp.int32) \
+            if causal else None
         if impl == "flash":
             from ctpa.ops.pallas.flash_attention import flash_attention
 
             return flash_attention(q_blk, k_full, v_full, bias=bias_blk,
-                                   scale=scale, kv_mask=kvm)
-        return _dense_attention(q_blk, k_full, v_full, bias_blk, kvm, scale)
+                                   scale=scale, kv_mask=kvm, causal=causal,
+                                   q_offset=q_off)
+        return _dense_attention(q_blk, k_full, v_full, bias_blk, kvm, scale,
+                                causal=causal, q_offset=q_off)
 
     fn = shard_map(inner, mesh=mesh, in_specs=tuple(in_specs),
                    out_specs=seq_spec, check_rep=False)

@@ -133,3 +133,41 @@ def test_ctvit_fused_encoder_cp_matches_unsharded(rng):
         got = cp.apply(params, video, method=lambda m, v: encode(m, v))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_cp_causal_matches_single_device(mesh, rng):
+    """Causal sequence parallelism: per-shard q_offset reproduces the global
+    causal mask (the LLM-training SP path)."""
+    b, h, n, d = 1, 2, 256, 32
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32) / np.sqrt(d)
+    causal = jnp.tril(jnp.ones((n, n), bool))
+    p = jax.nn.softmax(jnp.where(causal[None, None], s, -1e30), axis=-1)
+    want = jnp.einsum("bhnm,bhmd->bhnd", p, v)
+
+    got = context_parallel_attention(q, k, v, mesh, DATA_AXIS, impl="dense",
+                                     causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_cp_causal_flash_interpreted(rng):
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import Mesh
+
+    devs = np.asarray(jax.devices()[:2]).reshape(2, 1)
+    mesh2 = Mesh(devs, (DATA_AXIS, "model"))
+    b, h, n, d = 1, 1, 64, 32
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    want = context_parallel_attention(q, k, v, mesh2, DATA_AXIS, impl="dense",
+                                      causal=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = context_parallel_attention(q, k, v, mesh2, DATA_AXIS,
+                                         impl="flash", causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)

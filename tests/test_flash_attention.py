@@ -224,3 +224,46 @@ def test_llm_flash_prefill_grad(rng):
     norms = [float(jnp.linalg.norm(x)) for x in jax.tree.leaves(g)]
     assert all(np.isfinite(norms)), norms
     assert max(norms) > 0.0
+
+
+def test_flash_q_offset_matches_dense(rng):
+    """Dynamic q_offset (context-parallel causal shard): queries are rows
+    [off, off+n) of a longer sequence attending all m keys causally."""
+    b, h, n, m, d = 1, 2, 128, 384, 32
+    off = 128                                    # shard 1 of 3
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, m, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, m, d)), jnp.float32)
+
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32) / np.sqrt(d)
+    mask = (jnp.arange(m)[None, :] <= (jnp.arange(n)[:, None] + off))
+    p = jax.nn.softmax(jnp.where(mask[None, None], s, -1e30), axis=-1)
+    want = jnp.einsum("bhnm,bhmd->bhnd", p, v)
+
+    got = run_flash(q, k, v, causal=True, q_offset=jnp.int32(off))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_flash_q_offset_grads_match_dense(rng):
+    b, h, n, m, d = 1, 1, 128, 256, 32
+    off = 64
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, m, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, m, d)), jnp.float32)
+
+    def dense(q, k, v):
+        s = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32) / np.sqrt(d)
+        mask = (jnp.arange(m)[None, :] <= (jnp.arange(n)[:, None] + off))
+        p = jax.nn.softmax(jnp.where(mask[None, None], s, -1e30), axis=-1)
+        return jnp.einsum("bhnm,bhmd->bhnd", p, v)
+
+    def flash(q, k, v):
+        return flash_attention(q, k, v, causal=True, q_offset=jnp.int32(off))
+
+    with pltpu.force_tpu_interpret_mode():
+        (gq, gk, gv), (wq, wk, wv) = _loss_pair(
+            flash, dense, (q, k, v), (q, k, v), wrt=(0, 1, 2))
+    for g, w, name in ((gq, wq, "dq"), (gk, wk, "dk"), (gv, wv, "dv")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-3, atol=2e-3, err_msg=name)
