@@ -71,11 +71,14 @@ class PatchEmbed3D(nn.Module):
             # never materialises the patch layout in HBM (~2x XLA here)
             from ctpa.ops.pallas.patchify import patchify_project
 
+            # slabs travel in the COMPUTE dtype (matching the XLA path's
+            # pre-transpose cast below): bf16 halves the DMA bytes AND fits
+            # 3 h-rows per grid step instead of 1 (patchify._pick_hb)
             y = jax.vmap(
                 lambda v: patchify_project(
                     v, g_in, kernel, pt, p, p, eps=self.eps,
                     out_dtype=self.dtype)
-            )(video[:, 0].astype(jnp.float32))
+            )(video[:, 0].astype(self.dtype))
             y = y + ((b_in @ kernel) + proj_bias).astype(y.dtype)
             return nn.LayerNorm(epsilon=self.eps, dtype=self.dtype,
                                 name="norm_out")(y)

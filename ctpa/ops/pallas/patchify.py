@@ -4,11 +4,18 @@ The CTViT patch embed (b c (t pt) (h p1) (w p2) -> b t h w d with LN-Linear)
 costs ~14 ms/volume at shipped scale when expressed as a 6D transpose: the
 inner contiguous runs are only p2 elements (20 * 2B = 40 bytes), so HBM
 bandwidth utilisation collapses.  This kernel never materialises the patch
-layout in HBM: each grid step DMAs one (pt, p1, W) slab into VMEM, re-tiles it
-locally to (w_patches, patch_dim), computes the per-patch LayerNorm statistics
-in fp32, folds the LN scale, and feeds the MXU with a
-(w_patches, patch_dim) x (patch_dim, dim) matmul.  The LN bias term is a
-constant vector (kernel^T @ bias) added by the caller.
+layout in HBM: each grid step DMAs a (pt, hb, p1, W) multi-row slab into
+VMEM, re-tiles it locally to (w_patches, patch_dim) per h-row, computes the
+per-patch LayerNorm statistics in fp32, folds the LN scale, and feeds the
+MXU with (w_patches, patch_dim) x (patch_dim, dim) matmuls.  The LN bias
+term is a constant vector (kernel^T @ bias) added by the caller.
+
+Round-2 note: the first version used grid (t, h) = 576 steps of one h-row
+each; per-step sequencer overhead (~11 us) dominated at 6.4 ms/volume.
+Processing hb h-rows per step (grid (t, h/hb)) amortises the overhead —
+same math, ~8x fewer sequencer steps.  Slabs stay in the INPUT dtype: a bf16
+cast would quantize the LayerNorm statistics (tested exact vs the XLA
+LN-Linear composition).
 
 Interface matches PatchEmbed3D's math exactly (tested against the reference
 LN-Linear composition)."""
@@ -24,32 +31,64 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(x_ref, g_ref, k_ref, v2_ref, o_ref, *, pt: int, p1: int, p2: int,
-            eps: float):
-    """x_ref: (pt*p1, w, p2) slab view; g_ref: (pt*p1, p2) LN scale;
+            hb: int, eps: float):
+    """x_ref: (pt, hb, p1, w, p2) slab; g_ref: (pt*p1, p2) LN scale;
     k_ref: (pt*p1, p2, dim) projection; v2_ref: (1, dim) = sum_ap g*K.
 
     LayerNorm is folded algebraically so no (w, patch_dim) layout is ever
     formed (Mosaic cannot reshape the lane dim):
       out[w] = rsig[w] * sum_ap (x ∘ g) K  -  (mu[w] * rsig[w]) * v2
-    The contraction runs as ONE dot_general with two contracting dims
-    ((a, p2) x (a, p2)) straight onto the MXU."""
-    x = x_ref[:].astype(jnp.float32)
-    x = x.reshape(pt * p1, x.shape[-2], p2)              # (a, w, p2): leading
-    pd = pt * p1 * p2                                    # merge only, lane dim intact
-    mu = jnp.sum(x, axis=(0, 2)) / pd                    # (w,)
-    m2 = jnp.sum(jnp.square(x), axis=(0, 2)) / pd
-    rsig = jax.lax.rsqrt(m2 - jnp.square(mu) + eps)      # (w,)
-    scaled = x * g_ref[:].astype(jnp.float32)[:, None, :]
-    # batched matmul over a then reduce (Mosaic supports single contracting
-    # dim only): (a, w, p2) x (a, p2, d) -> (a, w, d) -> sum_a -> (w, d)
-    per = jax.lax.dot_general(
-        scaled.astype(k_ref.dtype), k_ref[:],
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    acc = jnp.sum(per, axis=0)                           # (w, dim)
-    out = rsig[:, None] * acc - (mu * rsig)[:, None] * v2_ref[0].astype(jnp.float32)[None, :]
-    o_ref[:] = out.astype(o_ref.dtype)
+    The contraction runs as a dot_general with batch dim a = pt*p1 and
+    contracting dim p2, then a sum over a."""
+    g = g_ref[:].astype(jnp.float32)[:, None, :]         # (a, 1, p2)
+    kv = k_ref[:]
+    v2 = v2_ref[0].astype(jnp.float32)[None, :]
+    pd = pt * p1 * p2
+    w_ = x_ref.shape[-2]
+
+    # fori_loop (not unrolled): the batched dot's (a, w, dim) fp32
+    # intermediate is ~10 MB — one live instance fits VMEM, hb don't
+    def body(j, carry):
+        x = x_ref[:, pl.ds(j, 1)][:, 0]                  # (pt, p1, w, p2)
+        x = x.astype(jnp.float32).reshape(pt * p1, w_, p2)  # (a, w, p2)
+        mu = jnp.sum(x, axis=(0, 2)) / pd                # lane dim intact
+        m2 = jnp.sum(jnp.square(x), axis=(0, 2)) / pd
+        rsig = jax.lax.rsqrt(m2 - jnp.square(mu) + eps)  # (w,)
+        scaled = x * g
+        # (a, w, p2) x (a, p2, d) -> (a, w, d) -> sum_a -> (w, d), chunked
+        # over a so the fp32 intermediate stays ~1.2 MB (not a*w*dim)
+        CH = 25
+        a_total = pt * p1
+        acc = None
+        for c0 in range(0, a_total, CH):
+            per = jax.lax.dot_general(
+                scaled[c0:c0 + CH].astype(kv.dtype), kv[c0:c0 + CH],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            part = jnp.sum(per, axis=0)
+            acc = part if acc is None else acc + part    # (w, dim)
+        out = rsig[:, None] * acc - (mu * rsig)[:, None] * v2
+        o_ref[pl.ds(j, 1)] = out[None].astype(o_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, hb, body, 0)
+
+
+def _pick_hb(h: int, pt: int, p1: int, w: int, p2: int,
+             itemsize: int) -> int:
+    """Largest divisor of h fitting VMEM: the slab's p2-minor lane dim pads
+    to 128, so the double-buffered input block costs
+    2 * hb * pt*p1*w*128*itemsize bytes; leave ~7 MB for the fp32 row copy,
+    the scaled operand and the chunked dot intermediate.  bf16 volumes (the
+    full-scale model path) fit 2-4 rows per step; fp32 stays at 1."""
+    padded_row = pt * p1 * w * 128 * itemsize
+    cap = max(1, ((16 << 20) - (7 << 20)) // max(2 * padded_row, 1))
+    best = 1
+    for c in range(1, h + 1):
+        if h % c == 0 and c <= cap:
+            best = c
+    return best
 
 
 @functools.partial(jax.jit, static_argnames=("pt", "p1", "p2", "eps", "out_dtype"))
@@ -66,30 +105,31 @@ def patchify_project(
     t, h, w = T // pt, H // p1, W // p2
     dim = kernel.shape[1]
     a = pt * p1
+    hb = _pick_hb(h, pt, p1, w, p2, volume.dtype.itemsize)
     # free views (no data movement): slab (t, pt, h, p1, w, p2) -> blocks are
-    # (a, w, p2) per (t, h); kernel laid out (a, p2, dim) to match the
-    # reference Dense feature order (c pt p1 p2)
+    # (pt, hb, p1, w, p2) per (t, h-block); kernel laid out (a, p2, dim) to
+    # match the reference Dense feature order (c pt p1 p2)
     xv = volume.reshape(t, pt, h, p1, w, p2)
     gk = g.reshape(a, p2)
     kv = kernel.reshape(a, p2, dim).astype(out_dtype)
     v2 = jnp.einsum("ap,apd->d", gk, kernel.reshape(a, p2, dim),
                     preferred_element_type=jnp.float32)[None, :]
-    kern = functools.partial(_kernel, pt=pt, p1=p1, p2=p2, eps=eps)
+    kern = functools.partial(_kernel, pt=pt, p1=p1, p2=p2, hb=hb, eps=eps)
 
     def xmap(i, j):
         return (i, 0, j, 0, 0, 0)
 
     out = pl.pallas_call(
         kern,
-        grid=(t, h),
+        grid=(t, h // hb),
         in_specs=[
-            pl.BlockSpec((None, pt, None, p1, w, p2), xmap,
+            pl.BlockSpec((None, pt, hb, p1, w, p2), xmap,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, None, w, dim), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((None, hb, w, dim), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, h, w, dim), out_dtype),
     )(xv, gk, kv, v2)
