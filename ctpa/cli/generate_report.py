@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ctpa.core.checkpoint import CheckpointManager
 from ctpa.core.config import (
-    CTViTConfig, LLMConfig, PreprocessConfig, ReportGenConfig,
+    CTViTConfig, LLMConfig, LoRAConfig, PreprocessConfig, ReportGenConfig,
 )
 from ctpa.data.datasets import ReportGenDataset, VQADataset
 from ctpa.data.tokenizer import HFTokenizer, SimpleWordTokenizer
@@ -104,6 +104,10 @@ def main(argv=None):
                    help="weight-only int8 serving quantization of the LLM "
                         "(ops/quant.py): ~half the weight HBM, bigger "
                         "batches/caches per chip")
+    p.add_argument("--lora-rank", type=int, default=16,
+                   help="LoRA rank the checkpoint was trained with (0 = no "
+                        "LoRA); must match cli/train_report.py")
+    p.add_argument("--lora-alpha", type=float, default=32.0)
     args = p.parse_args(argv)
 
     if args.tiny:
@@ -114,8 +118,13 @@ def main(argv=None):
         import dataclasses
 
         llm_cfg = dataclasses.replace(llm_cfg, weight_quant="int8")
+    lora = (LoRAConfig(rank=args.lora_rank, alpha=args.lora_alpha)
+            if args.lora_rank > 0 else None)
     gen_cfg = ReportGenConfig()
-    model = CTReportGenerator(llm_cfg, vit_cfg, gen_cfg)
+    # int8 serving merges the LoRA deltas into the base weights
+    # (quantize_tree below), so the quantized model carries no adapters
+    model = CTReportGenerator(llm_cfg, vit_cfg, gen_cfg,
+                              lora=None if args.quant == "int8" else lora)
     tokenizer = (HFTokenizer(args.tokenizer) if args.tokenizer
                  else SimpleWordTokenizer(vocab_size=llm_cfg.vocab_size))
 
@@ -128,7 +137,7 @@ def main(argv=None):
     if args.quant == "int8":
         from ctpa.ops.quant import quantize_tree
 
-        params = quantize_tree(params)
+        params = quantize_tree(params, lora=lora)
 
     ds = (ReportGenDataset if args.mode == "report" else VQADataset)(args.jsonl)
     n = min(len(ds), args.max_samples) if args.max_samples else len(ds)

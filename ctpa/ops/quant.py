@@ -129,10 +129,18 @@ def int8_matmul(
 def quantize_tree(params, *, targets: tuple[str, ...] = (
         "q_proj", "k_proj", "v_proj", "o_proj",
         "gate_proj", "up_proj", "down_proj", "lm_head"),
-        fuse: bool = True):
+        fuse: bool = True,
+        lora=None):
     """Convert an LLM param tree for int8 serving: every `kernel` leaf under
     a targeted projection becomes {kernel_q: int8, scale: f32}.  The tree
     then matches what `Int8Dense` (models/llm.py) expects.
+
+    If the tree carries trained LoRA adapters (lora_a/lora_b leaves), pass
+    the `LoRAConfig` used in training: the deltas are merged into the base
+    kernels (W + alpha/rank A@B, models/lora.merge_lora_scaled) BEFORE
+    quantization and the adapter leaves are dropped from the output.
+    Quantizing a LoRA tree WITHOUT the config raises — silently quantizing
+    only the frozen base would serve the un-fine-tuned model.
 
     fuse=True additionally merges q/k/v -> qkv_proj and gate/up ->
     gateup_proj along the output axis (the layout `LLMConfig.quant_fused`
@@ -140,6 +148,21 @@ def quantize_tree(params, *, targets: tuple[str, ...] = (
     EXACT, and it cuts the pallas launches per decode step from 7 to 4 per
     layer — launch overhead is the gap to bf16 at batch 8
     (docs/benchmarks.md)."""
+    leaf_keys = [
+        tuple(getattr(p, "key", getattr(p, "name", str(p))) for p in kp)
+        for kp, _ in jax.tree_util.tree_flatten_with_path(params)[0]
+    ]
+    has_lora = any(k[-1] in ("lora_a", "lora_b") for k in leaf_keys)
+    if has_lora:
+        if lora is None:
+            raise ValueError(
+                "param tree contains LoRA adapters (lora_a/lora_b); pass the "
+                "training LoRAConfig so the deltas are merged before "
+                "quantization (quantize_tree(..., lora=cfg))")
+        from ctpa.models.lora import merge_lora_scaled
+
+        params = merge_lora_scaled(params, lora.alpha, lora.rank)
+
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     out: dict = {}
     pending: dict = {}   # parent-path tuple -> {proj_name: kernel}
@@ -157,6 +180,8 @@ def quantize_tree(params, *, targets: tuple[str, ...] = (
 
     for kp, leaf in flat:
         keys = [getattr(k, "key", getattr(k, "name", str(k))) for k in kp]
+        if has_lora and keys[-1] in ("lora_a", "lora_b"):
+            continue                     # merged above; Int8Dense has no slot
         if keys[-1] == "kernel" and any(t in keys for t in targets):
             # LoRADense nests its frozen projection as <proj>/base/kernel;
             # Int8Dense replaces the whole LoRADense, so collapse that level
@@ -174,11 +199,23 @@ def quantize_tree(params, *, targets: tuple[str, ...] = (
             assign(out, keys, leaf)
 
     for parent, kernels in pending.items():
+        consumed = set()
         for fused_name, members in FUSE_GROUPS.items():
-            if not all(m in kernels for m in members):
+            if not any(m in kernels for m in members):
                 continue
+            if not all(m in kernels for m in members):
+                missing = [m for m in members if m not in kernels]
+                raise ValueError(
+                    f"fuse group {fused_name} incomplete under "
+                    f"{'/'.join(map(str, parent))}: missing {missing} "
+                    f"(pass fuse=False or include all group members in "
+                    f"targets)")
             w = jnp.concatenate([kernels[m] for m in members], axis=1)
             w8, s = quantize_int8(w)
             assign(out, list(parent) + [fused_name, "kernel_q"], w8)
             assign(out, list(parent) + [fused_name, "scale"], s)
+            consumed.update(members)
+        leftover = set(kernels) - consumed
+        if leftover:
+            raise AssertionError(f"unconsumed fused members {leftover}")
     return out

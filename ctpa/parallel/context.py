@@ -38,6 +38,10 @@ from jax.experimental.shard_map import shard_map
 
 def _dense_attention(q, k, v, bias, kv_mask, scale, causal=False,
                      q_offset=None):
+    # KEEP IN SYNC with the mask semantics in ops/pallas/flash_attention.py
+    # (_attn_kernel / _bwd_p / _dense_bwd): q_offset shift, kv_mask > 0
+    # threshold, -1e30 fill.  This is the XLA oracle those kernels are
+    # tested against.
     n, m = q.shape[2], k.shape[2]
     s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                    preferred_element_type=jnp.float32) * scale

@@ -52,15 +52,22 @@ def make_report_optimizer(
     """
 
     labels = trainable_labels(params, train_full_llm)
-    groups = {
-        "head": optax.adamw(onecycle(gen_cfg.cross_attn_lr, total_steps), weight_decay=1e-2),
-        "llm": optax.adamw(onecycle(gen_cfg.llm_lr, total_steps), weight_decay=1e-2),
-        "frozen": optax.set_to_zero(),
-    }
+    groups = {**_opt_groups(gen_cfg, total_steps), "frozen": optax.set_to_zero()}
     return optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.multi_transform(groups, labels),
     )
+
+
+def _opt_groups(gen_cfg: ReportGenConfig, total_steps: int) -> dict:
+    """The two-LR AdamW groups (train_module.py:363-369) — single source for
+    both the full-tree-masked and the partitioned optimizer variants."""
+    return {
+        "head": optax.adamw(onecycle(gen_cfg.cross_attn_lr, total_steps),
+                            weight_decay=1e-2),
+        "llm": optax.adamw(onecycle(gen_cfg.llm_lr, total_steps),
+                           weight_decay=1e-2),
+    }
 
 
 def make_report_train_step(model: CTReportGenerator, tx: optax.GradientTransformation):
@@ -126,15 +133,7 @@ def make_partitioned_report_step(
 
     tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
-        optax.multi_transform(
-            {
-                "head": optax.adamw(onecycle(gen_cfg.cross_attn_lr, total_steps),
-                                    weight_decay=1e-2),
-                "llm": optax.adamw(onecycle(gen_cfg.llm_lr, total_steps),
-                                   weight_decay=1e-2),
-            },
-            sub_labels,
-        ),
+        optax.multi_transform(_opt_groups(gen_cfg, total_steps), sub_labels),
     )
 
     def step(state: SimpleTrainState, batch):

@@ -156,3 +156,57 @@ def test_quantized_model_serves_in_batcher(rng, tmp_path):
     results = batcher.run_until_done()
     assert len(results) == 2
     assert all(len(r.tokens) == 6 for r in results.values())
+
+
+def test_quantize_tree_merges_lora():
+    """Trained LoRA deltas must survive int8 serving: quantize_tree merges
+    W + alpha/rank A@B before quantizing, and refuses a LoRA tree without
+    the config (silently serving the un-fine-tuned base is the failure the
+    guard prevents)."""
+    from ctpa.core.config import LLMConfig, LoRAConfig
+    from ctpa.models.llm import LlamaForCausalLM
+    from ctpa.models.lora import merge_lora_scaled
+
+    lora = LoRAConfig(rank=4, alpha=8.0, target_projections=("q_proj", "v_proj"))
+    cfg = LLMConfig.tiny()
+    model = LlamaForCausalLM(cfg, lora=lora)
+    rng = np.random.default_rng(0)
+    b, n = 1, 8
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size, size=(b, n)), jnp.int32)
+    mask = jnp.ones((b, n), jnp.int32)
+    params = model.init(jax.random.key(0), ids, mask)
+    # give the adapters non-trivial weight (lora_b inits to zero)
+    params = jax.tree_util.tree_map_with_path(
+        lambda kp, x: x + 0.05 if "lora_b" in jax.tree_util.keystr(kp) else x,
+        params)
+
+    with pytest.raises(ValueError):
+        quantize_tree(params)
+
+    qp = quantize_tree(params, lora=lora)
+    keys = [jax.tree_util.keystr(kp)
+            for kp, _ in jax.tree_util.tree_flatten_with_path(qp)[0]]
+    assert not any("lora_" in k for k in keys)
+
+    # the quantized model must track the MERGED model, not the base
+    merged = merge_lora_scaled(params, lora.alpha, lora.rank)
+    want, _, _ = model.apply(merged, ids, mask)
+    cfg_q = dataclasses.replace(cfg, weight_quant="int8", quant_impl="xla")
+    qm = LlamaForCausalLM(cfg_q)
+    got, _, _ = qm.apply(qp, ids, mask)
+    w = np.asarray(want, np.float32)
+    g = np.asarray(got, np.float32)
+    assert np.abs(g - w).max() / (np.abs(w).max() + 1e-9) < 0.05
+    assert (g.argmax(-1) == w.argmax(-1)).mean() > 0.95
+
+
+def test_quantize_tree_incomplete_fuse_group_raises():
+    from ctpa.core.config import LLMConfig
+    from ctpa.models.llm import LlamaForCausalLM
+
+    cfg = LLMConfig.tiny()
+    model = LlamaForCausalLM(cfg)
+    ids = jnp.zeros((1, 4), jnp.int32)
+    params = model.init(jax.random.key(0), ids, jnp.ones((1, 4), jnp.int32))
+    with pytest.raises(ValueError):
+        quantize_tree(params, targets=("q_proj", "o_proj"))
