@@ -33,6 +33,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
+# jax.shard_map (>=0.8) renames check_rep -> check_vma; keep the
+# experimental import until the pinned jax drops it
 from jax.experimental.shard_map import shard_map
 
 

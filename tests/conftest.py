@@ -31,3 +31,17 @@ def mesh8():
     from ctpa.core.mesh import create_mesh
 
     return create_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+
+
+@pytest.fixture(autouse=True)
+def _hang_watchdog():
+    """Interpret-mode pallas tests very rarely deadlock (0% CPU, io-callback
+    race inside JAX's interpreter; observed ~1/300 runs).  A silent hang
+    wastes a whole CI slot — instead dump every thread's stack and kill the
+    run after 15 min so the log shows WHERE it stuck.  The timer is re-armed
+    per test and cancelled on completion; no passing test is affected."""
+    import faulthandler
+
+    faulthandler.dump_traceback_later(900, exit=True)
+    yield
+    faulthandler.cancel_dump_traceback_later()
