@@ -144,7 +144,9 @@ def main():
 
     ts = []
     for i in range(3):
-        batch2 = {**batch, "input_ids": (ids + i + 1) % llm_cfg.vocab_size + 1}
+        # keep perturbed ids in [1, vocab_size-1]: `% vocab + 1` could yield
+        # id == vocab_size (one past the table; XLA clamps the gather silently)
+        batch2 = {**batch, "input_ids": (ids + i) % (llm_cfg.vocab_size - 1) + 1}
         t0 = time.time()
         state, m = step(state, batch2)
         _ = float(m["loss"])

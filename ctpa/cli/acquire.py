@@ -46,9 +46,9 @@ def cmd_download(args) -> int:
               "artifacts in.", file=sys.stderr)
         return 2
     path = kagglehub.dataset_download(args.dataset)
-    os.makedirs(args.out, exist_ok=True)
-    for entry in os.listdir(path):
-        shutil.copy2(os.path.join(path, entry), args.out)
+    # Kaggle CT datasets are nested directory trees (kaggle_data.ipynb cells
+    # 3-9 unzip into per-scan subdirs); copy the whole tree, not just files.
+    shutil.copytree(path, args.out, dirs_exist_ok=True)
     print(f"downloaded {args.dataset} -> {args.out}")
     return 0
 

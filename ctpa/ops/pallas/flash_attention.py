@@ -637,6 +637,11 @@ def flash_attention(
                                            # [off, off+n) of a longer causal
                                            # sequence (context parallelism)
 ) -> jax.Array:
+    """Causal alignment: with `causal=True` and no `q_offset`, masking is
+    TOP-LEFT aligned (query row i attends to keys [0, i]).  For rectangular
+    inputs (n_q < n_kv, e.g. decode-style suffix queries) the usual
+    bottom-right alignment requires `q_offset = n_kv - n_q`; pass it
+    explicitly — it is not inferred."""
     d = q.shape[-1]
     scale = float(scale) if scale is not None else 1.0 / math.sqrt(d)
     return _make_fa(causal, block_q, block_k, scale)(q, k, v, bias, kv_mask,

@@ -108,6 +108,8 @@ def negotiate_param_formats(
     cache_dtype=jnp.bfloat16,
     temperature: float = 0.7,
     greedy: bool = False,
+    eos_token_id: int = 2,
+    pad_token_id: int = 0,
 ):
     """AOT-lower the decode-chunk program with AUTO parameter layouts and
     return the negotiated formats pytree (compile is chipless).
@@ -121,9 +123,12 @@ def negotiate_param_formats(
     prefer the same dot layouts; measured in bench_decode --size 7b)."""
     from jax.experimental.layout import Format, Layout
 
+    # Specialize with the SAME eos/pad/sampling constants the batcher will
+    # serve with — a differently-specialized program could negotiate layouts
+    # that reintroduce the in-program copies this function exists to avoid.
     _, decode_chunk = _decode_fns(
-        model, eos_token_id=2, pad_token_id=0, temperature=temperature,
-        greedy=greedy, steps_per_sync=steps_per_sync)
+        model, eos_token_id=eos_token_id, pad_token_id=pad_token_id,
+        temperature=temperature, greedy=greedy, steps_per_sync=steps_per_sync)
 
     cache_s = jax.eval_shape(
         lambda: KVCache.create(model.llm_cfg, num_lanes, max_len, dtype=cache_dtype))

@@ -120,6 +120,14 @@ def make_partitioned_report_step(
     so the gradient tree is the LoRA+head subset (~MBs at 7B) and a 7B LoRA
     fine-tune fits a single chip.
 
+    Grad-clip semantics differ from `make_report_train_step`: here the global
+    norm is computed over the TRAINABLE leaves only (the mathematically
+    meaningful norm — frozen leaves receive no updates), whereas the masked
+    variant clips over the full gradient tree before masking.  The same
+    `grad_clip` value therefore yields different effective update magnitudes
+    between the two variants; LR schedules / checkpoints tuned on one are not
+    directly comparable to the other.
+
     Returns (step_fn, init_opt_state): `step_fn(state, batch)` with
     `state.opt_state` being the optimizer state over the trainable-leaf
     list (checkpoint it as-is)."""
