@@ -65,6 +65,14 @@ class CTViTConfig:
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
     use_vq: bool = True             # vector-quantized bottleneck (ctvit.py:187)
+    # Reproduce the reference PEG's temporal-fold layout scramble
+    # (attention.py:56-84 reshapes the (b*h*w, t, d) fold straight to
+    # (b, t, h, w, d), row-major mismatch).  ctpa's default (False) transposes
+    # correctly — the right behavior for training from scratch — but
+    # CT-CLIP_v2.pt was TRAINED with the scramble, so imported reference
+    # checkpoints only reproduce reference activations with this True
+    # (build_ctclip auto-sets it when loading a torch .pt checkpoint).
+    peg_reference_layout: bool = False
     vq_decay: float = 0.99          # EMA codebook decay
     vq_commitment_weight: float = 1.0
     # fused full-sequence attention over all t*h*w tokens via the pallas flash
@@ -195,6 +203,12 @@ class LLMConfig:
     # because scales are per-output-channel.  quantize_tree(fuse=...) must
     # match this flag.
     quant_fused: bool = True
+    # run the whole SwiGLU FFN as ONE pallas launch (ops/quant.int8_ffn):
+    # gate/up/silu*mul/down fused, the (m, intermediate) activation never
+    # leaves VMEM, launch count per layer drops 4 -> 3.  Requires
+    # quantize_tree(..., ffn_kernel=True) (gate/up/down quantized separately,
+    # no gateup concat).
+    quant_ffn_kernel: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -215,6 +215,20 @@ def _ctvit_transformer(sd: Mapping[str, Array], name: str, depth: int,
     return out
 
 
+def _patch_embed(sd: Mapping[str, Array], prefix: str) -> dict:
+    """Reference `to_patch_emb` Sequential (ctvit.py:169-174: Rearrange, LN,
+    Linear, LN) -> ctpa PatchEmbed3D flat params."""
+    p = prefix
+    return {
+        # conv-path PatchEmbed3D keeps the same math with flat params
+        "norm_in_scale": _np(sd[f"{p}to_patch_emb.1.weight"]),
+        "norm_in_bias": _np(sd[f"{p}to_patch_emb.1.bias"]),
+        "proj_kernel": _np(sd[f"{p}to_patch_emb.2.weight"]).T,
+        "proj_bias": _np(sd[f"{p}to_patch_emb.2.bias"]),
+        "norm_out": _ln(sd, f"{p}to_patch_emb.3"),
+    }
+
+
 def import_ctvit(sd: Mapping[str, Array], spatial_depth: int, temporal_depth: int,
                  prefix: str = "", cpb_layers: int = 2) -> dict:
     """Reference CTViT state_dict (ctvit.py:117-224 module tree, lucidrains
@@ -222,14 +236,7 @@ def import_ctvit(sd: Mapping[str, Array], spatial_depth: int, temporal_depth: in
     uses; decoder `to_pixels` is mapped when present."""
     p = prefix
     params: dict[str, Any] = {
-        "patch_embed": {
-            # conv-path PatchEmbed3D keeps the same math with flat params
-            "norm_in_scale": _np(sd[f"{p}to_patch_emb.1.weight"]),
-            "norm_in_bias": _np(sd[f"{p}to_patch_emb.1.bias"]),
-            "proj_kernel": _np(sd[f"{p}to_patch_emb.2.weight"]).T,
-            "proj_bias": _np(sd[f"{p}to_patch_emb.2.bias"]),
-            "norm_out": _ln(sd, f"{p}to_patch_emb.3"),
-        },
+        "patch_embed": _patch_embed(sd, p),
         "spatial_rel_pos_bias": {},
     }
     cpb: dict[str, Any] = {}
@@ -278,6 +285,80 @@ def import_ctclip(sd: Mapping[str, Array], bert_cfg: BertConfig,
             cs = _np(sd[key])
             extras["vq_cluster_size"] = cs[0] if cs.ndim == 2 else cs
     return params, extras
+
+
+def import_cross_attention(sd: Mapping[str, Array], prefix: str = "") -> dict:
+    """Reference CrossAttentionLayer (model_components.py:82-138) -> ctpa
+    CrossAttentionLayer params.
+
+    The reference projects TWICE: its own query/key/value Linears feed a torch
+    nn.MultiheadAttention which applies its in_proj again.  Two consecutive
+    affine maps fuse exactly into one — W = W_mha @ W_pre,
+    b = W_mha @ b_pre + b_mha — so ctpa's single q/k/v Denses reproduce the
+    reference numerics with no extra parameters."""
+    p = prefix
+    d = _np(sd[f"{p}query.weight"]).shape[0]
+    in_w = _np(sd[f"{p}multihead.in_proj_weight"])      # (3d, d)
+    in_b = _np(sd[f"{p}multihead.in_proj_bias"])        # (3d,)
+    mha = {
+        "q": (in_w[:d], in_b[:d]),
+        "k": (in_w[d:2 * d], in_b[d:2 * d]),
+        "v": (in_w[2 * d:], in_b[2 * d:]),
+    }
+
+    def fused(name: str) -> dict:
+        w_pre = _np(sd[f"{p}{name if name != 'q' else 'query'}.weight"])
+        b_pre = _np(sd[f"{p}{name if name != 'q' else 'query'}.bias"])
+        w_mha, b_mha = mha[name]
+        return {"kernel": (w_mha @ w_pre).T, "bias": w_mha @ b_pre + b_mha}
+
+    return {
+        "q": fused("q"),
+        "k": {"kernel": (mha["k"][0] @ _np(sd[f"{p}key.weight"])).T,
+              "bias": mha["k"][0] @ _np(sd[f"{p}key.bias"]) + mha["k"][1]},
+        "v": {"kernel": (mha["v"][0] @ _np(sd[f"{p}value.weight"])).T,
+              "bias": mha["v"][0] @ _np(sd[f"{p}value.bias"]) + mha["v"][1]},
+        "out": _lin(sd, f"{p}multihead.out_proj"),
+        "norm": _ln(sd, f"{p}norm"),
+    }
+
+
+def import_report_generator(sd: Mapping[str, Array], llm_cfg: LLMConfig) -> dict:
+    """Reference CTReportGenerator state_dict (model_components.py:140-191:
+    llm + RobustVisionFeatureExtractor + CrossAttentionLayer) -> ctpa
+    CTReportGenerator params.
+
+    Handles both a plain HF LLM ('llm.model.layers...') and a peft-wrapped
+    dump ('llm.base_model.model.model.layers...', peft>=0.6 'base_layer'
+    naming collapsed onto the base weights).  The vision trunk maps the
+    patch-embed stage only — the reference extractor uses nothing deeper
+    (model_components.py:49-71)."""
+    sd = dict(sd)
+    if any(k.startswith("llm.base_model.model.") for k in sd):
+        remap = {}
+        for k, v in sd.items():
+            k2 = k.replace("llm.base_model.model.", "llm.", 1)
+            k2 = k2.replace(".base_layer.weight", ".weight")
+            remap[k2] = v
+        sd = remap
+
+    vfe_prefix = next(
+        (f"vision_feature_extractor.{name}."
+         for name in ("vision_encoder", "ctclip.visual_transformer")
+         if f"vision_feature_extractor.{name}.to_patch_emb.1.weight" in sd),
+        None)
+    if vfe_prefix is None:
+        raise KeyError("no vision_feature_extractor patch-embed weights in checkpoint")
+
+    return {
+        "llm": import_llama(sd, llm_cfg, prefix="llm."),
+        "vision_feature_extractor": {
+            "ctvit": {"patch_embed": _patch_embed(sd, vfe_prefix)},
+            "proj": _lin(sd, "vision_feature_extractor.projection.0"),
+            "norm": _ln(sd, "vision_feature_extractor.projection.1"),
+        },
+        "cross_attention": import_cross_attention(sd, prefix="cross_attention."),
+    }
 
 
 def load_hf_snapshot(directory: str) -> dict:

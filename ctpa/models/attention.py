@@ -45,7 +45,8 @@ class GEGLU(nn.Module):
     @nn.compact
     def __call__(self, x):
         x, gate = jnp.split(x, 2, axis=-1)
-        return x * nn.gelu(gate)
+        # torch F.gelu defaults to the exact erf form (attention.py:44)
+        return x * nn.gelu(gate, approximate=False)
 
 
 class FeedForward(nn.Module):
@@ -79,6 +80,9 @@ class PEG(nn.Module):
 
     dim: int
     causal: bool = True
+    # reproduce the reference's temporal-fold scramble for imported
+    # checkpoints (see CTViTConfig.peg_reference_layout)
+    reference_layout: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -94,7 +98,12 @@ class PEG(nn.Module):
             grid = x.reshape(b, t, h, w, d)
         elif fold == "temporal":    # (b*h*w, t, d)
             b = B // (h * w)
-            grid = x.reshape(b, h, w, t, d).transpose(0, 3, 1, 2, 4)
+            if self.reference_layout:
+                # reference scramble: flat (b*h*w, t) elements reinterpreted
+                # row-major as (b, t, h, w) — attention.py:69 x.reshape(*shape)
+                grid = x.reshape(b, t, h, w, d)
+            else:
+                grid = x.reshape(b, h, w, t, d).transpose(0, 3, 1, 2, 4)
         else:                       # (b, t*h*w, d)
             b = B
             grid = x.reshape(b, t, h, w, d)
@@ -103,6 +112,8 @@ class PEG(nn.Module):
         if fold == "spatial":
             return out.reshape(B, n, d)
         if fold == "temporal":
+            if self.reference_layout:
+                return out.reshape(B, n, d)
             return out.transpose(0, 2, 3, 1, 4).reshape(B, n, d)
         return out.reshape(B, n, d)
 
@@ -138,12 +149,18 @@ class CosineAttention(nn.Module):
         bias: Optional[jax.Array] = None,
     ):
         inner = self.heads * self.dim_head
+        # Reference quirk (attention.py:136-143): `kv_input = default(context,
+        # x)` is taken BEFORE `x = self.norm(x)`, so self-attention K/V are
+        # projected from the UN-normalized input while Q sees the pre-norm.
+        # Preserved exactly — imported reference checkpoints depend on it
+        # (oracle-verified in tests/test_reference_oracle.py).
+        raw = x
         x = LayerNorm(dtype=self.dtype, name="norm")(x)
         if context is not None:
             kv_in = (LayerNorm(dtype=self.dtype, name="context_norm")(context)
                      if self.norm_context else context)
         else:
-            kv_in = x
+            kv_in = raw
 
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         kv = nn.Dense(inner * 2, use_bias=False, dtype=self.dtype, name="to_kv")(kv_in)
@@ -261,6 +278,7 @@ class Transformer(nn.Module):
     cross_attend: bool = False
     peg: bool = False
     peg_causal: bool = True
+    peg_reference_layout: bool = False
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
     remat: bool = False
@@ -277,8 +295,9 @@ class Transformer(nn.Module):
         for i in range(self.depth):
             if self.peg:
                 # reference applies PEG in EVERY layer (attention.py:302-324)
-                x = PEG(dim=self.dim, causal=self.peg_causal, dtype=self.dtype,
-                        name=f"peg_{i}")(x, shape3d, fold)
+                x = PEG(dim=self.dim, causal=self.peg_causal,
+                        reference_layout=self.peg_reference_layout,
+                        dtype=self.dtype, name=f"peg_{i}")(x, shape3d, fold)
             x = block_cls(
                 dim=self.dim, heads=self.heads, dim_head=self.dim_head,
                 ff_mult=self.ff_mult, causal=self.causal,

@@ -129,7 +129,9 @@ class CTViT(nn.Module):
         tkw = dict(
             dim=c.dim, heads=c.heads, dim_head=c.dim_head, ff_mult=c.ff_mult,
             attn_dropout=c.attn_dropout, ff_dropout=c.ff_dropout,
-            peg=True, peg_causal=True, dtype=self.dtype, remat=self.remat,
+            peg=True, peg_causal=True,
+            peg_reference_layout=c.peg_reference_layout,
+            dtype=self.dtype, remat=self.remat,
         )
         self.enc_spatial = Transformer(depth=c.spatial_depth, name="enc_spatial_transformer", **tkw)
         self.enc_temporal = Transformer(depth=c.temporal_depth, name="enc_temporal_transformer", **tkw)

@@ -74,7 +74,7 @@ class _Block(nn.Module):
         x = x + nn.Dense(d, use_bias=False, name="to_out")(out)
         y = nn.LayerNorm(name="ff_norm")(x)
         y = nn.Dense(d * self.ff_mult, name="ff_in")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)   # torch F.gelu exact form
         return x + nn.Dense(d, name="ff_out")(y)
 
 

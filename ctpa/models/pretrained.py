@@ -56,9 +56,23 @@ def build_ctclip(
     bert_weights: local HF BertModel snapshot to initialize the text tower
     when no full CLIP checkpoint is given.
     """
+    import os
+
+    explicit_vit_cfg = vit_cfg is not None
     vit_cfg = vit_cfg or CTViTConfig()
     bert_cfg = bert_cfg or BertConfig()
     clip_cfg = clip_cfg or CTCLIPConfig()
+
+    if (checkpoint_path and not os.path.isdir(checkpoint_path)
+            and not explicit_vit_cfg and not vit_cfg.peg_reference_layout):
+        # A torch .pt checkpoint is a REFERENCE artifact: its weights were
+        # trained with the reference PEG's temporal-fold scramble
+        # (attention.py:56-84), so reproduce that layout or the imported
+        # weights silently diverge from reference activations/AUROCs.
+        # Pass an explicit vit_cfg to override.
+        from dataclasses import replace
+
+        vit_cfg = replace(vit_cfg, peg_reference_layout=True)
 
     model = CTCLIP(clip_cfg, vit_cfg, bert_cfg, dtype=dtype)
     vq_state = vq_init(jax.random.key(seed), vit_cfg.codebook_size, vit_cfg.dim)
@@ -71,8 +85,6 @@ def build_ctclip(
                         method=CTCLIP.init_all)
 
     if checkpoint_path:
-        import os
-
         from ctpa.data.hf_import import import_ctclip, load_torch_checkpoint, overlay_base
 
         if os.path.isdir(checkpoint_path):

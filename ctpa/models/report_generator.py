@@ -54,7 +54,8 @@ class VisionFeatureExtractor(nn.Module):
         pooled = tokens.mean(axis=(2, 3)).mean(axis=1)      # (b, dim)
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="proj")(pooled)
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
-        return nn.gelu(x)
+        # reference projection ends in nn.GELU() == exact erf (model_components.py:33)
+        return nn.gelu(x, approximate=False)
 
 
 class CrossAttentionLayer(nn.Module):

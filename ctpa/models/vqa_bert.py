@@ -65,7 +65,9 @@ class MedicalVQAModel(nn.Module):
             name="cross_attention")
         h = self.bert_cfg.hidden_size
         self.fusion = nn.Sequential([
-            nn.Dense(h, dtype=self.dtype), nn.gelu, nn.Dense(h, dtype=self.dtype),
+            nn.Dense(h, dtype=self.dtype),
+            lambda x: nn.gelu(x, approximate=False),   # torch nn.GELU() (vqa.py:99)
+            nn.Dense(h, dtype=self.dtype),
         ])
         self.lm_head = nn.Dense(self.bert_cfg.vocab_size, dtype=self.dtype,
                                 name="lm_head")
