@@ -53,6 +53,20 @@ class Int8Dense(nn.Module):
         return int8_matmul(x.astype(self.dtype), w8, scale, impl=self.impl)
 
 
+class _Int8Weights(nn.Module):
+    """Bare {kernel_q, scale} holder matching quantize_tree's unfused layout
+    (used by the fused int8 FFN kernel, which consumes the raw leaves)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel_q", nn.initializers.zeros, self.shape,
+                           jnp.int8),
+                self.param("scale", nn.initializers.ones, (self.shape[1],),
+                           jnp.float32))
+
+
 def _proj(cfg: LLMConfig, features: int, name: str, dtype,
           lora: Optional[LoRAConfig] = None, lora_name: Optional[str] = None):
     """Projection factory: int8-quantized for serving when
@@ -234,6 +248,16 @@ class LlamaMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.cfg
+        if (getattr(c, "weight_quant", None) == "int8"
+                and getattr(c, "quant_ffn_kernel", False)):
+            # one pallas launch for the whole SwiGLU FFN (ops/quant.int8_ffn)
+            from ctpa.ops.quant import int8_ffn
+
+            h, i = c.hidden_size, c.intermediate_size
+            wg, sg = _Int8Weights((h, i), name="gate_proj")()
+            wu, su = _Int8Weights((h, i), name="up_proj")()
+            wd, sd = _Int8Weights((i, h), name="down_proj")()
+            return int8_ffn(x.astype(self.dtype), wg, sg, wu, su, wd, sd)
         if getattr(c, "weight_quant", None) == "int8" and c.quant_fused:
             gu = Int8Dense(2 * c.intermediate_size, impl=c.quant_impl,
                            dtype=self.dtype, name="gateup_proj")(x)

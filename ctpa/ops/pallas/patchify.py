@@ -31,23 +31,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(x_ref, g_ref, k_ref, v2_ref, o_ref, *, pt: int, p1: int, p2: int,
-            hb: int, eps: float):
+            hb: int, eps: float, impl: str = "dot2"):
     """x_ref: (pt, hb, p1, w, p2) slab; g_ref: (pt*p1, p2) LN scale;
     k_ref: (pt*p1, p2, dim) projection; v2_ref: (1, dim) = sum_ap g*K.
 
     LayerNorm is folded algebraically so no (w, patch_dim) layout is ever
     formed (Mosaic cannot reshape the lane dim):
       out[w] = rsig[w] * sum_ap (x ∘ g) K  -  (mu[w] * rsig[w]) * v2
-    The contraction runs as a dot_general with batch dim a = pt*p1 and
-    contracting dim p2, then a sum over a."""
+
+    impl selects the contraction formulation (same math):
+      * 'dot2'    — ONE dot_general contracting BOTH a = pt*p1 and p2
+                    ((w, a*p2=4000) x (4000, dim) as far as the MXU is
+                    concerned): smallest IR, no fp32 (a, w, dim) intermediate.
+      * 'batched' — batched dot over a then sum: (a, w, dim) fp32
+                    intermediate (~10 MB at shipped scale).
+      * 'chunked' — round-2 formulation: python-unrolled a-chunks of 25 to
+                    bound the intermediate (~1.2 MB); 8x the dot ops in IR.
+    """
     g = g_ref[:].astype(jnp.float32)[:, None, :]         # (a, 1, p2)
     kv = k_ref[:]
     v2 = v2_ref[0].astype(jnp.float32)[None, :]
     pd = pt * p1 * p2
     w_ = x_ref.shape[-2]
 
-    # fori_loop (not unrolled): the batched dot's (a, w, dim) fp32
-    # intermediate is ~10 MB — one live instance fits VMEM, hb don't
+    # fori_loop (not unrolled): per-row temporaries stay single-instance
     def body(j, carry):
         x = x_ref[:, pl.ds(j, 1)][:, 0]                  # (pt, p1, w, p2)
         x = x.astype(jnp.float32).reshape(pt * p1, w_, p2)  # (a, w, p2)
@@ -55,19 +62,31 @@ def _kernel(x_ref, g_ref, k_ref, v2_ref, o_ref, *, pt: int, p1: int, p2: int,
         m2 = jnp.sum(jnp.square(x), axis=(0, 2)) / pd
         rsig = jax.lax.rsqrt(m2 - jnp.square(mu) + eps)  # (w,)
         scaled = x * g
-        # (a, w, p2) x (a, p2, d) -> (a, w, d) -> sum_a -> (w, d), chunked
-        # over a so the fp32 intermediate stays ~1.2 MB (not a*w*dim)
-        CH = 25
-        a_total = pt * p1
-        acc = None
-        for c0 in range(0, a_total, CH):
+        if impl == "dot2":
+            acc = jax.lax.dot_general(
+                scaled.astype(kv.dtype), kv,
+                dimension_numbers=(((0, 2), (0, 1)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                            # (w, dim)
+        elif impl == "batched":
             per = jax.lax.dot_general(
-                scaled[c0:c0 + CH].astype(kv.dtype), kv[c0:c0 + CH],
+                scaled.astype(kv.dtype), kv,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-            part = jnp.sum(per, axis=0)
-            acc = part if acc is None else acc + part    # (w, dim)
+            acc = jnp.sum(per, axis=0)                   # (w, dim)
+        else:  # 'chunked'
+            CH = 25
+            a_total = pt * p1
+            acc = None
+            for c0 in range(0, a_total, CH):
+                per = jax.lax.dot_general(
+                    scaled[c0:c0 + CH].astype(kv.dtype), kv[c0:c0 + CH],
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                part = jnp.sum(per, axis=0)
+                acc = part if acc is None else acc + part
         out = rsig[:, None] * acc - (mu * rsig)[:, None] * v2
         o_ref[pl.ds(j, 1)] = out[None].astype(o_ref.dtype)
         return carry
@@ -91,7 +110,8 @@ def _pick_hb(h: int, pt: int, p1: int, w: int, p2: int,
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("pt", "p1", "p2", "eps", "out_dtype"))
+@functools.partial(jax.jit, static_argnames=("pt", "p1", "p2", "eps",
+                                             "out_dtype", "impl"))
 def patchify_project(
     volume: jax.Array,          # (T, H, W) single volume
     g: jax.Array,               # (patch_dim,) LN scale
@@ -99,6 +119,7 @@ def patchify_project(
     pt: int, p1: int, p2: int,
     eps: float = 1e-5,
     out_dtype=jnp.bfloat16,
+    impl: str = "dot2",
 ) -> jax.Array:
     """-> (t, h, w, dim) patch embeddings (pre-bias, pre-out-LN)."""
     T, H, W = volume.shape
@@ -114,7 +135,8 @@ def patchify_project(
     kv = kernel.reshape(a, p2, dim).astype(out_dtype)
     v2 = jnp.einsum("ap,apd->d", gk, kernel.reshape(a, p2, dim),
                     preferred_element_type=jnp.float32)[None, :]
-    kern = functools.partial(_kernel, pt=pt, p1=p1, p2=p2, hb=hb, eps=eps)
+    kern = functools.partial(_kernel, pt=pt, p1=p1, p2=p2, hb=hb, eps=eps,
+                             impl=impl)
 
     def xmap(i, j):
         return (i, 0, j, 0, 0, 0)

@@ -126,10 +126,100 @@ def int8_matmul(
     return out[:m, :d_out].reshape(*lead, d_out)
 
 
+def _ffn_kernel(x_ref, wg_ref, sg_ref, wu_ref, su_ref, wd_ref, sd_ref,
+                o_ref, acc_scr, *, n_j: int):
+    """Whole SwiGLU FFN in one launch: per j-block of the intermediate dim
+    compute gate/up columns, apply silu*mul in VMEM, and accumulate the down
+    projection — the (m, intermediate) activation never touches HBM and the
+    per-layer pallas launch count drops 2 -> 1 (launch overhead is the int8
+    equal-batch gap vs bf16, docs/benchmarks.md)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    x = x_ref[:]                                        # (block_m, hidden) bf16
+    g = jax.lax.dot_general(
+        x, wg_ref[:].astype(x.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * sg_ref[:].astype(jnp.float32)
+    u = jax.lax.dot_general(
+        x, wu_ref[:].astype(x.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * su_ref[:].astype(jnp.float32)
+    h = (g * jax.lax.logistic(g) * u).astype(x.dtype)   # silu(g) * u
+    acc_scr[:] += jax.lax.dot_general(
+        h, wd_ref[:].astype(x.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == n_j - 1)
+    def _flush():
+        o_ref[:] = (acc_scr[:] * sd_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_j",))
+def int8_ffn(
+    x: jax.Array,            # (..., hidden) activations (bf16 hot path)
+    wg8: jax.Array,          # (hidden, inter) int8 gate
+    sg: jax.Array,           # (inter,) f32
+    wu8: jax.Array,          # (hidden, inter) int8 up
+    su: jax.Array,           # (inter,) f32
+    wd8: jax.Array,          # (inter, hidden) int8 down
+    sd: jax.Array,           # (hidden,) f32
+    block_j: int = 256,
+) -> jax.Array:
+    """down(silu(x@gate) * (x@up)) with int8 weights, one pallas launch."""
+    *lead, hidden = x.shape
+    inter = wg8.shape[1]
+    assert hidden <= 8192, "fused FFN keeps the full hidden contraction in VMEM"
+    xm = x.reshape(-1, hidden)
+    m = xm.shape[0]
+    block_m = max(16, min(_rup(m, 16), 128))
+    m_pad = _rup(max(m, 16), block_m)
+    j_pad = _rup(inter, block_j)
+    xp = jnp.pad(xm, ((0, m_pad - m), (0, 0)))
+    if j_pad != inter:
+        wg8 = jnp.pad(wg8, ((0, 0), (0, j_pad - inter)))
+        wu8 = jnp.pad(wu8, ((0, 0), (0, j_pad - inter)))
+        wd8 = jnp.pad(wd8, ((0, j_pad - inter), (0, 0)))
+        sg = jnp.pad(sg, (0, j_pad - inter))
+        su = jnp.pad(su, (0, j_pad - inter))
+    n_j = j_pad // block_j
+
+    out = pl.pallas_call(
+        functools.partial(_ffn_kernel, n_j=n_j),
+        grid=(m_pad // block_m, n_j),
+        in_specs=[
+            pl.BlockSpec((block_m, hidden), lambda mi, j: (mi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, block_j), lambda mi, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_j), lambda mi, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, block_j), lambda mi, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_j), lambda mi, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_j, hidden), lambda mi, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), lambda mi, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, hidden), lambda mi, j: (mi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, hidden), x.dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, hidden), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(xp, wg8, sg.reshape(1, -1), wu8, su.reshape(1, -1), wd8,
+      sd.reshape(1, -1))
+    return out[:m].reshape(*lead, hidden)
+
+
 def quantize_tree(params, *, targets: tuple[str, ...] = (
         "q_proj", "k_proj", "v_proj", "o_proj",
         "gate_proj", "up_proj", "down_proj", "lm_head"),
         fuse: bool = True,
+        ffn_kernel: bool = False,
         lora=None):
     """Convert an LLM param tree for int8 serving: every `kernel` leaf under
     a targeted projection becomes {kernel_q: int8, scale: f32}.  The tree
@@ -147,7 +237,12 @@ def quantize_tree(params, *, targets: tuple[str, ...] = (
     models expect): per-output-channel scales make the fusion numerically
     EXACT, and it cuts the pallas launches per decode step from 7 to 4 per
     layer — launch overhead is the gap to bf16 at batch 8
-    (docs/benchmarks.md)."""
+    (docs/benchmarks.md).
+
+    ffn_kernel=True keeps gate/up/down as SEPARATE quantized leaves — the
+    layout `LLMConfig.quant_ffn_kernel` models expect, where the whole FFN
+    runs as one `int8_ffn` pallas launch (gateup concat would be wasted
+    there)."""
     leaf_keys = [
         tuple(getattr(p, "key", getattr(p, "name", str(p))) for p in kp)
         for kp, _ in jax.tree_util.tree_flatten_with_path(params)[0]
@@ -174,8 +269,9 @@ def quantize_tree(params, *, targets: tuple[str, ...] = (
 
     FUSE_GROUPS = {
         "qkv_proj": ("q_proj", "k_proj", "v_proj"),
-        "gateup_proj": ("gate_proj", "up_proj"),
     }
+    if not ffn_kernel:
+        FUSE_GROUPS["gateup_proj"] = ("gate_proj", "up_proj")
     fused_members = {m for g in FUSE_GROUPS.values() for m in g} if fuse else set()
 
     for kp, leaf in flat:

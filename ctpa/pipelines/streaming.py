@@ -55,7 +55,12 @@ def _decode_fns(model: CTReportGenerator, *, eos_token_id: int,
     """Pure (prefill, decode_chunk) functions shared by ContinuousBatcher and
     the AOT layout negotiation below."""
 
-    def prefill(params, ids, mask, vision, lane_cache):
+    def prefill(params, ids, mask, vision, lane_cache, key):
+        """Prefill AND sample the first token on device — admission never
+        forces a host round-trip, so decode chunks queue behind the prefill
+        on the device stream instead of stalling on a scalar fetch
+        (the reference's flow re-runs the full prefix per token instead,
+        model_components.py:232-261)."""
         _, hidden, lane_cache = model.apply(
             params, ids, mask, lane_cache,
             method=lambda m, i, a, c: m.llm(i, a, cache=c))
@@ -64,7 +69,13 @@ def _decode_fns(model: CTReportGenerator, *, eos_token_id: int,
         logits = model.apply(
             params, h, vision,
             method=lambda m, hh, vv: m._fused_logits(hh, vv))[:, 0]
-        return logits, lane_cache
+        if greedy:
+            first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            first = jax.random.categorical(
+                key, logits.astype(jnp.float32) / temperature, axis=-1
+            ).astype(jnp.int32)
+        return first, lane_cache
 
     def one_step(params, cache, tok, vision, key, done):
         _, hidden, cache = model.apply(
@@ -84,7 +95,11 @@ def _decode_fns(model: CTReportGenerator, *, eos_token_id: int,
         return nxt, cache, done
 
     def decode_chunk(params, cache, tok, vision, key, done):
-        """K decode steps, one host sync: returns (K, lanes) tokens."""
+        """K decode steps, one host sync: returns (K+1, lanes) tokens — row 0
+        is the CARRY token so freshly-admitted lanes' device-sampled first
+        token reaches the host on the same fetch as the chunk.  A carry token
+        equal to EOS marks the lane done in-program (first-token-EOS case)."""
+        done = done | (tok == eos_token_id)
 
         def body(carry, k):
             cache, tok, done = carry
@@ -92,9 +107,9 @@ def _decode_fns(model: CTReportGenerator, *, eos_token_id: int,
                                         jax.random.fold_in(key, k), done)
             return (cache, nxt, done), nxt
 
-        (cache, tok, done), toks = jax.lax.scan(
+        (cache, tok_out, done), toks = jax.lax.scan(
             body, (cache, tok, done), jnp.arange(steps_per_sync))
-        return toks, cache, tok, done
+        return jnp.concatenate([tok[None], toks], axis=0), cache, tok_out, done
 
     return prefill, decode_chunk
 
@@ -187,6 +202,9 @@ class ContinuousBatcher:
         self.vision = jnp.zeros((num_lanes, vdim), jnp.float32)
         self.cur_tok = jnp.zeros((num_lanes,), jnp.int32)
         self.active = np.zeros(num_lanes, bool)
+        # lanes whose device-sampled first token has not reached the host yet
+        # (it arrives as row 0 of the next decode chunk's token fetch)
+        self._first_pending = np.zeros(num_lanes, bool)
         self.budget = np.zeros(num_lanes, np.int32)
         self.lane_req: list[Optional[Request]] = [None] * num_lanes
         self.results: dict[int, Result] = {}
@@ -219,14 +237,19 @@ class ContinuousBatcher:
         done0 = jnp.asarray(~self.active)
         toks_dev, self.cache, self.cur_tok, _ = self._decode_chunk(
             self.params, self.cache, self.cur_tok, self.vision, key, done0)
-        toks = np.asarray(toks_dev)                       # (K, lanes) — one fetch
+        toks = np.asarray(toks_dev)                       # (K+1, lanes) — one fetch
         finished = []
         for lane in range(self.num_lanes):
             if not self.active[lane]:
                 continue
             req = self.lane_req[lane]
             res = self.results[req.request_id]
-            for k in range(toks.shape[0]):
+            # row 0 is the carry token: for a freshly-admitted lane that is
+            # its device-sampled FIRST token; for continuing lanes it was
+            # already consumed last chunk
+            start = 0 if self._first_pending[lane] else 1
+            self._first_pending[lane] = False
+            for k in range(start, toks.shape[0]):
                 if res.finished:
                     break
                 t = int(toks[k, lane])
@@ -255,6 +278,13 @@ class ContinuousBatcher:
     # -------------------------------------------------------------- internals
 
     def _fill_lanes(self):
+        """Admit queued requests into free lanes WITHOUT a host sync: the
+        prefill program samples the first token on device, the lane cache is
+        inserted, and all host bookkeeping happens when the token arrives on
+        the next chunk fetch.  Admission therefore only serializes on the
+        device stream (one prefill program before the next chunk), never on
+        a relay round-trip — at 7B over the axon relay that is the
+        difference between ~35 ms and 0 ms of decode stall per admission."""
         for lane in range(self.num_lanes):
             if self.active[lane] or not self.queue:
                 continue
@@ -264,24 +294,15 @@ class ContinuousBatcher:
             lane_cache = KVCache.create(self.cfg, 1, self.max_len,
                                         dtype=self.cache.k.dtype)
             vis = jnp.asarray(req.vision)[None]
-            logits, lane_cache = self._prefill(self.params, ids, mask, vis, lane_cache)
-            if self.greedy:
-                first = int(jnp.argmax(logits[0]))
-            else:
-                self.rng, key = jax.random.split(self.rng)
-                first = int(jax.random.categorical(
-                    key, logits[0].astype(jnp.float32) / self.temperature))
+            self.rng, key = jax.random.split(self.rng)
+            first, lane_cache = self._prefill(
+                self.params, ids, mask, vis, lane_cache, key)
             self.cache = self._insert(self.cache, lane_cache, lane)
             self.vision = self.vision.at[lane].set(vis[0])
-            res = self.results[req.request_id]
-            if first == self.eos:
-                res.finished = True
-                res.latency_s = time.time() - self._t_start[req.request_id]
-                continue
-            res.tokens.append(first)
-            self.cur_tok = self.cur_tok.at[lane].set(first)
+            self.cur_tok = self.cur_tok.at[lane].set(first[0])
             self.active[lane] = True
-            self.budget[lane] = req.max_new_tokens - 1
+            self._first_pending[lane] = True
+            self.budget[lane] = req.max_new_tokens
             self.lane_req[lane] = req
 
 

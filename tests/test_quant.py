@@ -210,3 +210,56 @@ def test_quantize_tree_incomplete_fuse_group_raises():
     params = model.init(jax.random.key(0), ids, jnp.ones((1, 4), jnp.int32))
     with pytest.raises(ValueError):
         quantize_tree(params, targets=("q_proj", "o_proj"))
+
+
+def test_int8_ffn_kernel_matches_separate(rng):
+    """Fused SwiGLU FFN pallas kernel == silu(x@g)*(x@u) @ d with dequantized
+    weights (interpret mode; non-multiple intermediate exercises padding)."""
+    from ctpa.ops.quant import int8_ffn
+
+    hidden, inter, m = 128, 176, 5
+    x = jnp.asarray(rng.normal(size=(m, hidden)), jnp.float32)
+    wg = jnp.asarray(rng.normal(size=(hidden, inter)) * 0.05, jnp.float32)
+    wu = jnp.asarray(rng.normal(size=(hidden, inter)) * 0.05, jnp.float32)
+    wd = jnp.asarray(rng.normal(size=(inter, hidden)) * 0.05, jnp.float32)
+    wg8, sg = quantize_int8(wg)
+    wu8, su = quantize_int8(wu)
+    wd8, sd = quantize_int8(wd)
+    g = x @ dequantize_int8(wg8, sg, jnp.float32)
+    u = x @ dequantize_int8(wu8, su, jnp.float32)
+    want = (jax.nn.silu(g) * u) @ dequantize_int8(wd8, sd, jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = int8_ffn(x, wg8, sg, wu8, su, wd8, sd, block_j=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_quantized_llm_with_ffn_kernel_matches_fp(rng):
+    """quant_ffn_kernel=True end-to-end: quantize_tree(ffn_kernel=True)
+    layout grafts onto the model and logits track fp32 (interpret mode)."""
+    from ctpa.core.config import LLMConfig
+    from ctpa.models.llm import LlamaForCausalLM
+
+    cfg = LLMConfig.tiny()
+    b, n = 2, 8
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size, size=(b, n)), jnp.int32)
+    mask = jnp.ones((b, n), jnp.int32)
+    fp = LlamaForCausalLM(cfg)
+    params = fp.init(jax.random.key(0), ids, mask)
+    want, _, _ = fp.apply(params, ids, mask)
+    w = np.asarray(want, np.float32)
+
+    cfg_q = dataclasses.replace(cfg, weight_quant="int8", quant_impl="xla",
+                                quant_ffn_kernel=True)
+    qm = LlamaForCausalLM(cfg_q)
+    qparams = quantize_tree(params, ffn_kernel=True)
+    # layout check: gate/up/down separate, no gateup concat
+    keys = [jax.tree_util.keystr(kp)
+            for kp, _ in jax.tree_util.tree_flatten_with_path(qparams)[0]]
+    assert any("gate_proj" in k and "kernel_q" in k for k in keys)
+    assert not any("gateup_proj" in k for k in keys)
+    with pltpu.force_tpu_interpret_mode():
+        got, _, _ = qm.apply(qparams, ids, mask)
+    g = np.asarray(got, np.float32)
+    assert np.abs(g - w).max() / (np.abs(w).max() + 1e-9) < 0.05
+    assert (g.argmax(-1) == w.argmax(-1)).mean() > 0.95
