@@ -1,0 +1,134 @@
+"""CT-CLIP contrastive fine-tune step benchmark on one chip (BASELINE
+config 2 — the workload the reference repo is named after).
+
+Measures `train/clip_trainer.make_clip_train_step` at shipped geometry:
+CTViT (dim 512, 4+4 layers, 13,824 tokens/volume) + CXR-BERT-base text tower
+(12 layers, 512 tokens) + the 294912->512 visual projection + VQ-8192 EMA,
+bidirectional InfoNCE, grad-clip 0.5, AdamW — one compiled XLA program per
+step (vs reference CTCLIPTrainer.py:316-467: separate forward/backward/
+optimizer/EMA under torch autocast).
+
+The XLA patch-embed path runs here (pallas_patchify is forward-only; the
+train step differentiates through the patch embed).  Prints one JSON line.
+Honest-timing: per-step wall time includes one device fetch; the ~35 ms relay
+roundtrip is NOT subtracted (reported alongside)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from ctpa.core.config import (BertConfig, CTCLIPConfig, CTViTConfig,
+                                  OptimizerConfig)
+    from ctpa.core.precision import Policy
+    from ctpa.models.ctclip import CTCLIP
+    from ctpa.ops.vq import vq_init
+    from ctpa.train.clip_trainer import make_clip_train_step
+    from ctpa.train.optim import get_optimizer
+    from ctpa.train.train_state import CLIPTrainState
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", choices=["tiny", "full"], default="full")
+    ap.add_argument("--batch", type=int, default=2)   # fine_tuning_ctclip.py:27
+    ap.add_argument("--seq-len", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=4)
+    args = ap.parse_args()
+
+    log("devices:", jax.devices())
+    B, L = args.batch, args.seq_len
+    if args.size == "full":
+        vit_cfg = CTViTConfig()
+        bert_cfg = BertConfig()
+        clip_cfg = CTCLIPConfig()
+    else:
+        vit_cfg = CTViTConfig.tiny()
+        bert_cfg = BertConfig.tiny()
+        clip_cfg = CTCLIPConfig.tiny(vit_cfg, bert_cfg)
+        L = min(L, bert_cfg.max_position_embeddings)
+
+    model = CTCLIP(clip_cfg, vit_cfg, bert_cfg, dtype=jnp.bfloat16,
+                   remat=(args.size == "full"))
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(
+        rng.normal(size=(B, 1, vit_cfg.temporal_size, vit_cfg.image_size,
+                         vit_cfg.image_size)).astype(np.float32) * 0.3,
+        jnp.bfloat16)
+    ids = jnp.asarray(rng.integers(1, bert_cfg.vocab_size, size=(B, L)), jnp.int32)
+    mask = jnp.ones((B, L), jnp.int32)
+
+    t0 = time.time()
+    shapes = jax.eval_shape(
+        lambda k, v: model.init(k, ids, mask, v,
+                                vq_init(jax.random.key(0),
+                                        vit_cfg.codebook_size, vit_cfg.dim)),
+        jax.random.key(0), jax.ShapeDtypeStruct(video.shape, video.dtype))
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(shapes))
+    log(f"params: {n_params/1e6:.0f}M; eval_shape {time.time()-t0:.1f}s")
+
+    host = np.random.default_rng(1)
+
+    def mk(s):
+        return jnp.asarray(host.normal(0, 0.02, size=s.shape).astype(np.float32),
+                           dtype=s.dtype)
+
+    t0 = time.time()
+    params = jax.device_put(jax.tree.map(mk, shapes), jax.devices()[0])
+    vq_state = jax.device_put(
+        vq_init(jax.random.key(0), vit_cfg.codebook_size, vit_cfg.dim))
+    jax.block_until_ready(params)
+    log(f"param materialization: {time.time()-t0:.1f}s")
+
+    # reference config: AdamW lr 1.25e-6 wd-grouped, clip 0.5 (CTCLIPTrainer)
+    tx = get_optimizer(OptimizerConfig())
+    step_fn = make_clip_train_step(model, tx, vq_decay=vit_cfg.vq_decay,
+                                   policy=Policy())
+    state = CLIPTrainState(params=params, opt_state=tx.init(params),
+                           vq_state=vq_state, step=jnp.zeros((), jnp.int32))
+    step = jax.jit(step_fn, donate_argnums=(0,))
+
+    batch = {"input_ids": ids, "attention_mask": mask, "video": video}
+    t0 = time.time()
+    state, m = step(state, batch)
+    loss0 = float(m["loss"])
+    log(f"compile+first step: {time.time()-t0:.1f}s; loss={loss0:.4f} "
+        f"grad_norm={float(m['grad_norm']):.3f}")
+    assert np.isfinite(loss0)
+
+    ts = []
+    for i in range(args.steps):
+        b2 = {**batch, "video": video + jnp.bfloat16(1e-3 * (i + 1))}
+        t0 = time.time()
+        state, m = step(state, b2)
+        _ = float(m["loss"])
+        ts.append(time.time() - t0)
+    per = float(np.median(ts))
+    vps = B / per
+    log(f"clip train step: {per*1000:.0f} ms (batch {B} -> "
+        f"{vps:.2f} volumes/sec trained; fetch incl., roundtrip ~35 ms)")
+
+    print(json.dumps({
+        "metric": "clip_train_volumes_per_sec",
+        "value": round(vps, 3),
+        "unit": "volumes/sec",
+        "step_ms": round(per * 1000, 1),
+        "batch": B,
+        "seq_len": L,
+        "size": args.size,
+        "loss": round(loss0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

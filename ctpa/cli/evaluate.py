@@ -21,7 +21,42 @@ from ctpa.eval.nlg import NLGEvaluator
 from ctpa.eval.zeroshot import PATHOLOGIES
 
 
+def _build_embed_fn(encoder_path: str):
+    """Local HF BERT snapshot -> NLGEvaluator embed_fn (eval/nlg.py)."""
+    from ctpa.core.config import BertConfig
+    from ctpa.data.hf_import import import_bert, load_hf_snapshot
+    from ctpa.data.tokenizer import HFTokenizer
+    from ctpa.eval.nlg import make_bert_embed_fn
+
+    cfg = BertConfig()
+    sd = load_hf_snapshot(encoder_path)
+    prefix = "bert." if any(k.startswith("bert.") for k in sd) else ""
+    params = {"params": import_bert(sd, cfg, prefix=prefix)}
+    return make_bert_embed_fn(params, cfg, HFTokenizer(encoder_path))
+
+
 def eval_nlg(args) -> int:
+    from ctpa.eval.nlg import (compute_bertscore_baseline,
+                               load_bertscore_baseline,
+                               save_bertscore_baseline)
+
+    embed_fn = _build_embed_fn(args.encoder_path) if args.encoder_path else None
+
+    if args.compute_baseline:
+        # baseline artifact: random-pair scores of THIS encoder over the
+        # corpus (reference rescale_with_baseline parity for custom encoders)
+        if embed_fn is None:
+            raise SystemExit("--compute-baseline requires --encoder-path")
+        with open(args.corpus or args.results) as f:
+            corpus = [line.strip() for line in f if line.strip()]
+        baseline = compute_bertscore_baseline(embed_fn, corpus,
+                                              use_idf=args.idf)
+        save_bertscore_baseline(args.baseline_out, baseline)
+        print(json.dumps(baseline, indent=2))
+        return 0
+
+    if not args.results:
+        raise SystemExit("--results is required unless --compute-baseline")
     if args.results.endswith(".json"):
         with open(args.results) as f:
             payload = json.load(f)
@@ -30,7 +65,10 @@ def eval_nlg(args) -> int:
         records = pd.read_csv(args.results).to_dict("records")
     refs = [str(r[args.reference_col]) for r in records]
     hyps = [str(r[args.prediction_col]) for r in records]
-    metrics = NLGEvaluator().evaluate(refs, hyps)
+    baseline = load_bertscore_baseline(args.baseline) if args.baseline else None
+    metrics = NLGEvaluator(embed_fn=embed_fn, bertscore_baseline=baseline,
+                           use_idf=args.idf and embed_fn is not None,
+                           ).evaluate(refs, hyps)
     print(json.dumps({k: round(v, 6) for k, v in metrics.items()}, indent=2))
     return 0
 
@@ -55,9 +93,22 @@ def main(argv=None):
     sub = p.add_subparsers(dest="task", required=True)
 
     n = sub.add_parser("nlg", help="BLEU/ROUGE/BERTScore over reference/prediction pairs")
-    n.add_argument("--results", required=True, help="results JSON or CSV")
+    n.add_argument("--results", required=False, default=None,
+                   help="results JSON or CSV")
     n.add_argument("--reference-col", default="reference")
     n.add_argument("--prediction-col", default="prediction")
+    n.add_argument("--encoder-path", default=None,
+                   help="local HF BERT snapshot for BERTScore embeddings")
+    n.add_argument("--baseline", default=None,
+                   help="BERTScore baseline JSON (from --compute-baseline)")
+    n.add_argument("--idf", action="store_true",
+                   help="IDF-weight BERTScore over the reference corpus")
+    n.add_argument("--compute-baseline", action="store_true",
+                   help="compute + store random-pair BERTScore baseline "
+                        "constants for the encoder instead of evaluating")
+    n.add_argument("--corpus", default=None,
+                   help="text file (one sentence/line) for --compute-baseline")
+    n.add_argument("--baseline-out", default="bertscore_baseline.json")
 
     c = sub.add_parser("classification", help="AUROC/ROC/bootstrap over zero-shot outputs")
     c.add_argument("--predictions", required=True, help="predicted_weights.npz")

@@ -156,6 +156,109 @@ def bert_score(
     return scores
 
 
+def compute_bertscore_baseline(
+    embed_fn: Callable,
+    corpus: Sequence[str],
+    seed: int = 0,
+    use_idf: bool = False,
+) -> dict:
+    """Compute (b_p, b_r, b_f) rescaling constants for THIS encoder, the way
+    the bert_score package builds its shipped baselines: score UNRELATED
+    sentence pairs (a derangement of the corpus) and average the raw P/R/F1.
+    Rescaled scores then express "fraction of the way from a random-pair
+    score to 1" — comparable across encoders, which the reference's
+    `rescale_with_baseline=True` (evaluation_module.py:53) relies on its
+    roberta-large constants for.
+
+    Returns {"precision", "recall", "f1", "n_pairs"} — feed the first three
+    to NLGEvaluator(bertscore_baseline=...) or persist with
+    `save_bertscore_baseline`."""
+    sents = [s for s in corpus if s.strip()]
+    if len(sents) < 2:
+        raise ValueError("need at least 2 non-empty sentences for a baseline")
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(sents))
+    # derangement by rotation of a shuffled order: i pairs with next(i)
+    partners = [sents[order[(k + 1) % len(order)]] for k in range(len(order))]
+    firsts = [sents[order[k]] for k in range(len(order))]
+
+    rout = embed_fn(firsts)
+    hout = embed_fn(partners)
+    re_, rm = rout[0], rout[1]
+    he, hm = hout[0], hout[1]
+    idf = None
+    rids = rout[2] if len(rout) > 2 else None
+    hids = hout[2] if len(hout) > 2 else None
+    if use_idf:
+        if rids is None:
+            raise ValueError("use_idf requires embed_fn to return (emb, mask, ids)")
+        corpus_tokens = [
+            [int(t) for t, m in zip(np.asarray(rids[i]), np.asarray(rm[i])) if m]
+            for i in range(len(firsts))
+        ]
+        idf = compute_idf(corpus_tokens)
+
+    def weights(ids_row):
+        if idf is None or ids_row is None:
+            return None
+        d = idf["__default__"]
+        return np.asarray([idf.get(int(t), d) for t in np.asarray(ids_row)])
+
+    ps, rs, fs = [], [], []
+    for i in range(len(firsts)):
+        bs = bert_score(
+            np.asarray(re_[i]), np.asarray(rm[i]),
+            np.asarray(he[i]), np.asarray(hm[i]),
+            ref_idf=weights(rids[i] if rids is not None else None),
+            hyp_idf=weights(hids[i] if hids is not None else None),
+        )
+        ps.append(bs["precision"]); rs.append(bs["recall"]); fs.append(bs["f1"])
+    return {"precision": float(np.mean(ps)), "recall": float(np.mean(rs)),
+            "f1": float(np.mean(fs)), "n_pairs": len(firsts)}
+
+
+def save_bertscore_baseline(path: str, baseline: dict) -> None:
+    import json
+
+    with open(path, "w") as f:
+        json.dump(baseline, f, indent=2)
+
+
+def load_bertscore_baseline(path: str) -> tuple[float, float, float]:
+    """-> (b_p, b_r, b_f) for NLGEvaluator(bertscore_baseline=...)."""
+    import json
+
+    with open(path) as f:
+        b = json.load(f)
+    return (float(b["precision"]), float(b["recall"]), float(b["f1"]))
+
+
+def make_bert_embed_fn(bert_params, bert_cfg, tokenizer,
+                       max_length: int = 128) -> Callable:
+    """Production embed_fn: ctpa BertEncoder hidden states + mask + token ids
+    (the triple NLGEvaluator/use_idf consume).  `bert_params` is the
+    {'params': ...} tree (e.g. from data/hf_import.import_bert)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ctpa.models.bert import BertEncoder
+
+    encoder = BertEncoder(bert_cfg)
+
+    @jax.jit
+    def run(ids, mask):
+        hidden, _ = encoder.apply(bert_params, ids, mask)
+        return hidden
+
+    def embed(texts: Sequence[str]):
+        toks = tokenizer(list(texts), max_length=max_length)
+        ids = jnp.asarray(toks["input_ids"], jnp.int32)
+        mask = jnp.asarray(toks["attention_mask"], jnp.int32)
+        return np.asarray(run(ids, mask)), np.asarray(mask), np.asarray(ids)
+
+    return embed
+
+
 # ---------------------------------------------------------------- suite
 
 

@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(x_ref, g_ref, k_ref, v2_ref, o_ref, *, pt: int, p1: int, p2: int,
-            hb: int, eps: float, impl: str = "dot2"):
+            hb: int, eps: float, impl: str = "chunked"):
     """x_ref: (pt, hb, p1, w, p2) slab; g_ref: (pt*p1, p2) LN scale;
     k_ref: (pt*p1, p2, dim) projection; v2_ref: (1, dim) = sum_ap g*K.
 
@@ -119,7 +119,7 @@ def patchify_project(
     pt: int, p1: int, p2: int,
     eps: float = 1e-5,
     out_dtype=jnp.bfloat16,
-    impl: str = "dot2",
+    impl: str = "chunked",
 ) -> jax.Array:
     """-> (t, h, w, dim) patch embeddings (pre-bias, pre-out-LN)."""
     T, H, W = volume.shape

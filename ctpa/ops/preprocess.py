@@ -51,7 +51,9 @@ def _axis_offset(n: jax.Array, target: int) -> jax.Array:
     return jnp.where(n >= target, crop, pad)
 
 
-def _interp_matrix(source: int, n: jax.Array, target: int, pad_mask_out: bool = True):
+def _interp_matrix(source: int, n: jax.Array, target: int,
+                   pad_mask_out: bool = True,
+                   true_len: jax.Array | None = None):
     """Dense (target, source) trilinear-interp matrix for one axis, with the
     crop/pad offset folded in.
 
@@ -60,18 +62,25 @@ def _interp_matrix(source: int, n: jax.Array, target: int, pad_mask_out: bool = 
     ``src = (i + 0.5) * source / n - 0.5`` with edge clamping, matching
     ``F.interpolate(mode='trilinear')`` in resize_array (preprocess_train.py:31-42).
 
+    ``true_len`` (traced, <= source) supports SHAPE-BUCKETED inputs: the array
+    is end-padded to a bucket size but only the first ``true_len`` entries are
+    real.  All coordinate math then uses ``true_len``; padded columns are never
+    selected (i0/i1 clamp to true_len - 1), so bucketing is numerically exact.
+
     Returns (W, valid): W is (target, source) float32; valid is (target,) bool
     marking rows inside the virtual resampled extent (False rows get pad_value).
     """
+    eff = (jnp.asarray(source, jnp.int32) if true_len is None
+           else true_len.astype(jnp.int32))
     o = jnp.arange(target)
     idx = o + _axis_offset(n, target)            # index in resampled space
     valid = (idx >= 0) & (idx < n)
     nf = n.astype(jnp.float32)
-    src = (idx.astype(jnp.float32) + 0.5) * (source / nf) - 0.5
+    src = (idx.astype(jnp.float32) + 0.5) * (eff.astype(jnp.float32) / nf) - 0.5
     i0 = jnp.floor(src)
     frac = src - i0
-    i0c = jnp.clip(i0, 0, source - 1).astype(jnp.int32)
-    i1c = jnp.clip(i0 + 1, 0, source - 1).astype(jnp.int32)
+    i0c = jnp.clip(i0, 0, eff - 1).astype(jnp.int32)
+    i1c = jnp.clip(i0 + 1, 0, eff - 1).astype(jnp.int32)
     s = jnp.arange(source)
     # row o has weight (1-frac) at column i0c[o] and frac at i1c[o];
     # when i0c == i1c (edge clamp) the weights sum to 1 as required.
@@ -88,6 +97,7 @@ def resample_crop_pad(
     cfg: PreprocessConfig,
     *,
     apply_window: bool = True,
+    src_shape: jax.Array | None = None,
 ) -> jax.Array:
     """Fused resample-to-spacing + center crop/pad to ``cfg.target_shape``.
 
@@ -97,6 +107,9 @@ def resample_crop_pad(
       apply_window: apply HU window/scale *after* resampling (online-train
         parity, data.py:150-152).  Pass False if windowing was already applied
         (offline parity, preprocess_train.py:99-103).
+      src_shape: optional (3,) traced TRUE extents when ``volume`` is
+        end-padded to a shape bucket (data/bucketing.py) — one compiled
+        executable then serves every raw shape in the bucket, exactly.
 
     Returns (D, H, W) volume on the fixed target grid, out-of-extent voxels
     filled with ``cfg.pad_value``.
@@ -104,14 +117,20 @@ def resample_crop_pad(
     d, h, w = volume.shape
     td, th, tw = cfg.target_shape
     tz, ty, tx = cfg.target_spacing
+    if src_shape is None:
+        sd = sh = sw = None
+        ed, eh, ew = d, h, w
+    else:
+        sd, sh, sw = src_shape[0], src_shape[1], src_shape[2]
+        ed, eh, ew = sd, sh, sw
     # virtual resampled sizes (traced scalars), preprocess_train.py:33-39
-    nd = (d * (spacing[0] / tz)).astype(jnp.int32)
-    nh = (h * (spacing[1] / ty)).astype(jnp.int32)
-    nw = (w * (spacing[2] / tx)).astype(jnp.int32)
+    nd = (ed * (spacing[0] / tz)).astype(jnp.int32)
+    nh = (eh * (spacing[1] / ty)).astype(jnp.int32)
+    nw = (ew * (spacing[2] / tx)).astype(jnp.int32)
 
-    wd, vd = _interp_matrix(d, nd, td)
-    wh, vh = _interp_matrix(h, nh, th)
-    ww, vw = _interp_matrix(w, nw, tw)
+    wd, vd = _interp_matrix(d, nd, td, true_len=sd)
+    wh, vh = _interp_matrix(h, nh, th, true_len=sh)
+    ww, vw = _interp_matrix(w, nw, tw, true_len=sw)
 
     x = volume.astype(jnp.float32)
     # three MXU matmuls: contract each axis against its interp matrix
@@ -151,6 +170,7 @@ def preprocess_volume(
     spacing: jax.Array,
     cfg: PreprocessConfig = PreprocessConfig.train(),
     window_first: bool = False,
+    src_shape: jax.Array | None = None,
 ) -> jax.Array:
     """Canonical train-path operator: raw (z,y,x) volume -> (1, D, H, W) model input.
 
@@ -159,13 +179,19 @@ def preprocess_volume(
     False reproduces the online training dataset (rescale -> resample -> window,
     data.py:129-152).  Output matches the reference's final permute to
     (1, depth, height, width) at data.py:196.
+
+    ``src_shape`` (traced (3,) int): true extents of a shape-bucketed,
+    end-padded ``raw`` (data/bucketing.py) — heterogeneous raw scans then
+    share one executable per BUCKET instead of one per shape.
     """
     x = hu_rescale(raw.astype(jnp.float32), slope, intercept)
     if window_first:
         x = hu_window(x, cfg)
-        x = resample_crop_pad(x, spacing, cfg, apply_window=False)
+        x = resample_crop_pad(x, spacing, cfg, apply_window=False,
+                              src_shape=src_shape)
     else:
-        x = resample_crop_pad(x, spacing, cfg, apply_window=True)
+        x = resample_crop_pad(x, spacing, cfg, apply_window=True,
+                              src_shape=src_shape)
     return x[None]
 
 
@@ -196,3 +222,16 @@ def preprocess_batch(
     """vmap'd canonical operator over a batch of same-shape raw volumes."""
     fn = functools.partial(preprocess_volume, cfg=cfg, window_first=window_first)
     return jax.vmap(fn)(raws, slopes, intercepts, spacings)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "window_first"))
+def preprocess_batch_bucketed(
+    raws: jax.Array,        # (B, db, hb, wb) bucket-padded raw volumes
+    slopes: jax.Array, intercepts: jax.Array, spacings: jax.Array,
+    src_shapes: jax.Array,  # (B, 3) int true extents (data/bucketing.py)
+    cfg: PreprocessConfig = PreprocessConfig.train(), window_first: bool = False,
+) -> jax.Array:
+    """Bucketed batch: one executable per (bucket shape, batch size), exact
+    for every raw shape inside the bucket."""
+    fn = functools.partial(preprocess_volume, cfg=cfg, window_first=window_first)
+    return jax.vmap(fn)(raws, slopes, intercepts, spacings, src_shape=src_shapes)

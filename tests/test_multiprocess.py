@@ -1,0 +1,104 @@
+"""Multi-process (multi-host analog) smoke test: two REAL processes join via
+`core.mesh.initialize_distributed` (jax.distributed over localhost), build a
+global mesh spanning both, run a psum-carrying jitted step over a
+globally-sharded batch, and gate a checkpoint write on `is_primary`.
+
+This exercises what the virtual 8-device mesh cannot: process-spanning
+collectives, `jax.process_index()` gating, and multi-process global-array
+construction — the TPU-native analog of the reference's Accelerate/DDP layer
+(CTCLIPTrainer.py:213-217).  CPU backend, 2 virtual devices per process.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+WORKER = r"""
+import os, sys
+import numpy as np
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from ctpa.core.mesh import (DATA_AXIS, create_mesh, initialize_distributed,
+                            is_primary)
+from ctpa.core.config import MeshConfig
+
+port = sys.argv[1]
+pid = int(sys.argv[2])
+out_dir = sys.argv[3]
+
+initialize_distributed(coordinator_address=f"127.0.0.1:{port}",
+                       num_processes=2, process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+assert jax.process_index() == pid
+assert jax.device_count() == 4 and len(jax.local_devices()) == 2
+
+mesh = create_mesh(MeshConfig(data_parallel=4, model_parallel=1))
+
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+sh = NamedSharding(mesh, P(DATA_AXIS))
+# global batch assembled from per-process local shards
+local = np.full((2, 8), 1.0 + pid, np.float32)              # 2 rows/process
+garr = jax.make_array_from_process_local_data(sh, local, (4, 8))
+
+@jax.jit
+def step(x):
+    # mean over the GLOBAL batch: crosses the process boundary
+    return jnp.mean(x) * jnp.ones_like(x)
+
+out = step(garr)
+# global mean of rows [1,1,2,2] = 1.5 on every shard of every process
+np.testing.assert_allclose(
+    np.asarray(out.addressable_shards[0].data)[0, 0], 1.5, rtol=1e-6)
+
+# rank-gated write (checkpoint-style): only process 0 writes
+if is_primary():
+    with open(os.path.join(out_dir, "primary_marker"), "w") as f:
+        f.write(f"process {pid}")
+print(f"WORKER_OK {pid}", flush=True)
+"""
+
+
+def test_two_process_distributed_smoke(tmp_path):
+    port = _free_port()
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    env = {**os.environ,
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+           "JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": os.path.dirname(os.path.dirname(__file__))}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(port), str(i), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"WORKER_OK {i}" in out
+    marker = tmp_path / "primary_marker"
+    assert marker.exists() and marker.read_text() == "process 0"
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port

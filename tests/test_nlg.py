@@ -146,3 +146,38 @@ def test_evaluator_idf_and_baseline_end_to_end():
     assert out["bertscore_f1"] == pytest.approx(1.0, abs=1e-6)
     out2 = ev.evaluate(["a b c"], ["a z z"])
     assert out2["bertscore_f1"] < 1.0
+
+
+def test_bertscore_baseline_roundtrip(tmp_path, rng):
+    """compute_bertscore_baseline -> save -> load -> NLGEvaluator: identical
+    pairs rescale to ~1.0, random pairs to ~0.0 (the property the constants
+    exist for); artifact round-trips through JSON (VERDICT r2 task 10b)."""
+    from ctpa.eval.nlg import (NLGEvaluator, compute_bertscore_baseline,
+                               load_bertscore_baseline,
+                               save_bertscore_baseline)
+
+    d = 16
+    vocab_emb = {w: rng.normal(size=d) for w in "a b c d e f g h i j".split()}
+
+    def embed(texts):
+        n = max(len(t.split()) for t in texts)
+        emb = np.zeros((len(texts), n, d)); mask = np.zeros((len(texts), n))
+        for i, t in enumerate(texts):
+            for j, w in enumerate(t.split()):
+                emb[i, j] = vocab_emb[w]; mask[i, j] = 1
+        return emb, mask
+
+    corpus = ["a b c", "d e f", "g h i", "b d g", "c e j", "a f h"]
+    baseline = compute_bertscore_baseline(embed, corpus)
+    assert 0.0 < baseline["f1"] < 1.0 and baseline["n_pairs"] == len(corpus)
+
+    path = str(tmp_path / "baseline.json")
+    save_bertscore_baseline(path, baseline)
+    triple = load_bertscore_baseline(path)
+    assert triple == (baseline["precision"], baseline["recall"], baseline["f1"])
+
+    ev = NLGEvaluator(embed_fn=embed, bertscore_baseline=triple)
+    same = ev.evaluate(["a b c"], ["a b c"])
+    assert same["bertscore_f1"] > 0.99
+    rnd = ev.evaluate(corpus[:3], ["b d g", "c e j", "a f h"])
+    assert abs(rnd["bertscore_f1"]) < 0.6   # near the baseline floor
