@@ -22,6 +22,10 @@ import time
 
 import numpy as np
 
+from ctpa.core.compilation_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)

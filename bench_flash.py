@@ -24,6 +24,10 @@ if os.environ.get("JAX_PLATFORMS") == "axon":
 
 import numpy as np
 
+from ctpa.core.compilation_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)

@@ -33,6 +33,10 @@ if os.environ.get("JAX_PLATFORMS") == "axon":
 
 import numpy as np
 
+from ctpa.core.compilation_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 RAW_SHAPE = (160, 512, 512)
 SPACING = (2.0, 0.75, 0.75)
 SLOPE, INTERCEPT = 1.0, -1024.0

@@ -88,6 +88,8 @@ def generate_responses(
 
 
 def main(argv=None):
+    from ctpa.core.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()   # serving/train cold-start: reuse compiled programs
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--jsonl", required=True, help="dataset manifest")
     p.add_argument("--mode", default="report", choices=["report", "vqa"])

@@ -55,6 +55,8 @@ def build_loader(dataset, tokenizer, batch_size, pre_cfg, mesh, max_length=512,
 
 
 def main(argv=None):
+    from ctpa.core.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()   # serving/train cold-start: reuse compiled programs
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data-dir", required=True)
     p.add_argument("--reports-csv", required=True)

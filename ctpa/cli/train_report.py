@@ -37,6 +37,8 @@ def collate_report(items, tokenizer, max_length):
 
 
 def main(argv=None):
+    from ctpa.core.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()   # serving/train cold-start: reuse compiled programs
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--train-jsonl", required=True)
     p.add_argument("--val-jsonl", default=None)
