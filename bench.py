@@ -55,7 +55,8 @@ def bench_tpu(iters: int = 5) -> float:
     log("devices:", jax.devices())
     import dataclasses
     # shipped scale (dim 512, 4+4, 480/20, 240/10) + the pallas patchify kernel
-    vit_cfg = dataclasses.replace(CTViTConfig(), pallas_patchify=True)
+    vit_cfg = dataclasses.replace(CTViTConfig(), pallas_patchify=True,
+                                  flash_axial=True)
     pre_cfg = PreprocessConfig.train()
     model = CTViT(vit_cfg, dtype=jnp.bfloat16)
     vq_state = vq_init(jax.random.key(0), vit_cfg.codebook_size, vit_cfg.dim)

@@ -51,6 +51,9 @@ def main():
                     help="override decode batch (0 = per-size default)")
     ap.add_argument("--quant", choices=["none", "int8"], default="none",
                     help="weight-only int8 serving quantization (ops/quant.py)")
+    ap.add_argument("--ffn-kernel", action="store_true",
+                    help="with --quant int8: single-launch fused gate/up/"
+                         "silu-mul/down pallas FFN (LLMConfig.quant_ffn_kernel)")
     args = ap.parse_args()
 
     log("devices:", jax.devices())
@@ -78,7 +81,8 @@ def main():
     if args.quant == "int8":
         import dataclasses
 
-        llm_cfg = dataclasses.replace(llm_cfg, weight_quant="int8")
+        llm_cfg = dataclasses.replace(llm_cfg, weight_quant="int8",
+                                      quant_ffn_kernel=args.ffn_kernel)
     vit_cfg = CTViTConfig.tiny()
     gen_cfg = ReportGenConfig(vision_dim=128)
     model = CTReportGenerator(llm_cfg, vit_cfg, gen_cfg, dtype=jnp.bfloat16)

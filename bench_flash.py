@@ -79,19 +79,36 @@ def main():
 
     results = {}
     cases = {
-        # name: (b, h, n, d, reps)
+        # name: (b, h, n, d, reps); "+flat" = the production cosine-attention
+        # config (logit_bound flat-softmax path, models/attention.py)
         "fused": (1, 8, 13824, 32, 3),
+        "fused+flat": (1, 8, 13824, 32, 3),
         "axial": (24, 8, 576, 32, 40),
+        "axial+flat": (24, 8, 576, 32, 40),
         "llm":   (4, 32, 2048, 128, 20),
     }
     rng = np.random.default_rng(0)
-    flash_fn = lambda q, k, v: flash_attention(q, k, v)
     for name, (b, h, n, d, reps) in cases.items():
-        q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.bfloat16)
-        k = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.bfloat16)
+        if name.endswith("+flat"):
+            # l2-normalized q/k so scale=8 is a true logit bound (cosine path)
+            qh = rng.normal(size=(b, h, n, d))
+            kh = rng.normal(size=(b, h, n, d))
+            q = jnp.asarray(qh / np.linalg.norm(qh, axis=-1, keepdims=True),
+                            jnp.bfloat16)
+            k = jnp.asarray(kh / np.linalg.norm(kh, axis=-1, keepdims=True),
+                            jnp.bfloat16)
+            flash_fn = lambda q, k, v: flash_attention(
+                q, k, v, scale=8.0, logit_bound=jnp.float32(8.0))
+        else:
+            q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.bfloat16)
+            k = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.bfloat16)
+            flash_fn = lambda q, k, v: flash_attention(q, k, v)
         v = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.bfloat16)
         tf = measure(flash_fn, q, k, v, reps)
         log(f"{name}: flash {tf*1000:.3f} ms")
+        if name.endswith("+flat"):
+            results[name] = {"flash_ms": round(tf * 1000, 3)}
+            continue
         try:
             tx = measure(xla_attn, q, k, v, max(reps // 4, 2) if name == "fused" else reps)
         except Exception as e:

@@ -86,6 +86,11 @@ def main():
     # roundtrip that also preempts the bulk volume upload (single tunnel),
     # so serving over the relay wants large chunks; on local PCIe 8 is fine
     ap.add_argument("--steps-per-sync", type=int, default=8)
+    ap.add_argument("--quant", choices=["none", "int8"], default="none",
+                    help="weight-only int8 LLM (ops/quant.py): halves weight "
+                         "HBM reads per decode step and fits more lanes")
+    ap.add_argument("--ffn-kernel", action="store_true",
+                    help="with --quant int8: single-launch fused pallas FFN")
     args = ap.parse_args()
 
     if not available():
@@ -96,7 +101,8 @@ def main():
     import dataclasses
     if args.size == "7b":
         llm_cfg = LLMConfig(max_seq_len=args.prompt_len + args.new_tokens + 8)
-        vit_cfg = dataclasses.replace(CTViTConfig(), pallas_patchify=True)
+        vit_cfg = dataclasses.replace(CTViTConfig(), pallas_patchify=True,
+                                      flash_axial=True)
         pre_cfg = PreprocessConfig.train()
         raw_shape = RAW_SHAPE
     else:
@@ -107,6 +113,9 @@ def main():
                           vit_cfg.image_size))
         raw_shape = (40, 80, 80)
 
+    if args.quant == "int8":
+        llm_cfg = dataclasses.replace(llm_cfg, weight_quant="int8",
+                                      quant_ffn_kernel=args.ffn_kernel)
     gen_cfg = ReportGenConfig(vision_dim=512 if args.size == "7b" else 128)
     model = CTReportGenerator(llm_cfg, vit_cfg, gen_cfg, dtype=jnp.bfloat16)
 

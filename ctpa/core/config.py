@@ -80,6 +80,11 @@ class CTViTConfig:
     # (new capability, SURVEY.md §5.7); parity path is fused_attention=False
     fused_attention: bool = False
     fused_depth: int = 4
+    # route the axial SPATIAL fold's attention through the pallas flash
+    # kernel too (cosine flat-softmax path; CPB bias supported) — measured
+    # faster than the XLA attention at the 576-token fold (docs/benchmarks.md
+    # round 3); TPU only, same math as the XLA path
+    flash_axial: bool = False
     # pallas fused patchify+LN+projection kernel (2x the XLA patch embed at
     # shipped scale; TPU only — tests on CPU keep the XLA path)
     pallas_patchify: bool = False

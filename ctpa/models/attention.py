@@ -184,15 +184,23 @@ class CosineAttention(nn.Module):
 
             qn = (l2norm(q) * q_scale).astype(self.dtype)
             kn = (l2norm(k) * k_scale).astype(self.dtype)
+            # cosine attention has analytically bounded logits:
+            # |s| <= scale * ||l2norm(q) o qs|| * ||l2norm(k) o ks||
+            #     <= scale * max|qs| * max|ks|  (+ max bias) — this unlocks
+            # the kernel's flat-softmax fast path (one VPU pass per tile)
+            bound = (self.scale * jnp.max(jnp.abs(q_scale))
+                     * jnp.max(jnp.abs(k_scale))).astype(jnp.float32)
+            if bias is not None:
+                bound = bound + jnp.max(bias).astype(jnp.float32)
             if self.cp_mesh is not None and not self.causal:
                 from ctpa.parallel.context import context_parallel_attention
 
                 out = context_parallel_attention(
                     qn, kn, v, self.cp_mesh, self.cp_axis, bias=bias,
-                    scale=self.scale, impl="flash")
+                    scale=self.scale, impl="flash", logit_bound=bound)
             else:
                 out = flash_attention(qn, kn, v, bias=bias, causal=self.causal,
-                                      scale=self.scale)
+                                      scale=self.scale, logit_bound=bound)
         else:
             out = cosine_attention(
                 q, k, v,

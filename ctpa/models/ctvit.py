@@ -133,7 +133,12 @@ class CTViT(nn.Module):
             peg_reference_layout=c.peg_reference_layout,
             dtype=self.dtype, remat=self.remat,
         )
-        self.enc_spatial = Transformer(depth=c.spatial_depth, name="enc_spatial_transformer", **tkw)
+        # the 576-token spatial fold benefits from the flash kernel's flat
+        # cosine path (flash_axial); the 24-token temporal fold stays XLA
+        # (flash pads 24 -> 128 rows, a 5x waste at that size)
+        self.enc_spatial = Transformer(depth=c.spatial_depth,
+                                       use_flash=c.flash_axial,
+                                       name="enc_spatial_transformer", **tkw)
         self.enc_temporal = Transformer(depth=c.temporal_depth, name="enc_temporal_transformer", **tkw)
         if c.fused_attention:
             self.enc_fused = Transformer(depth=c.fused_depth, use_flash=True,

@@ -38,12 +38,31 @@ Differentiation: `flash_attention` carries a custom VJP.
     axial path remains the practical choice (the fused+bias forward is an
     inference capability, docs/benchmarks.md).
 
-Known geometry note (docs/ROUND1_NOTES.md): at dim_head=32 the contraction
-pads to 128 lanes, so QK^T/PV run at 25% MXU occupancy regardless of tiling —
-inherent to the head size, shared by the XLA path.  Fused exact attention
-over 13,824 tokens therefore costs ~8x the FLOPs of the axial factorization
-and is a *capability* (exact full-sequence attention), not a faster encoder;
-see docs/benchmarks.md for measured numbers.
+dim_head=32 geometry (round-3 analysis): the contraction pads 32 -> 128
+lanes, but on a fixed-depth 128x128 systolic array that padding wastes FLOPs,
+not TIME — a (n,32)x(32,m) tile costs the same cycles as (n,128)x(128,m), and
+"head packing" 4 heads into the 128 lanes cannot help because a dense packed
+contraction sums across heads (block-diagonal packing restores correctness
+but also restores the padded FLOP count).  What actually dominates at d=32 is
+the O(n^2) VPU softmax work: the online-softmax bookkeeping costs ~4
+elementwise passes per (block_q, block_k) tile (scale, running max, exp,
+row-sum).  Three round-3 optimizations cut that to ONE pass on the CTViT
+cosine-attention path:
+  * power-of-two `scale` is folded into q outside the kernel (exact — a pow2
+    multiply is lossless in floating point; non-pow2 scales keep the
+    in-kernel fp32 multiply for precision);
+  * when d < d_pad, a 1.0 in spare lane d of V makes the PV matmul accumulate
+    rowsum(p) in the accumulator's lane d — the softmax DENOMINATOR rides the
+    MXU for free and the l scratch + VPU row-sum disappear;
+  * `logit_bound`: cosine attention has provably bounded logits
+    (|s| <= scale * max|q_scale| * max|k_scale|, models/attention.py), and
+    exp(s - B) for any upper bound B is exactly softmax-stable, so the
+    running max / rescale are skipped entirely ("flat softmax").  B is
+    embedded via the spare lane (q_d = 1, k_d = -B/scale), so the kernel's
+    only n^2 VPU op is the exp itself.  A uniformly shifted softmax is
+    mathematically identical, and the bf16 rounding of B shifts every logit
+    EQUALLY, so the path is exact up to normal bf16 matmul noise.
+See docs/benchmarks.md for measured numbers.
 """
 
 from __future__ import annotations
@@ -64,20 +83,29 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, kvm_ref, qo_ref, o_ref,
                  lse_ref, m_scr, l_scr, acc_scr, *, scale: float,
                  causal: bool, block_q: int, block_k: int, kv_true_len: int,
                  kv_pad_len: int, has_bias: bool, has_kv_mask: bool,
-                 has_q_offset: bool, return_lse: bool):
+                 has_q_offset: bool, return_lse: bool, flat: bool,
+                 denom_lane: int):
     """One (q-block, kv-block) step.  Scratch (m, l, acc) persists across the
     kv grid dimension (innermost); initialized at kv step 0, flushed to o_ref
     on the last kv step.  qo_ref (SMEM scalar) shifts causal q positions by a
     DYNAMIC global offset — the context-parallel case where this call's
-    queries are shard [off, off+n) of a longer sequence."""
+    queries are shard [off, off+n) of a longer sequence.
+
+    denom_lane >= 0: V carries a 1.0 in that spare lane, so the PV matmul
+    accumulates rowsum(p) in acc's lane `denom_lane` — no l scratch, no VPU
+    row-sum.  flat=True (requires denom_lane): logits arrive pre-shifted
+    below 0 via the caller's `logit_bound` lane, so the running max / alpha
+    rescale are skipped entirely (see module docstring)."""
     qi = pl.program_id(1)
     kj = pl.program_id(2)
     num_kv = pl.num_programs(2)
 
     @pl.when(kj == 0)
     def _init():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
+        if not flat:
+            m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+            if denom_lane < 0:
+                l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     # causal: skip kv blocks strictly above this q block's diagonal band
@@ -89,16 +117,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, kvm_ref, qo_ref, o_ref,
     else:
         run = kj * block_k <= qi * block_q + block_q - 1
 
-    @pl.when(run)
-    def _step():
-        q = q_ref[:]                                   # (block_q, d) in dtype
-        k = k_ref[:]                                   # (block_k, d)
-        v = v_ref[:]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale                                       # (block_q, block_k) f32
-        if has_bias:
-            s = s + bias_ref[:].astype(jnp.float32)
+    def _masks():
+        """Validity of each (q, k) cell of this tile, or None if all-valid."""
+        valid = None
         if causal:
             q_pos = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
@@ -106,39 +127,85 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, kvm_ref, qo_ref, o_ref,
                 q_pos = q_pos + qo_ref[0, 0]
             k_pos = kj * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
-            s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+            valid = k_pos <= q_pos
         if kv_pad_len > kv_true_len:
             # static padding of the key axis: mask the tail block's pad cols
             k_pos = kj * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
-            s = jnp.where(k_pos < kv_true_len, s, NEG_INF)
+            pv = k_pos < kv_true_len
+            valid = pv if valid is None else (valid & pv)
         if has_kv_mask:
             # per-sequence key validity (right-padded prompts): (1, block_k)
             # 0/1 row broadcast over the q tile
-            s = jnp.where(kvm_ref[:] > 0.5, s, NEG_INF)
+            kv = kvm_ref[:] > 0.5
+            valid = kv if valid is None else (valid & kv)
+        return valid
 
+    @pl.when(run)
+    def _step():
+        q = q_ref[:]                                   # (block_q, d) in dtype
+        k = k_ref[:]                                   # (block_k, d)
+        v = v_ref[:]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                               # (block_q, block_k) f32
+        if scale != 1.0:
+            s = s * scale
+        if has_bias:
+            s = s + bias_ref[:].astype(jnp.float32)
+        valid = _masks()
+
+        if flat:
+            # pre-shifted logits: exp is the only n^2 VPU op on this path
+            p = jnp.exp(s)
+            if valid is not None:
+                p = jnp.where(valid, p, 0.0)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)     # (block_q, d) f32
+            acc_scr[:] = acc_scr[:] + pv
+            return
+
+        if valid is not None:
+            s = jnp.where(valid, s, NEG_INF)
         m_prev = m_scr[:, :1]                           # (block_q, 1)
-        l_prev = l_scr[:, :1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)                          # (block_q, block_k) f32
         alpha = jnp.exp(m_prev - m_new)                 # (block_q, 1)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        # PV on the MXU in the input dtype (standard flash-attn practice)
+        if denom_lane < 0:
+            l_prev = l_scr[:, :1]
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        # PV on the MXU in the input dtype (standard flash-attn practice);
+        # with denom_lane the same matmul also advances the l statistic
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)         # (block_q, d) f32
         acc_scr[:] = acc_scr[:] * alpha + pv
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+        if denom_lane < 0:
+            l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
     @pl.when(kj == num_kv - 1)
     def _flush():
-        l_safe = jnp.maximum(l_scr[:, :1], 1e-30)
+        if denom_lane >= 0:
+            # one-hot + rowsum instead of an unaligned width-1 lane slice
+            # (slicing lane d mid-register forces Mosaic relayouts of acc)
+            lane = jax.lax.broadcasted_iota(jnp.int32, acc_scr.shape, 1)
+            l = jnp.sum(jnp.where(lane == denom_lane, acc_scr[:], 0.0),
+                        axis=-1, keepdims=True)
+        else:
+            l = l_scr[:, :1]
+        l_safe = jnp.maximum(l, 1e-30)
         o_ref[:] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
         if return_lse:
-            # per-row logsumexp, lane-replicated (the bwd kernels read col 0)
-            lse_ref[:] = m_scr[:] + jnp.log(jnp.maximum(l_scr[:], 1e-30))
+            # per-row logsumexp, lane-replicated (the bwd kernels read col 0);
+            # on the flat path this is RELATIVE to the caller's bound — the
+            # backward reuses the same augmented operands, so it cancels
+            lse = jnp.log(l_safe)
+            if not flat:
+                lse = m_scr[:, :1] + lse
+            lse_ref[:] = jnp.broadcast_to(lse, lse_ref.shape)
 
 
 def _pad_to(x, size, axis):
@@ -148,6 +215,20 @@ def _pad_to(x, size, axis):
     pads = [(0, 0)] * x.ndim
     pads[axis] = (0, pad)
     return jnp.pad(x, pads)
+
+
+def _pad_d_with_lane(x, d_pad, lane_value):
+    """Pad the last (head) dim to d_pad with lane d = `lane_value` and zeros
+    beyond — ONE concatenation pass (an .at[d].set after jnp.pad would copy
+    the tensor twice)."""
+    b, h, n, d = x.shape
+    if d_pad <= d:
+        return x
+    lane = jnp.broadcast_to(jnp.asarray(lane_value, x.dtype), (b, h, n, 1))
+    parts = [x, lane]
+    if d_pad > d + 1:
+        parts.append(jnp.zeros((b, h, n, d_pad - d - 1), x.dtype))
+    return jnp.concatenate(parts, axis=-1)
 
 
 def _rup(x, mult):
@@ -174,15 +255,32 @@ def _pick_block(size: int, cap: int) -> int:
     return best
 
 
-def _flash_call(q, k, v, bias, kv_mask, q_offset, *, causal, block_q,
-                block_k, scale, return_lse):
+def _is_pow2(x: float) -> bool:
+    return x > 0 and math.frexp(x)[0] == 0.5
+
+
+def _fold_scale(q, scale):
+    """Fold a power-of-two scale into q (exact in floating point); return the
+    (possibly scaled) q and the scale the kernel must still apply."""
+    if scale != 1.0 and _is_pow2(abs(scale)):
+        return q * jnp.asarray(scale, q.dtype), 1.0
+    return q, scale
+
+
+def _flash_call(q, k, v, bias, kv_mask, q_offset, logit_bound, *, causal,
+                block_q, block_k, scale, return_lse):
     """The forward pallas_call.  Returns out, or (out, lse) with lse shaped
-    (b*h, n) fp32 when return_lse."""
+    (b*h, n) fp32 when return_lse.  lse is relative to `logit_bound` when
+    that is given (the backward reuses the same augmentation, so the shift
+    cancels)."""
     b, h, n, d = q.shape
     m = k.shape[2]
 
     rup = _rup
     d_pad = max(128, rup(d, 128))
+    q, kern_scale = _fold_scale(q, scale)
+    denom_lane = d if d < d_pad else -1
+    flat = logit_bound is not None and denom_lane >= 0
     # auto-pick tiles: big for long sequences, shrunk to the (128-aligned)
     # sizes for short axial folds; with a bias operand the (block_q, block_k)
     # fp32 bias+score tiles both live in VMEM, so cap them tighter
@@ -197,9 +295,22 @@ def _flash_call(q, k, v, bias, kv_mask, q_offset, *, causal, block_q,
     n_pad = rup(n, block_q)
     m_pad = rup(m, block_k)
 
-    qf = _pad_to(_pad_to(q, n_pad, 2), d_pad, 3).reshape(b * h, n_pad, d_pad)
-    kf = _pad_to(_pad_to(k, m_pad, 2), d_pad, 3).reshape(b * h, m_pad, d_pad)
-    vf = _pad_to(_pad_to(v, m_pad, 2), d_pad, 3).reshape(b * h, m_pad, d_pad)
+    if denom_lane >= 0:
+        # spare-lane denominator: PV accumulates rowsum(p) in acc lane d
+        # (pad kv rows are zero-padded below and contribute p=0, so the lane
+        # value only exists on real rows)
+        v = _pad_d_with_lane(v, d_pad, 1.0)
+    if flat:
+        # embed the logit bound in the contraction: q_d*k_d = -B, making
+        # every kernel logit <= ~0 so exp needs no running max
+        q = _pad_d_with_lane(q, d_pad, 1.0)
+        k = _pad_d_with_lane(
+            k, d_pad,
+            -jnp.asarray(logit_bound, jnp.float32).astype(k.dtype)
+            / jnp.asarray(kern_scale, k.dtype))
+    qf = _pad_to(_pad_to(q, d_pad, 3), n_pad, 2).reshape(b * h, n_pad, d_pad)
+    kf = _pad_to(_pad_to(k, d_pad, 3), m_pad, 2).reshape(b * h, m_pad, d_pad)
+    vf = _pad_to(_pad_to(v, d_pad, 3), m_pad, 2).reshape(b * h, m_pad, d_pad)
 
     grid = (b * h, n_pad // block_q, m_pad // block_k)
 
@@ -247,10 +358,10 @@ def _flash_call(q, k, v, bias, kv_mask, q_offset, *, causal, block_q,
         operands.append(qo)
 
     kernel = functools.partial(
-        _attn_kernel, scale=scale, causal=causal, block_q=block_q,
+        _attn_kernel, scale=kern_scale, causal=causal, block_q=block_q,
         block_k=block_k, kv_true_len=m, kv_pad_len=m_pad, has_bias=has_bias,
         has_kv_mask=has_kv_mask, has_q_offset=has_q_offset,
-        return_lse=return_lse)
+        return_lse=return_lse, flat=flat, denom_lane=denom_lane)
 
     def kernel_entry(*refs):
         q_ref, k_ref, v_ref, rest = refs[0], refs[1], refs[2], list(refs[3:])
@@ -430,22 +541,39 @@ def _dq_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, kvm_ref,
         dq_ref[:] = dq_scr[:].astype(dq_ref.dtype)
 
 
-def _flash_bwd(q, k, v, kv_mask, q_offset, out, lse, do, *, causal, scale):
-    """Pallas backward (no bias): returns (dq, dk, dv)."""
+def _flash_bwd(q, k, v, kv_mask, q_offset, logit_bound, out, lse, do, *,
+               causal, scale):
+    """Pallas backward (no bias): returns (dq, dk, dv).  Reuses the forward's
+    scale-fold and logit-bound augmentation so the saved (bound-relative) lse
+    recovers the exact probabilities."""
     b, h, n, d = q.shape
     m = k.shape[2]
     rup = _rup
     d_pad = max(128, rup(d, 128))
+    q, kern_scale = _fold_scale(q, scale)
+    scale, post_scale = kern_scale, (scale if kern_scale == 1.0 else 1.0)
+    denom_lane = d if d < d_pad else -1
+    flat = logit_bound is not None and denom_lane >= 0
     # smaller caps than fwd: bwd tiles keep 4 matmul temporaries live
     block_q = _pick_block(n, cap=512)
     block_k = _pick_block(m, cap=512)
     n_pad = rup(n, block_q)
     m_pad = rup(m, block_k)
 
-    qf = _pad_to(_pad_to(q, n_pad, 2), d_pad, 3).reshape(b * h, n_pad, d_pad)
+    if flat:
+        # same augmentation as the forward: recomputed logits land at s - B,
+        # matching the saved bound-relative lse; the spare-lane gradients are
+        # sliced off below (softmax is invariant to the uniform shift, so
+        # they carry no real gradient)
+        q = _pad_d_with_lane(q, d_pad, 1.0)
+        k = _pad_d_with_lane(
+            k, d_pad,
+            -jnp.asarray(logit_bound, jnp.float32).astype(k.dtype)
+            / jnp.asarray(scale, k.dtype))
+    qf = _pad_to(_pad_to(q, d_pad, 3), n_pad, 2).reshape(b * h, n_pad, d_pad)
     dof = _pad_to(_pad_to(do, n_pad, 2), d_pad, 3).reshape(b * h, n_pad, d_pad)
     of = _pad_to(_pad_to(out, n_pad, 2), d_pad, 3).reshape(b * h, n_pad, d_pad)
-    kf = _pad_to(_pad_to(k, m_pad, 2), d_pad, 3).reshape(b * h, m_pad, d_pad)
+    kf = _pad_to(_pad_to(k, d_pad, 3), m_pad, 2).reshape(b * h, m_pad, d_pad)
     vf = _pad_to(_pad_to(v, m_pad, 2), d_pad, 3).reshape(b * h, m_pad, d_pad)
     # pad rows get lse=0 -> garbage p there, but their dO/O rows are zero so
     # every gradient contribution vanishes (ds = p * (0 - 0))
@@ -548,6 +676,9 @@ def _flash_bwd(q, k, v, kv_mask, q_offset, out, lse, do, *, causal, scale):
     dq = dq.reshape(b, h, n_pad, d_pad)[:, :, :n, :d]
     dk = dk.reshape(b, h, m_pad, d_pad)[:, :, :m, :d]
     dv = dv.reshape(b, h, m_pad, d_pad)[:, :, :m, :d]
+    if post_scale != 1.0:
+        # the kernel differentiated w.r.t. the scale-folded q
+        dq = dq * jnp.asarray(post_scale, dq.dtype)
     return dq, dk, dv
 
 
@@ -595,27 +726,27 @@ def _make_fa(causal: bool, block_q, block_k, scale: float):
     """custom_vjp'd flash attention for one static (causal, tiles, scale)."""
 
     @jax.custom_vjp
-    def fa(q, k, v, bias, kv_mask, q_offset):
-        return _flash_call(q, k, v, bias, kv_mask, q_offset, causal=causal,
-                           block_q=block_q, block_k=block_k, scale=scale,
-                           return_lse=False)
+    def fa(q, k, v, bias, kv_mask, q_offset, logit_bound):
+        return _flash_call(q, k, v, bias, kv_mask, q_offset, logit_bound,
+                           causal=causal, block_q=block_q, block_k=block_k,
+                           scale=scale, return_lse=False)
 
-    def fa_fwd(q, k, v, bias, kv_mask, q_offset):
-        out, lse = _flash_call(q, k, v, bias, kv_mask, q_offset,
+    def fa_fwd(q, k, v, bias, kv_mask, q_offset, logit_bound):
+        out, lse = _flash_call(q, k, v, bias, kv_mask, q_offset, logit_bound,
                                causal=causal, block_q=block_q,
                                block_k=block_k, scale=scale, return_lse=True)
-        return out, (q, k, v, bias, kv_mask, q_offset, out, lse)
+        return out, (q, k, v, bias, kv_mask, q_offset, logit_bound, out, lse)
 
     def fa_bwd(res, do):
-        q, k, v, bias, kv_mask, q_offset, out, lse = res
+        q, k, v, bias, kv_mask, q_offset, logit_bound, out, lse = res
         if bias is not None:
             dq, dk, dv, dbias = _dense_bwd(q, k, v, bias, kv_mask, q_offset,
                                            do, causal=causal, scale=scale)
         else:
-            dq, dk, dv = _flash_bwd(q, k, v, kv_mask, q_offset, out, lse, do,
-                                    causal=causal, scale=scale)
+            dq, dk, dv = _flash_bwd(q, k, v, kv_mask, q_offset, logit_bound,
+                                    out, lse, do, causal=causal, scale=scale)
             dbias = None
-        return dq, dk, dv, dbias, None, None
+        return dq, dk, dv, dbias, None, None, None
 
     fa.defvjp(fa_fwd, fa_bwd)
     return fa
@@ -636,6 +767,14 @@ def flash_attention(
     q_offset: Optional[jax.Array] = None,  # scalar: queries are the shard
                                            # [off, off+n) of a longer causal
                                            # sequence (context parallelism)
+    logit_bound: Optional[jax.Array] = None,  # scalar upper bound on the
+                                           # POST-scale logits incl. bias:
+                                           # enables the flat-softmax fast
+                                           # path when d < 128 (module
+                                           # docstring).  Must genuinely
+                                           # bound max(s) (cosine attention
+                                           # provides one analytically) or
+                                           # exp overflows.
 ) -> jax.Array:
     """Causal alignment: with `causal=True` and no `q_offset`, masking is
     TOP-LEFT aligned (query row i attends to keys [0, i]).  For rectangular
@@ -645,4 +784,4 @@ def flash_attention(
     d = q.shape[-1]
     scale = float(scale) if scale is not None else 1.0 / math.sqrt(d)
     return _make_fa(causal, block_q, block_k, scale)(q, k, v, bias, kv_mask,
-                                                     q_offset)
+                                                     q_offset, logit_bound)

@@ -30,6 +30,51 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _rows_kernel(x_ref, kg_ref, v2_ref, o_ref, st_ref, *,
+                 pt: int, p1: int, p2: int, hb: int, eps: float):
+    """'rows' formulation: the LN scale g is folded into the projection
+    weights HOST-side (kg = g*K, so out = rsig*(x . kg) - (mu*rsig)*v2) —
+    the dots read the RAW bf16 slab, no scaled staging pass, no per-element
+    VPU multiply.  Each dot covers ALL hb h-rows (M = hb*w rows per issue,
+    vs w=24 in 'chunked'), batched over p1 per pt slice: 10 dot ops of
+    batch 20 instead of 8 of batch 25, with 4x the rows per issue."""
+    a = pt * p1
+    pd = a * p2
+    w_ = x_ref.shape[-2]
+    v2 = v2_ref[0].astype(jnp.float32)[None, :]           # (1, dim)
+
+    def stats(j, carry):
+        x = x_ref[:, pl.ds(j, 1)][:, 0]                   # (pt, p1, w, p2)
+        x = x.astype(jnp.float32).reshape(a, w_, p2)
+        mu = jnp.sum(x, axis=(0, 2)) / pd                 # (w,)
+        m2 = jnp.sum(jnp.square(x), axis=(0, 2)) / pd
+        rsig = jax.lax.rsqrt(m2 - jnp.square(mu) + eps)
+        st_ref[0, pl.ds(j, 1)] = rsig[None]
+        st_ref[1, pl.ds(j, 1)] = (mu * rsig)[None]
+        return carry
+
+    jax.lax.fori_loop(0, hb, stats, 0)
+
+    # Mosaic requires matching (leading) batch dims on both operands, so the
+    # slab is transposed once per step to put the p1 batch first (a pure
+    # sublane shuffle — the p2 lane dim stays minor); kg arrives host-side
+    # pre-transposed as (p1, pt, p2, dim).
+    xt = jnp.transpose(x_ref[:], (2, 0, 1, 3, 4))         # (p1, pt, hb, w, p2)
+    acc = None
+    for i in range(pt):
+        per = jax.lax.dot_general(
+            xt[:, i],                                     # (p1, hb, w, p2)
+            kg_ref[:, i],                                 # (p1, p2, dim)
+            dimension_numbers=(((3,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                 # (p1, hb, w, dim)
+        part = jnp.sum(per, axis=0)                       # (hb, w, dim)
+        acc = part if acc is None else acc + part
+    rsig = st_ref[0][:, :, None]                          # (hb, w, 1)
+    musig = st_ref[1][:, :, None]
+    o_ref[:] = (rsig * acc - musig * v2[None]).astype(o_ref.dtype)
+
+
 def _kernel(x_ref, g_ref, k_ref, v2_ref, o_ref, *, pt: int, p1: int, p2: int,
             hb: int, eps: float, impl: str = "chunked"):
     """x_ref: (pt, hb, p1, w, p2) slab; g_ref: (pt*p1, p2) LN scale;
@@ -47,6 +92,14 @@ def _kernel(x_ref, g_ref, k_ref, v2_ref, o_ref, *, pt: int, p1: int, p2: int,
                     intermediate (~10 MB at shipped scale).
       * 'chunked' — round-2 formulation: python-unrolled a-chunks of 25 to
                     bound the intermediate (~1.2 MB); 8x the dot ops in IR.
+      * 'rows'    — round-3: ONE chunked dot pass for ALL hb h-rows of the
+                    slab (M = hb*w rows instead of w=24), after staging the
+                    LN-scaled slab in a bf16 scratch.  Same dot-issue count
+                    as 'chunked' but each issue carries hb x the rows —
+                    at w=24 the per-dot M occupancy rises from 24/128 to
+                    (hb*24)/128, amortizing the MXU issue overhead that
+                    dominates this kernel (each batch element of a batched
+                    dot is its own MXU macro-op at K=20).
     """
     g = g_ref[:].astype(jnp.float32)[:, None, :]         # (a, 1, p2)
     kv = k_ref[:]
@@ -95,14 +148,15 @@ def _kernel(x_ref, g_ref, k_ref, v2_ref, o_ref, *, pt: int, p1: int, p2: int,
 
 
 def _pick_hb(h: int, pt: int, p1: int, w: int, p2: int,
-             itemsize: int) -> int:
+             itemsize: int, budget: int = (16 << 20) - (7 << 20)) -> int:
     """Largest divisor of h fitting VMEM: the slab's p2-minor lane dim pads
     to 128, so the double-buffered input block costs
     2 * hb * pt*p1*w*128*itemsize bytes; leave ~7 MB for the fp32 row copy,
     the scaled operand and the chunked dot intermediate.  bf16 volumes (the
-    full-scale model path) fit 2-4 rows per step; fp32 stays at 1."""
+    full-scale model path) fit 2-4 rows per step; fp32 stays at 1.  'rows'
+    passes a larger budget (no scaled staging, smaller dot intermediate)."""
     padded_row = pt * p1 * w * 128 * itemsize
-    cap = max(1, ((16 << 20) - (7 << 20)) // max(2 * padded_row, 1))
+    cap = max(1, budget // max(2 * padded_row, 1))
     best = 1
     for c in range(1, h + 1):
         if h % c == 0 and c <= cap:
@@ -126,20 +180,45 @@ def patchify_project(
     t, h, w = T // pt, H // p1, W // p2
     dim = kernel.shape[1]
     a = pt * p1
-    hb = _pick_hb(h, pt, p1, w, p2, volume.dtype.itemsize)
     # free views (no data movement): slab (t, pt, h, p1, w, p2) -> blocks are
     # (pt, hb, p1, w, p2) per (t, h-block); kernel laid out (a, p2, dim) to
     # match the reference Dense feature order (c pt p1 p2)
     xv = volume.reshape(t, pt, h, p1, w, p2)
     gk = g.reshape(a, p2)
-    kv = kernel.reshape(a, p2, dim).astype(out_dtype)
     v2 = jnp.einsum("ap,apd->d", gk, kernel.reshape(a, p2, dim),
                     preferred_element_type=jnp.float32)[None, :]
-    kern = functools.partial(_kernel, pt=pt, p1=p1, p2=p2, hb=hb, eps=eps,
-                             impl=impl)
 
     def xmap(i, j):
         return (i, 0, j, 0, 0, 0)
+
+    if impl == "rows":
+        # g folded into the weights host-side; raw slab feeds the MXU
+        hb = _pick_hb(h, pt, p1, w, p2, volume.dtype.itemsize,
+                      budget=(16 << 20) - (6 << 20))
+        kg = (gk[:, :, None] * kernel.reshape(a, p2, dim)).astype(
+            out_dtype).reshape(pt, p1, p2, dim).transpose(1, 0, 2, 3)
+        kern = functools.partial(_rows_kernel, pt=pt, p1=p1, p2=p2, hb=hb,
+                                 eps=eps)
+        return pl.pallas_call(
+            kern,
+            grid=(t, h // hb),
+            in_specs=[
+                pl.BlockSpec((None, pt, hb, p1, w, p2), xmap,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((None, hb, w, dim),
+                                   lambda i, j: (i, j, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((t, h, w, dim), out_dtype),
+            scratch_shapes=[pltpu.VMEM((2, hb, w), jnp.float32)],
+        )(xv, kg, v2)
+
+    hb = _pick_hb(h, pt, p1, w, p2, volume.dtype.itemsize)
+    kv = kernel.reshape(a, p2, dim).astype(out_dtype)
+    kern = functools.partial(_kernel, pt=pt, p1=p1, p2=p2, hb=hb, eps=eps,
+                             impl=impl)
 
     out = pl.pallas_call(
         kern,

@@ -72,6 +72,8 @@ def context_parallel_attention(
     scale: Optional[float] = None,
     impl: str = "flash",               # "flash" (pallas) | "dense" (XLA)
     causal: bool = False,
+    logit_bound: Optional[jax.Array] = None,  # scalar post-scale logit bound
+                                       # (flash flat-softmax fast path)
 ) -> jax.Array:
     """Exact attention with the sequence dim sharded over ``axis``.
     Inputs may be global (replicated) arrays or already sharded with the
@@ -100,6 +102,10 @@ def context_parallel_attention(
     if has_kvm:
         in_specs.append(P())           # key validity spans the full sequence
         args.append(kv_mask)
+    has_bound = logit_bound is not None
+    if has_bound:
+        in_specs.append(P())           # replicated scalar
+        args.append(jnp.asarray(logit_bound, jnp.float32))
 
     n_local = n // p_size
 
@@ -108,6 +114,7 @@ def context_parallel_attention(
         q_blk, k_blk, v_blk = local[:3]
         bias_blk = local[3] if has_bias else None
         kvm = local[3 + has_bias] if has_kvm else None
+        bound = local[3 + has_bias + has_kvm] if has_bound else None
         k_full = jax.lax.all_gather(k_blk, axis, axis=2, tiled=True)
         v_full = jax.lax.all_gather(v_blk, axis, axis=2, tiled=True)
         q_off = (jax.lax.axis_index(axis) * n_local).astype(jnp.int32) \
@@ -117,7 +124,7 @@ def context_parallel_attention(
 
             return flash_attention(q_blk, k_full, v_full, bias=bias_blk,
                                    scale=scale, kv_mask=kvm, causal=causal,
-                                   q_offset=q_off)
+                                   q_offset=q_off, logit_bound=bound)
         return _dense_attention(q_blk, k_full, v_full, bias_blk, kvm, scale,
                                 causal=causal, q_offset=q_off)
 

@@ -85,3 +85,22 @@ def test_decode_from_codebook_indices():
     idx = jax.random.randint(jax.random.key(1), (1, t * h * w), 0, cfg.codebook_size)
     recon = model.apply(params, idx, vq, method=CTViT.decode_from_codebook_indices)
     assert recon.shape == video.shape
+
+
+def test_flash_axial_matches_xla_axial():
+    """flash_axial routes the spatial fold through the pallas flat-softmax
+    cosine path (CPB bias included) — must match the XLA axial encode."""
+    model_x = CTViT(VIT)
+    model_f = CTViT(dataclasses.replace(VIT, flash_axial=True))
+    vq = vq_init(jax.random.key(0), VIT.codebook_size, VIT.dim)
+    video = jax.random.normal(
+        jax.random.key(1), (1, 1, VIT.temporal_size, VIT.image_size, VIT.image_size))
+    from jax.experimental.pallas import tpu as pltpu
+
+    params = model_x.init(jax.random.key(0), video, vq)
+    want, _ = model_x.apply(params, video, vq)
+    with pltpu.force_tpu_interpret_mode():
+        got, _ = model_f.apply(params, video, vq)
+    np.testing.assert_allclose(
+        np.asarray(got.astype(jnp.float32)),
+        np.asarray(want.astype(jnp.float32)), rtol=2e-3, atol=2e-3)

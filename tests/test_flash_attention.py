@@ -267,3 +267,109 @@ def test_flash_q_offset_grads_match_dense(rng):
     for g, w, name in ((gq, wq, "dq"), (gk, wk, "dk"), (gv, wv, "dv")):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+# ---------------------------------------------------------------------------
+# Flat-softmax fast path (logit_bound): cosine-attention-style bounded logits
+# skip the running max entirely — round-3 fast path (module docstring).
+# ---------------------------------------------------------------------------
+
+
+def _cosine_qk(rng, shape, scale=8.0):
+    """l2-normalized q/k so `scale` is a true logit bound (models/attention)."""
+    x = rng.normal(size=shape)
+    x = x / np.linalg.norm(x, axis=-1, keepdims=True)
+    return jnp.asarray(x, jnp.float32)
+
+
+@pytest.mark.parametrize("n,m", [(256, 256), (130, 200)])
+def test_flash_logit_bound_matches_dense(rng, n, m):
+    """Bounded (flat) path vs dense, incl. the ragged-kv pad masking."""
+    b, h, d, scale = 1, 2, 32, 8.0
+    q = _cosine_qk(rng, (b, h, n, d))
+    k = _cosine_qk(rng, (b, h, m, d))
+    v = jnp.asarray(rng.normal(size=(b, h, m, d)), jnp.float32)
+    want = dense_attention(q, k, v, scale=scale)
+    got = run_flash(q, k, v, scale=scale, logit_bound=jnp.float32(scale))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_flash_logit_bound_causal_kvmask(rng):
+    b, h, n, d, scale = 2, 2, 256, 32, 8.0
+    q = _cosine_qk(rng, (b, h, n, d))
+    k = _cosine_qk(rng, (b, h, n, d))
+    v = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    kvm = jnp.asarray(
+        np.arange(n)[None, :] < np.array([[n], [n - 70]]), jnp.int32)
+
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k).astype(jnp.float32) * scale
+    mask = jnp.tril(jnp.ones((n, n), bool))[None, None] \
+        & (kvm[:, None, None, :] > 0)
+    p = jax.nn.softmax(jnp.where(mask, s, -1e30), axis=-1)
+    want = jnp.einsum("bhnm,bhmd->bhnd", p, v)
+
+    got = run_flash(q, k, v, causal=True, scale=scale, kv_mask=kvm,
+                    logit_bound=jnp.float32(scale))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_flash_logit_bound_grads_match_dense(rng):
+    """Flat-path pallas backward (augmented operands + bound-relative lse)."""
+    b, h, n, m, d, scale = 1, 2, 128, 256, 32, 8.0
+    q = _cosine_qk(rng, (b, h, n, d))
+    k = _cosine_qk(rng, (b, h, m, d))
+    v = jnp.asarray(rng.normal(size=(b, h, m, d)), jnp.float32)
+
+    def flash(q, k, v):
+        return flash_attention(q, k, v, scale=scale,
+                               logit_bound=jnp.float32(scale))
+
+    def dense(q, k, v):
+        return dense_attention(q, k, v, scale=scale)
+
+    with pltpu.force_tpu_interpret_mode():
+        (gq, gk, gv), (wq, wk, wv) = _loss_pair(
+            flash, dense, (q, k, v), (q, k, v), wrt=(0, 1, 2))
+    for g, w, name in ((gq, wq, "dq"), (gk, wk, "dk"), (gv, wv, "dv")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+def test_flash_loose_bound_still_exact(rng):
+    """Softmax is invariant to the uniform bound shift — a LOOSE bound (the
+    analytic worst case is rarely attained) must not change the result."""
+    b, h, n, d, scale = 1, 1, 128, 32, 8.0
+    q = _cosine_qk(rng, (b, h, n, d))
+    k = _cosine_qk(rng, (b, h, n, d))
+    v = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    tight = run_flash(q, k, v, scale=scale, logit_bound=jnp.float32(scale))
+    loose = run_flash(q, k, v, scale=scale,
+                      logit_bound=jnp.float32(scale + 30.0))
+    np.testing.assert_allclose(np.asarray(loose), np.asarray(tight),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_patchify_rows_matches_chunked(rng):
+    """'rows' formulation (g folded into weights, hb-fused dots) is exact vs
+    the round-2 'chunked' kernel and the XLA composition."""
+    from ctpa.ops.pallas.patchify import patchify_project
+
+    T, H, W = 20, 80, 80
+    pt, p1, p2, dim = 10, 20, 20, 64
+    vol = jnp.asarray(rng.normal(size=(T, H, W)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(pt * p1 * p2,)), jnp.float32)
+    K = jnp.asarray(rng.normal(size=(pt * p1 * p2, dim)) * 0.02, jnp.float32)
+
+    x = vol.reshape(T // pt, pt, H // p1, p1, W // p2, p2).transpose(
+        0, 2, 4, 1, 3, 5).reshape(T // pt, H // p1, W // p2, -1)
+    mu = x.mean(-1, keepdims=True)
+    var = x.var(-1, keepdims=True)
+    want = (((x - mu) * jax.lax.rsqrt(var + 1e-5)) * g) @ K
+
+    with pltpu.force_tpu_interpret_mode():
+        got = patchify_project(vol, g, K, pt, p1, p2,
+                               out_dtype=jnp.float32, impl="rows")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
