@@ -214,6 +214,12 @@ class LLMConfig:
     # quantize_tree(..., ffn_kernel=True) (gate/up/down quantized separately,
     # no gateup concat).
     quant_ffn_kernel: bool = False
+    # w8a8: ALSO quantize activations (dynamic symmetric per-token absmax,
+    # ops/quant.quantize_act_int8) so the int8 projections run native
+    # int8×int8→int32 MXU contractions instead of per-weight-element VPU
+    # dequant — the weight-only kernel's binder at large decode batch.
+    # Serving-time flag only; weight storage / quantize_tree are unchanged.
+    quant_act: bool = False
 
     @property
     def head_dim(self) -> int:

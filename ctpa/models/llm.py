@@ -41,6 +41,7 @@ class Int8Dense(nn.Module):
     features: int
     impl: str = "pallas"          # "pallas" | "xla" (ops/quant.int8_matmul)
     dtype: jnp.dtype = jnp.bfloat16
+    act_quant: bool = False       # w8a8: int8×int8→int32 MXU contraction
 
     @nn.compact
     def __call__(self, x):
@@ -50,7 +51,8 @@ class Int8Dense(nn.Module):
                         (x.shape[-1], self.features), jnp.int8)
         scale = self.param("scale", nn.initializers.ones,
                            (self.features,), jnp.float32)
-        return int8_matmul(x.astype(self.dtype), w8, scale, impl=self.impl)
+        return int8_matmul(x.astype(self.dtype), w8, scale, impl=self.impl,
+                           act_quant=self.act_quant)
 
 
 class _Int8Weights(nn.Module):
@@ -76,7 +78,8 @@ def _proj(cfg: LLMConfig, features: int, name: str, dtype,
         if lora is not None and lora_name in (lora.target_projections or ()):
             raise ValueError("LoRA overlays are not supported with int8 "
                              "weight quantization (merge adapters first)")
-        return Int8Dense(features, impl=cfg.quant_impl, dtype=dtype, name=name)
+        return Int8Dense(features, impl=cfg.quant_impl, dtype=dtype,
+                         act_quant=getattr(cfg, "quant_act", False), name=name)
     if lora_name is not None:
         return LoRADense(features, dtype=dtype, name=name,
                          **_lora_args(lora, lora_name))
@@ -185,7 +188,9 @@ class LlamaAttention(nn.Module):
                 raise ValueError("LoRA overlays are not supported with int8 "
                                  "weight quantization (merge adapters first)")
             qkv = Int8Dense(h * hd + 2 * kvh * hd, impl=c.quant_impl,
-                            dtype=self.dtype, name="qkv_proj")(x)
+                            dtype=self.dtype,
+                            act_quant=getattr(c, "quant_act", False),
+                            name="qkv_proj")(x)
             q, k, v = (qkv[..., : h * hd],
                        qkv[..., h * hd : h * hd + kvh * hd],
                        qkv[..., h * hd + kvh * hd :])
@@ -257,10 +262,13 @@ class LlamaMLP(nn.Module):
             wg, sg = _Int8Weights((h, i), name="gate_proj")()
             wu, su = _Int8Weights((h, i), name="up_proj")()
             wd, sd = _Int8Weights((i, h), name="down_proj")()
-            return int8_ffn(x.astype(self.dtype), wg, sg, wu, su, wd, sd)
+            return int8_ffn(x.astype(self.dtype), wg, sg, wu, su, wd, sd,
+                            act_quant=getattr(c, "quant_act", False))
         if getattr(c, "weight_quant", None) == "int8" and c.quant_fused:
             gu = Int8Dense(2 * c.intermediate_size, impl=c.quant_impl,
-                           dtype=self.dtype, name="gateup_proj")(x)
+                           dtype=self.dtype,
+                           act_quant=getattr(c, "quant_act", False),
+                           name="gateup_proj")(x)
             gate = gu[..., : c.intermediate_size]
             up = gu[..., c.intermediate_size :]
         else:

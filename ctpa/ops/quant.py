@@ -1,4 +1,4 @@
-"""Weight-only int8 quantization for serving.
+"""int8 quantization for serving: weight-only (w8) and dynamic w8a8.
 
 Why: Meditron-7B decode on one v5e is WEIGHT-READ bound (docs/benchmarks.md:
 21-23 ms/step ≈ the 12.6 GB of bf16 weights streaming from HBM each step;
@@ -19,10 +19,23 @@ Two dequant-matmul implementations:
     the flush.  Guarantees the bandwidth win regardless of XLA fusion
     decisions.
 
+w8a8 (`act_quant=True`, round 3): the weight-only kernel's binder at large
+batch is NOT bandwidth but the per-element VPU dequant — converting every
+int8 weight to bf16 costs ~2 VPU ops × 6.9e9 elements/step ≈ 14 ms at 7B,
+nearly 2× the 8.4 ms HBM floor.  The TPU-native fix is to quantize the
+ACTIVATIONS too (dynamic symmetric per-token absmax, recomputed every call)
+and feed the MXU a native int8×int8→int32 contraction: zero per-weight-
+element VPU work, int32 accumulation is exact, and the only dequant is the
+(m, out) output tile scaled by sx(row)⊗sw(col).  Weight storage and
+`quantize_tree` are UNCHANGED — w8a8 is a serving-time flag
+(`LLMConfig.quant_act`), not a different checkpoint format.
+
 Quantization: symmetric per-output-channel absmax
   w8[:, j] = round(w[:, j] / s_j),  s_j = max|w[:, j]| / 127
 Per-channel (not per-tensor) keeps the worst-case relative error of llama
 projections ≈ 0.4% — below bf16 rounding noise accumulated across a layer.
+Activation quantization (w8a8) adds per-token absmax error ≈ 0.4% worst
+case; tests/test_quant.py gates logit deviation and greedy-token agreement.
 """
 
 from __future__ import annotations
@@ -47,6 +60,18 @@ def quantize_int8(w: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 def dequantize_int8(w8: jax.Array, scale: jax.Array, dtype=jnp.bfloat16):
     return (w8.astype(jnp.float32) * scale).astype(dtype)
+
+
+def quantize_act_int8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Dynamic symmetric per-token (per-row) activation quantization:
+    (..., in) float -> (x8 int8 same shape, sx f32 (..., 1)).  Cheap — the
+    activation is (m, in) with m = batch rows, and XLA fuses the absmax +
+    round into the producer."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.maximum(absmax / 127.0, 1e-12)
+    x8 = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    return x8, sx
 
 
 def _rup(x, m):
@@ -74,7 +99,32 @@ def _q_kernel(x_ref, w_ref, s_ref, o_ref, acc_scr, *, n_in_blocks: int):
         o_ref[:] = (acc_scr[:] * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("impl", "block_in", "block_out"))
+def _q_kernel_a8(x_ref, sx_ref, w_ref, s_ref, o_ref, acc_scr, *,
+                 n_in_blocks: int):
+    """w8a8 step: int8 x tile × int8 w tile on the MXU with EXACT int32
+    accumulation; the only float work is the (block_m, block_out) output
+    dequant at the flush (sx row scales ⊗ s column scales).  No per-weight-
+    element VPU convert — the weight-only kernel's large-batch binder."""
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    acc_scr[:] += jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(i == n_in_blocks - 1)
+    def _flush():
+        o_ref[:] = (acc_scr[:].astype(jnp.float32)
+                    * sx_ref[:].astype(jnp.float32)
+                    * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("impl", "block_in", "block_out",
+                                    "act_quant"))
 def int8_matmul(
     x: jax.Array,          # (..., in) activations (bf16 on the hot path)
     w8: jax.Array,         # (in, out) int8
@@ -82,10 +132,19 @@ def int8_matmul(
     impl: str = "pallas",
     block_in: int = 2048,
     block_out: int = 1024,
+    act_quant: bool = False,
 ) -> jax.Array:
     *lead, d_in = x.shape
     d_out = w8.shape[1]
     if impl == "xla":
+        if act_quant:
+            x8, sx = quantize_act_int8(x)
+            y = jax.lax.dot_general(
+                x8.astype(jnp.int32), w8.astype(jnp.int32),
+                (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return (y.astype(jnp.float32) * sx
+                    * scale.astype(jnp.float32)).astype(x.dtype)
         y = jax.lax.dot_general(
             x, w8.astype(x.dtype), (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -93,18 +152,46 @@ def int8_matmul(
 
     xm = x.reshape(-1, d_in)
     m = xm.shape[0]
-    # sublane granularity: bf16 wants >=16 rows; prefill-sized row counts are
-    # split over an m grid dimension (weights re-read per m block — prefill
-    # is compute-bound so the extra reads don't bind)
-    block_m = max(16, min(_rup(m, 16), 256))
-    m_pad = _rup(max(m, 16), block_m)
+    # sublane granularity: bf16 wants >=16 rows, int8 >=32; prefill-sized row
+    # counts are split over an m grid dimension (weights re-read per m block —
+    # prefill is compute-bound so the extra reads don't bind)
+    min_m = 32 if act_quant else 16
+    block_m = max(min_m, min(_rup(m, min_m), 256))
+    m_pad = _rup(max(m, min_m), block_m)
     in_pad = _rup(d_in, block_in)
     out_pad = _rup(d_out, block_out)
-    xp = jnp.pad(xm, ((0, m_pad - m), (0, in_pad - d_in)))
     wp = jnp.pad(w8, ((0, in_pad - d_in), (0, out_pad - d_out)))
     sp = jnp.pad(scale, (0, out_pad - d_out)).reshape(1, out_pad)
-
     n_in_blocks = in_pad // block_in
+
+    if act_quant:
+        x8, sx = quantize_act_int8(xm)
+        xp = jnp.pad(x8, ((0, m_pad - m), (0, in_pad - d_in)))
+        sxp = jnp.pad(sx, ((0, m_pad - m), (0, 0)))
+        out = pl.pallas_call(
+            functools.partial(_q_kernel_a8, n_in_blocks=n_in_blocks),
+            grid=(m_pad // block_m, out_pad // block_out, n_in_blocks),
+            in_specs=[
+                pl.BlockSpec((block_m, block_in), lambda mi, o, i: (mi, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_m, 1), lambda mi, o, i: (mi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_in, block_out), lambda mi, o, i: (i, o),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_out), lambda mi, o, i: (0, o),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((block_m, block_out),
+                                   lambda mi, o, i: (mi, o),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m_pad, out_pad), x.dtype),
+            scratch_shapes=[pltpu.VMEM((block_m, block_out), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+        )(xp, sxp, wp, sp)
+        return out[:m, :d_out].reshape(*lead, d_out)
+
+    xp = jnp.pad(xm, ((0, m_pad - m), (0, in_pad - d_in)))
     out = pl.pallas_call(
         functools.partial(_q_kernel, n_in_blocks=n_in_blocks),
         grid=(m_pad // block_m, out_pad // block_out, n_in_blocks),
@@ -156,7 +243,47 @@ def _ffn_kernel(x_ref, wg_ref, sg_ref, wu_ref, su_ref, wd_ref, sd_ref,
         o_ref[:] = (acc_scr[:] * sd_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_j",))
+def _ffn_kernel_a8(x_ref, sx_ref, wg_ref, sg_ref, wu_ref, su_ref, wd_ref,
+                   sd_ref, o_ref, acc_scr, *, n_j: int):
+    """w8a8 SwiGLU FFN: gate/up run as int8×int8→int32 MXU dots (activations
+    pre-quantized per token by the caller); the (block_m, block_j) hidden
+    activation h = silu(g)·u is REQUANTIZED per row *per j-block* in VMEM
+    (exact algebra: per-block row scales multiply the block's int32 down
+    partial before the f32 accumulate), so the down projection also runs
+    int8 on the MXU.  Per-element VPU work is O(m·block_j) per step instead
+    of O(hidden·block_j + block_j·hidden) weight converts."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    x8 = x_ref[:]                                       # (block_m, hidden) i8
+    sx = sx_ref[:].astype(jnp.float32)                  # (block_m, 1)
+    g = jax.lax.dot_general(
+        x8, wg_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32
+    ).astype(jnp.float32) * sx * sg_ref[:].astype(jnp.float32)
+    u = jax.lax.dot_general(
+        x8, wu_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32
+    ).astype(jnp.float32) * sx * su_ref[:].astype(jnp.float32)
+    h = g * jax.lax.logistic(g) * u                     # silu(g)*u, f32
+    habs = jnp.max(jnp.abs(h), axis=-1, keepdims=True)  # (block_m, 1)
+    sh = jnp.maximum(habs / 127.0, 1e-12)
+    h8 = jnp.clip(jnp.round(h / sh), -127, 127).astype(jnp.int8)
+    part = jax.lax.dot_general(
+        h8, wd_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)               # (block_m, hidden) i32
+    acc_scr[:] += part.astype(jnp.float32) * sh
+
+    @pl.when(j == n_j - 1)
+    def _flush():
+        o_ref[:] = (acc_scr[:] * sd_ref[:].astype(jnp.float32)
+                    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_j", "act_quant"))
 def int8_ffn(
     x: jax.Array,            # (..., hidden) activations (bf16 hot path)
     wg8: jax.Array,          # (hidden, inter) int8 gate
@@ -166,6 +293,7 @@ def int8_ffn(
     wd8: jax.Array,          # (inter, hidden) int8 down
     sd: jax.Array,           # (hidden,) f32
     block_j: int = 256,
+    act_quant: bool = False,
 ) -> jax.Array:
     """down(silu(x@gate) * (x@up)) with int8 weights, one pallas launch."""
     *lead, hidden = x.shape
@@ -173,8 +301,9 @@ def int8_ffn(
     assert hidden <= 8192, "fused FFN keeps the full hidden contraction in VMEM"
     xm = x.reshape(-1, hidden)
     m = xm.shape[0]
-    block_m = max(16, min(_rup(m, 16), 128))
-    m_pad = _rup(max(m, 16), block_m)
+    min_m = 32 if act_quant else 16
+    block_m = max(min_m, min(_rup(m, min_m), 128))
+    m_pad = _rup(max(m, min_m), block_m)
     j_pad = _rup(inter, block_j)
     xp = jnp.pad(xm, ((0, m_pad - m), (0, 0)))
     if j_pad != inter:
@@ -185,33 +314,57 @@ def int8_ffn(
         su = jnp.pad(su, (0, j_pad - inter))
     n_j = j_pad // block_j
 
+    w_specs = [
+        pl.BlockSpec((hidden, block_j), lambda mi, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_j), lambda mi, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((hidden, block_j), lambda mi, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_j), lambda mi, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_j, hidden), lambda mi, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hidden), lambda mi, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    w_args = (wg8, sg.reshape(1, -1), wu8, su.reshape(1, -1), wd8,
+              sd.reshape(1, -1))
+
+    if act_quant:
+        x8, sx = quantize_act_int8(xp)
+        out = pl.pallas_call(
+            functools.partial(_ffn_kernel_a8, n_j=n_j),
+            grid=(m_pad // block_m, n_j),
+            in_specs=[
+                pl.BlockSpec((block_m, hidden), lambda mi, j: (mi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_m, 1), lambda mi, j: (mi, 0),
+                             memory_space=pltpu.VMEM),
+            ] + w_specs,
+            out_specs=pl.BlockSpec((block_m, hidden), lambda mi, j: (mi, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m_pad, hidden), x.dtype),
+            scratch_shapes=[pltpu.VMEM((block_m, hidden), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+        )(x8, sx, *w_args)
+        return out[:m].reshape(*lead, hidden)
+
     out = pl.pallas_call(
         functools.partial(_ffn_kernel, n_j=n_j),
         grid=(m_pad // block_m, n_j),
         in_specs=[
             pl.BlockSpec((block_m, hidden), lambda mi, j: (mi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden, block_j), lambda mi, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_j), lambda mi, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden, block_j), lambda mi, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_j), lambda mi, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_j, hidden), lambda mi, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hidden), lambda mi, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        ] + w_specs,
         out_specs=pl.BlockSpec((block_m, hidden), lambda mi, j: (mi, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, hidden), x.dtype),
         scratch_shapes=[pltpu.VMEM((block_m, hidden), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(xp, wg8, sg.reshape(1, -1), wu8, su.reshape(1, -1), wd8,
-      sd.reshape(1, -1))
+    )(xp, *w_args)
     return out[:m].reshape(*lead, hidden)
 
 

@@ -234,6 +234,89 @@ def test_int8_ffn_kernel_matches_separate(rng):
                                rtol=5e-3, atol=5e-3)
 
 
+def test_int8_matmul_w8a8_pallas_matches_xla(rng):
+    """act_quant=True: pallas int8×int8→int32 MXU path == the xla int32
+    reference (same per-token quantization, exact integer accumulation, same
+    f32 dequant ordering — differences are pure float rounding)."""
+    x = jnp.asarray(rng.normal(size=(5, 384)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(384, 300)) * 0.05, jnp.float32)
+    w8, s = quantize_int8(w)
+    want = int8_matmul(x, w8, s, impl="xla", act_quant=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = int8_matmul(x, w8, s, impl="pallas", block_in=128,
+                          block_out=128, act_quant=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_int8_matmul_w8a8_close_to_float(rng):
+    """Activation quantization adds ≤~1% per-token error on top of the
+    weight quant error; the w8a8 output must track the float matmul."""
+    x = jnp.asarray(rng.normal(size=(8, 256)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(256, 192)) * 0.05, jnp.float32)
+    w8, s = quantize_int8(w)
+    want = np.asarray(x @ w)
+    got = np.asarray(int8_matmul(x, w8, s, impl="xla", act_quant=True))
+    assert np.abs(got - want).max() / (np.abs(want).max() + 1e-9) < 0.02
+
+
+def test_int8_ffn_w8a8_matches_separate(rng):
+    """w8a8 fused FFN: per-j-block requantized hidden activations still track
+    the float SwiGLU with dequantized weights (interpret mode)."""
+    from ctpa.ops.quant import int8_ffn
+
+    hidden, inter, m = 128, 176, 5
+    x = jnp.asarray(rng.normal(size=(m, hidden)), jnp.float32)
+    wg = jnp.asarray(rng.normal(size=(hidden, inter)) * 0.05, jnp.float32)
+    wu = jnp.asarray(rng.normal(size=(hidden, inter)) * 0.05, jnp.float32)
+    wd = jnp.asarray(rng.normal(size=(inter, hidden)) * 0.05, jnp.float32)
+    wg8, sg = quantize_int8(wg)
+    wu8, su = quantize_int8(wu)
+    wd8, sd = quantize_int8(wd)
+    g = x @ dequantize_int8(wg8, sg, jnp.float32)
+    u = x @ dequantize_int8(wu8, su, jnp.float32)
+    want = np.asarray((jax.nn.silu(g) * u) @ dequantize_int8(wd8, sd,
+                                                             jnp.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(int8_ffn(x, wg8, sg, wu8, su, wd8, sd, block_j=64,
+                                  act_quant=True))
+    assert np.abs(got - want).max() / (np.abs(want).max() + 1e-9) < 0.03
+
+
+def test_quantized_llm_w8a8_matches_fp(rng):
+    """LLMConfig.quant_act=True end-to-end: per-token activation quant on
+    top of int8 weights still tracks fp32 logits and greedy decisions, for
+    both the plain projections and the fused FFN kernel."""
+    from ctpa.core.config import LLMConfig
+    from ctpa.models.llm import LlamaForCausalLM
+
+    cfg = LLMConfig.tiny()
+    b, n = 4, 16
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size, size=(b, n)), jnp.int32)
+    mask = jnp.ones((b, n), jnp.int32)
+    fp = LlamaForCausalLM(cfg)
+    params = fp.init(jax.random.key(0), ids, mask)
+    want, _, _ = fp.apply(params, ids, mask)
+    w = np.asarray(want, np.float32)
+
+    for ffn_kernel in (False, True):
+        cfg_q = dataclasses.replace(cfg, weight_quant="int8",
+                                    quant_impl="xla", quant_act=True,
+                                    quant_ffn_kernel=ffn_kernel)
+        qm = LlamaForCausalLM(cfg_q)
+        qparams = quantize_tree(params, ffn_kernel=ffn_kernel)
+        if ffn_kernel:
+            with pltpu.force_tpu_interpret_mode():
+                got, _, _ = qm.apply(qparams, ids, mask)
+        else:
+            got, _, _ = qm.apply(qparams, ids, mask)
+        g = np.asarray(got, np.float32)
+        assert np.abs(g - w).max() / (np.abs(w).max() + 1e-9) < 0.06, ffn_kernel
+        # activation quant adds per-token noise on top of weight quant; on
+        # the 64-position tiny geometry allow a couple of near-tie flips
+        assert (g.argmax(-1) == w.argmax(-1)).mean() > 0.92, ffn_kernel
+
+
 def test_quantized_llm_with_ffn_kernel_matches_fp(rng):
     """quant_ffn_kernel=True end-to-end: quantize_tree(ffn_kernel=True)
     layout grafts onto the model and logits track fp32 (interpret mode)."""
