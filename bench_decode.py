@@ -54,6 +54,9 @@ def main():
     ap.add_argument("--ffn-kernel", action="store_true",
                     help="with --quant int8: single-launch fused gate/up/"
                          "silu-mul/down pallas FFN (LLMConfig.quant_ffn_kernel)")
+    ap.add_argument("--act-quant", action="store_true",
+                    help="with --quant int8: w8a8 — dynamic per-token int8 "
+                         "activations, native int8 MXU dots (LLMConfig.quant_act)")
     args = ap.parse_args()
 
     log("devices:", jax.devices())
@@ -82,7 +85,8 @@ def main():
         import dataclasses
 
         llm_cfg = dataclasses.replace(llm_cfg, weight_quant="int8",
-                                      quant_ffn_kernel=args.ffn_kernel)
+                                      quant_ffn_kernel=args.ffn_kernel,
+                                      quant_act=args.act_quant)
     vit_cfg = CTViTConfig.tiny()
     gen_cfg = ReportGenConfig(vision_dim=128)
     model = CTReportGenerator(llm_cfg, vit_cfg, gen_cfg, dtype=jnp.bfloat16)

@@ -91,6 +91,9 @@ def main():
                          "HBM reads per decode step and fits more lanes")
     ap.add_argument("--ffn-kernel", action="store_true",
                     help="with --quant int8: single-launch fused pallas FFN")
+    ap.add_argument("--act-quant", action="store_true",
+                    help="with --quant int8: w8a8 — per-token int8 "
+                         "activations, native int8 MXU dots")
     args = ap.parse_args()
 
     if not available():
@@ -115,7 +118,8 @@ def main():
 
     if args.quant == "int8":
         llm_cfg = dataclasses.replace(llm_cfg, weight_quant="int8",
-                                      quant_ffn_kernel=args.ffn_kernel)
+                                      quant_ffn_kernel=args.ffn_kernel,
+                                      quant_act=args.act_quant)
     gen_cfg = ReportGenConfig(vision_dim=512 if args.size == "7b" else 128)
     model = CTReportGenerator(llm_cfg, vit_cfg, gen_cfg, dtype=jnp.bfloat16)
 

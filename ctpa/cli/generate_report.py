@@ -106,6 +106,9 @@ def main(argv=None):
                    help="weight-only int8 serving quantization of the LLM "
                         "(ops/quant.py): ~half the weight HBM, bigger "
                         "batches/caches per chip")
+    p.add_argument("--act-quant", action="store_true",
+                   help="with --quant int8: w8a8 — per-token int8 "
+                        "activations, native int8 MXU dots (quant_act)")
     p.add_argument("--lora-rank", type=int, default=16,
                    help="LoRA rank the checkpoint was trained with (0 = no "
                         "LoRA); must match cli/train_report.py")
@@ -119,7 +122,8 @@ def main(argv=None):
     if args.quant == "int8":
         import dataclasses
 
-        llm_cfg = dataclasses.replace(llm_cfg, weight_quant="int8")
+        llm_cfg = dataclasses.replace(llm_cfg, weight_quant="int8",
+                                      quant_act=args.act_quant)
     lora = (LoRAConfig(rank=args.lora_rank, alpha=args.lora_alpha)
             if args.lora_rank > 0 else None)
     gen_cfg = ReportGenConfig()
