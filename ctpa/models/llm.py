@@ -163,13 +163,15 @@ class LlamaAttention(nn.Module):
     lora: Optional[LoRAConfig] = None
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    layer_idx: int = 0
 
     @nn.compact
     def __call__(self, x, positions, kv_write_index, cache_k=None, cache_v=None,
                  attn_mask=None, key_mask=None):
-        """x: (b, n, d). If cache_k/v given (b, max_len, kvh, hd), new k/v are
-        written at kv_write_index (b,) and attention runs over the cache;
-        returns (out, new_k, new_v).
+        """x: (b, n, d). If cache_k/v given — the FULL stacked cache buffers
+        (num_layers, b, max_len, kvh, hd) — new k/v rows are written at
+        (self.layer_idx, :, kv_write_index) and attention runs over this
+        layer's slice; returns (out, new_cache_k, new_cache_v).
 
         self.use_flash routes the no-cache (training / long-prefill)
         attention through the pallas flash kernel with causal + key_mask
@@ -207,15 +209,31 @@ class LlamaAttention(nn.Module):
         k = apply_rope(k, cos, sin, positions)
 
         if cache_k is not None:
-            # write this block's k/v into the cache at per-batch offsets.
-            # decode (n==1) and prefill (shared offset 0) are the two users.
+            # cache_k/cache_v are the FULL stacked buffers (L, b, m, kvh, hd);
+            # this layer writes only its new (b, n) rows — never a whole
+            # layer slice — so the while-loop carry stays in place and the
+            # per-step write traffic is O(b·n·kvh·hd), not O(b·m·kvh·hd).
+            # kv_write_index comes in two forms with very different TPU cost:
+            #   * scalar — ALL lanes write at the same slot (generate(): right
+            #     -padded prompts prefill at 0 and advance in lockstep).  One
+            #     dynamic_update_slice; ~6 ms/step cheaper than the scatter
+            #     at 7B b32 (docs/ROUND3_NOTES.md).
+            #   * (b,) array — per-lane offsets (continuous batching, where
+            #     lanes have different lengths).  vmap(DUS) -> XLA scatter
+            #     over the layer slice, written back at a static index.
             def write(cache, new):
+                if kv_write_index.ndim == 0:
+                    return jax.lax.dynamic_update_slice(
+                        cache, new[None],
+                        (self.layer_idx, 0, kv_write_index, 0, 0))
                 def per_seq(cb, nb, off):
                     return jax.lax.dynamic_update_slice_in_dim(cb, nb, off, axis=0)
-                return jax.vmap(per_seq)(cache, new, kv_write_index)
+                sl = jax.vmap(per_seq)(cache[self.layer_idx], new, kv_write_index)
+                return cache.at[self.layer_idx].set(sl)
             cache_k = write(cache_k, k.astype(cache_k.dtype))
             cache_v = write(cache_v, v.astype(cache_v.dtype))
-            k_full, v_full = cache_k.astype(self.dtype), cache_v.astype(self.dtype)
+            k_full = cache_k[self.layer_idx].astype(self.dtype)
+            v_full = cache_v[self.layer_idx].astype(self.dtype)
         else:
             k_full, v_full = k, v
 
@@ -284,6 +302,7 @@ class LlamaBlock(nn.Module):
     lora: Optional[LoRAConfig] = None
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    layer_idx: int = 0
 
     @nn.compact
     def __call__(self, x, positions, kv_write_index, cache_k=None, cache_v=None,
@@ -291,6 +310,7 @@ class LlamaBlock(nn.Module):
         h = RMSNorm(self.cfg.rms_norm_eps, dtype=self.dtype, name="input_layernorm")(x)
         attn_out, ck, cv = LlamaAttention(self.cfg, self.lora, dtype=self.dtype,
                                           use_flash=self.use_flash,
+                                          layer_idx=self.layer_idx,
                                           name="self_attn")(
             h, positions, kv_write_index, cache_k, cache_v, attn_mask,
             key_mask)
@@ -318,7 +338,15 @@ class LlamaModel(nn.Module):
         cache: Optional[KVCache] = None,
         positions: Optional[jax.Array] = None,         # (b, n)
         inputs_embeds: Optional[jax.Array] = None,
+        shared_kv_offset: bool = False,
     ):
+        """`shared_kv_offset=True` promises every sequence's
+        `cache.write_offset` is IDENTICAL (lockstep decode: right-padded
+        prompts prefilled together, as in CTReportGenerator.generate).  The
+        cache write then uses one batch-wide dynamic_update_slice instead of
+        a per-lane scatter — ~6 ms/step cheaper at 7B batch 32.  Offsets
+        that differ across lanes under this flag would silently corrupt the
+        cache; continuous batching (per-lane lengths) must keep it False."""
         c = self.cfg
         b, n = input_ids.shape[:2] if inputs_embeds is None else inputs_embeds.shape[:2]
         if inputs_embeds is None:
@@ -370,26 +398,28 @@ class LlamaModel(nn.Module):
         if cache is not None or mask is not None:
             use_flash, key_mask = False, None
 
-        write_idx = (
-            cache.write_offset if cache is not None else jnp.zeros((b,), jnp.int32)
-        )
-        new_k, new_v = [], []
+        if cache is not None:
+            write_idx = (cache.write_offset[0] if shared_kv_offset
+                         else cache.write_offset)
+        else:
+            write_idx = jnp.zeros((b,), jnp.int32)
+        # the full stacked cache buffers thread through the layer loop; each
+        # layer writes only its own new rows (static layer index), so there
+        # is no per-step slice+restack of the 2·L·b·m·kvh·hd cache
+        ck_all = cache.k if cache is not None else None
+        cv_all = cache.v if cache is not None else None
         block_cls = nn.remat(LlamaBlock, static_argnums=()) if self.remat else LlamaBlock
         for i in range(c.num_layers):
-            ck = cache.k[i] if cache is not None else None
-            cv = cache.v[i] if cache is not None else None
-            x, ck, cv = block_cls(c, self.lora, dtype=self.dtype,
-                                  use_flash=use_flash, name=f"layers_{i}")(
-                x, positions, write_idx, ck, cv, mask, key_mask)
-            if cache is not None:
-                new_k.append(ck)
-                new_v.append(cv)
+            x, ck_all, cv_all = block_cls(c, self.lora, dtype=self.dtype,
+                                          use_flash=use_flash, layer_idx=i,
+                                          name=f"layers_{i}")(
+                x, positions, write_idx, ck_all, cv_all, mask, key_mask)
 
         x = RMSNorm(c.rms_norm_eps, dtype=self.dtype, name="norm")(x)
         new_cache = None
         if cache is not None:
             new_cache = KVCache(
-                k=jnp.stack(new_k), v=jnp.stack(new_v),
+                k=ck_all, v=cv_all,
                 write_offset=cache.write_offset + n,
                 true_len=cache.true_len + written_real.sum(axis=-1).astype(jnp.int32),
                 valid=valid_now,
@@ -416,7 +446,7 @@ class LlamaForCausalLM(nn.Module):
         return self.lm_head(hidden)
 
     def __call__(self, input_ids, attention_mask=None, cache=None, positions=None,
-                 inputs_embeds=None):
+                 inputs_embeds=None, shared_kv_offset=False):
         hidden, new_cache = self.model(input_ids, attention_mask, cache, positions,
-                                       inputs_embeds)
+                                       inputs_embeds, shared_kv_offset)
         return self.apply_lm_head(hidden), hidden, new_cache

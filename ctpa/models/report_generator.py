@@ -177,8 +177,10 @@ class CTReportGenerator(nn.Module):
         cache = KVCache.create(
             self.llm_cfg, b, max_len=n + max_new_tokens, dtype=self.dtype,
         )
-        # prefill
-        _, hidden, cache = self.llm(input_ids, attention_mask, cache=cache)
+        # prefill (lanes advance in lockstep from right-padded prompts, so
+        # the KV write offset is batch-shared: single DUS, no scatter)
+        _, hidden, cache = self.llm(input_ids, attention_mask, cache=cache,
+                                    shared_kv_offset=True)
         # logits at each sequence's last real token
         last_idx = jnp.maximum(attention_mask.sum(axis=-1) - 1, 0)        # (b,)
         last_hidden = jnp.take_along_axis(
@@ -207,7 +209,8 @@ class CTReportGenerator(nn.Module):
 
         def body(carry):
             i, cache, tok, done, out, rng = carry
-            _, hidden, cache = self.llm(tok[:, None], None, cache=cache)
+            _, hidden, cache = self.llm(tok[:, None], None, cache=cache,
+                                        shared_kv_offset=True)
             logits = self._fused_logits(hidden, vision)[:, 0]
             key, rng = jax.random.split(rng)
             nxt = sample(logits, key)

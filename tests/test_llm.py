@@ -67,6 +67,32 @@ def test_kv_cache_right_padded_prompts():
     np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=2e-4, atol=2e-4)
 
 
+def test_shared_kv_offset_matches_per_lane():
+    """shared_kv_offset=True (single batch-wide DUS cache write) must be
+    bit-identical to the per-lane scatter path when offsets are uniform —
+    the lockstep-decode fast path used by CTReportGenerator.generate."""
+    model, params = make_llm()
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(1, LLM.vocab_size, size=(3, 6)), jnp.int32)
+    mask = jnp.ones((3, 6), jnp.int32)
+
+    outs = []
+    for shared in (False, True):
+        cache = KVCache.create(LLM, 3, max_len=10, dtype=jnp.float32)
+        lg, _, cache = model.apply(params, ids, mask, cache,
+                                   shared_kv_offset=shared)
+        step = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
+        seq = [lg]
+        for _ in range(3):
+            lg1, _, cache = model.apply(params, step[:, None], None, cache,
+                                        shared_kv_offset=shared)
+            seq.append(lg1)
+            step = jnp.argmax(lg1[:, 0], axis=-1).astype(jnp.int32)
+        outs.append([np.asarray(x) for x in seq])
+    for a, b in zip(*outs):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_lora_starts_as_identity():
     lora = LoRAConfig(rank=4, alpha=8.0, target_projections=("q_proj", "v_proj"))
     model_base, params_base = make_llm()
