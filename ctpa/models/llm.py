@@ -136,6 +136,32 @@ class KVCache(NamedTuple):
         )
 
 
+def align_lane_to_clock(lane: KVCache, clock: jax.Array) -> KVCache:
+    """Rotate a freshly-prefilled single-lane cache (slots [0, n)) so its
+    last written token lands at slot (clock - 1) mod m, and stamp its
+    write_offset with the unwrapped global clock.
+
+    This is the ring-buffer alignment that lets EVERY serving lane share one
+    decode write slot: after alignment all lanes' write_offsets are the same
+    scalar clock, so decode steps use the shared_kv_offset fast path (one
+    batch-wide dynamic_update_slice, ~6 ms/step cheaper than the per-lane
+    scatter at 7B b32 — docs/ROUND3_NOTES.md).  Correctness relies on the
+    n == 1 validity-only attention mask (slot order stops being token order
+    after a wrap) and on the lane's live window n + max_new + chunk slack
+    fitting in m (asserted by ContinuousBatcher.submit)."""
+    m = lane.k.shape[2]
+    n = lane.write_offset[0]
+    shift = (clock - n) % m
+    slot_perm = (jnp.arange(m) - shift) % m      # new[s] = old[(s - shift) % m]
+    return KVCache(
+        k=jnp.take(lane.k, slot_perm, axis=2),
+        v=jnp.take(lane.v, slot_perm, axis=2),
+        write_offset=jnp.full_like(lane.write_offset, clock),
+        true_len=lane.true_len,
+        valid=jnp.take(lane.valid, slot_perm, axis=1),
+    )
+
+
 def insert_lane(big: KVCache, lane: KVCache, idx: jax.Array) -> KVCache:
     """Write a 1-lane cache into lane `idx` of a batched cache (serving:
     prefill runs at batch 1, decode runs over all lanes)."""
@@ -222,13 +248,17 @@ class LlamaAttention(nn.Module):
             #     lanes have different lengths).  vmap(DUS) -> XLA scatter
             #     over the layer slice, written back at a static index.
             def write(cache, new):
+                # offsets wrap modulo the cache length: write_offset may be
+                # an unwrapped global clock (ring-buffer serving) and DUS
+                # would otherwise CLAMP an out-of-range index to m - n,
+                # silently corrupting the newest rows
+                off = kv_write_index % cache.shape[2]
                 if kv_write_index.ndim == 0:
                     return jax.lax.dynamic_update_slice(
-                        cache, new[None],
-                        (self.layer_idx, 0, kv_write_index, 0, 0))
-                def per_seq(cb, nb, off):
-                    return jax.lax.dynamic_update_slice_in_dim(cb, nb, off, axis=0)
-                sl = jax.vmap(per_seq)(cache[self.layer_idx], new, kv_write_index)
+                        cache, new[None], (self.layer_idx, 0, off, 0, 0))
+                def per_seq(cb, nb, o):
+                    return jax.lax.dynamic_update_slice_in_dim(cb, nb, o, axis=0)
+                sl = jax.vmap(per_seq)(cache[self.layer_idx], new, off)
                 return cache.at[self.layer_idx].set(sl)
             cache_k = write(cache_k, k.astype(cache_k.dtype))
             cache_v = write(cache_v, v.astype(cache_v.dtype))
@@ -370,18 +400,29 @@ class LlamaModel(nn.Module):
                 attention_mask.astype(bool) if attention_mask is not None
                 else jnp.ones((b, n), bool)
             )
-            # slots this block writes: per-sequence write_offset + [0, n)
-            write_slots = cache.write_offset[:, None] + jnp.arange(n)[None, :]  # (b, n)
+            # slots this block writes: per-sequence write_offset + [0, n),
+            # modulo the cache length — write_offset may be an unwrapped
+            # global clock (ring-buffer serving, pipelines/streaming.py)
+            write_slots = (cache.write_offset[:, None]
+                           + jnp.arange(n)[None, :]) % m                        # (b, n)
             slot = jnp.arange(m)[None, None, :]                                 # (1, 1, m)
             newly = jnp.any(
                 (slot == write_slots[:, :, None]) & written_real[:, :, None], axis=1
             )                                                                   # (b, m)
             valid_now = cache.valid | newly
-            # slot order is token order per sequence (real tokens are written
-            # in position order), so causality is slot <= this query's slot.
-            key_slot = jnp.arange(m)[None, None, None, :]
-            q_slot = write_slots[:, None, :, None]
-            mask = (key_slot <= q_slot) & valid_now[:, None, None, :]
+            if n == 1:
+                # single-token decode on an append-only cache: every valid
+                # slot was written at or before this step, so causality IS
+                # validity.  No slot-order comparison — which also makes the
+                # mask correct after a ring-buffer wrap, where slot order no
+                # longer equals token order.
+                mask = valid_now[:, None, None, :]
+            else:
+                # multi-token prefill runs on a fresh lane cache (no wrap):
+                # slot order is token order, causality is slot <= q's slot.
+                key_slot = jnp.arange(m)[None, None, None, :]
+                q_slot = write_slots[:, None, :, None]
+                mask = (key_slot <= q_slot) & valid_now[:, None, None, :]
         elif c.flash_prefill and n >= c.flash_min_len:
             # no-cache long forward -> pallas flash kernel (causal + key
             # padding handled in kernel; no (b, 1, n, n) mask materialized)

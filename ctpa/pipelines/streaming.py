@@ -13,8 +13,15 @@ for serving): the reference loads one scan, runs one decode, exits.  Here:
     freed and refilled from the queue immediately — the TPU never idles while
     requests remain (SURVEY.md §7 step 6 duty-cycle goal).
 
-The per-lane KV bookkeeping lives in ctpa.models.llm.KVCache (per-sequence
-write offsets + validity bitmap); this module is pure orchestration."""
+The KV cache is a RING BUFFER on a shared global clock: at admission the
+lane's prefilled KV is rotated so its last token sits at slot
+(clock - 1) mod max_len (`align_lane_to_clock`), after which EVERY lane's
+write_offset is the same unwrapped clock and decode steps write with one
+batch-wide dynamic_update_slice (shared_kv_offset) instead of a per-lane
+scatter — ~6 ms/step at 7B batch 32.  Attention masks are validity-based,
+so slot order never needs to equal token order.  The per-lane KV
+bookkeeping lives in ctpa.models.llm.KVCache; this module is pure
+orchestration."""
 
 from __future__ import annotations
 
@@ -28,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ctpa.core.config import LLMConfig
-from ctpa.models.llm import KVCache, insert_lane
+from ctpa.models.llm import KVCache, align_lane_to_clock, insert_lane
 from ctpa.models.report_generator import CTReportGenerator
 
 
@@ -78,9 +85,13 @@ def _decode_fns(model: CTReportGenerator, *, eos_token_id: int,
         return first, lane_cache
 
     def one_step(params, cache, tok, vision, key, done):
+        # every lane's write_offset is the same global ring clock (lanes are
+        # aligned at admission, align_lane_to_clock), so the KV write is one
+        # batch-wide DUS (shared_kv_offset) instead of a per-lane scatter
         _, hidden, cache = model.apply(
             params, tok[:, None], None, cache,
-            method=lambda m, i, a, c: m.llm(i, a, cache=c))
+            method=lambda m, i, a, c: m.llm(i, a, cache=c,
+                                            shared_kv_offset=True))
         logits = model.apply(
             params, hidden, vision,
             method=lambda m, hh, vv: m._fused_logits(hh, vv))[:, 0]
@@ -217,11 +228,32 @@ class ContinuousBatcher:
             steps_per_sync=self.steps_per_sync)
         self._prefill = jax.jit(prefill)
         self._decode_chunk = jax.jit(decode_chunk, donate_argnums=(1,))
-        self._insert = jax.jit(insert_lane, donate_argnums=(0,))
+        self._insert = jax.jit(
+            lambda big, lane, idx, clock: insert_lane(
+                big, align_lane_to_clock(lane, clock), idx),
+            donate_argnums=(0,))
+        # unwrapped global decode clock: every lane's write_offset equals it
+        # at all times (initial zeros == clock 0; decode chunks advance all
+        # lanes together; admissions stamp the lane with the current clock),
+        # which is what makes shared_kv_offset decoding valid
+        self.clock = 0
 
     # -------------------------------------------------------------- public
 
     def submit(self, req: Request) -> int:
+        # ring-buffer safety: a lane's live slot window is its padded prompt
+        # plus its token budget plus up-to-a-chunk of overshoot (a lane
+        # finishing mid-chunk keeps writing garbage rows until the chunk
+        # ends); the window must fit the cache or the ring would overwrite
+        # the lane's own live KV
+        window = int(np.size(req.input_ids)) + req.max_new_tokens + self.steps_per_sync
+        if window > self.max_len:
+            raise ValueError(
+                f"prompt ({np.size(req.input_ids)}) + max_new_tokens "
+                f"({req.max_new_tokens}) + steps_per_sync "
+                f"({self.steps_per_sync}) = {window} exceeds max_len "
+                f"{self.max_len}: the lane's ring window would wrap onto "
+                f"its own live KV")
         self.results[req.request_id] = Result(req.request_id)
         self._t_start[req.request_id] = time.time()
         self.queue.append(req)
@@ -237,6 +269,7 @@ class ContinuousBatcher:
         done0 = jnp.asarray(~self.active)
         toks_dev, self.cache, self.cur_tok, _ = self._decode_chunk(
             self.params, self.cache, self.cur_tok, self.vision, key, done0)
+        self.clock += self.steps_per_sync                 # mirrors device write_offset
         toks = np.asarray(toks_dev)                       # (K+1, lanes) — one fetch
         finished = []
         for lane in range(self.num_lanes):
@@ -297,7 +330,8 @@ class ContinuousBatcher:
             self.rng, key = jax.random.split(self.rng)
             first, lane_cache = self._prefill(
                 self.params, ids, mask, vis, lane_cache, key)
-            self.cache = self._insert(self.cache, lane_cache, lane)
+            self.cache = self._insert(self.cache, lane_cache, lane,
+                                      jnp.asarray(self.clock, jnp.int32))
             self.vision = self.vision.at[lane].set(vis[0])
             self.cur_tok = self.cur_tok.at[lane].set(first[0])
             self.active[lane] = True

@@ -60,6 +60,50 @@ def test_continuous_batching_matches_single_generate(rg):
         assert len(got) == 8
 
 
+def test_ring_wrap_matches_single_generate(rg):
+    """The ring clock must wrap the cache several times without corrupting
+    live lanes: 12 requests through 2 lanes of a 20-slot cache (per-request
+    window 6+8+1 = 15) push the clock past 2x max_len; every request must
+    still reproduce its single-request greedy decode."""
+    model, params, video = rg
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(1, LLM.vocab_size, size=(6,)).astype(np.int32)
+               for _ in range(12)]
+    vision = model.apply(params, video, method=CTReportGenerator.extract_vision)[0]
+
+    singles = []
+    for p in prompts:
+        res = model.apply(params, video, jnp.asarray(p[None]),
+                          jnp.ones((1, 6), jnp.int32), 8, eos_token_id=-1,
+                          greedy=True, method=CTReportGenerator.generate)
+        singles.append(np.asarray(res.tokens[0]))
+
+    batcher = ContinuousBatcher(model, params, num_lanes=2, max_len=20,
+                                eos_token_id=-1, greedy=True,
+                                cache_dtype=jnp.float32, steps_per_sync=1)
+    for i, p in enumerate(prompts):
+        batcher.submit(Request(request_id=i, input_ids=p,
+                               attention_mask=np.ones(6, np.int32),
+                               vision=vision, max_new_tokens=8))
+    results = batcher.run_until_done()
+    assert batcher.clock > 2 * batcher.max_len          # the ring really wrapped
+    for i in range(len(prompts)):
+        got = np.asarray(results[i].tokens)
+        np.testing.assert_array_equal(got, singles[i][: len(got)])
+        assert len(got) == 8
+
+
+def test_ring_window_overflow_rejected(rg):
+    model, params, video = rg
+    vision = model.apply(params, video, method=CTReportGenerator.extract_vision)[0]
+    batcher = ContinuousBatcher(model, params, num_lanes=1, max_len=16,
+                                eos_token_id=-1, greedy=True,
+                                cache_dtype=jnp.float32, steps_per_sync=4)
+    with pytest.raises(ValueError):
+        batcher.submit(Request(0, np.ones(6, np.int32), np.ones(6, np.int32),
+                               vision, max_new_tokens=8))   # 6+8+4 > 16
+
+
 def test_batcher_eos_frees_lane(rg):
     model, params, video = rg
     vision = model.apply(params, video, method=CTReportGenerator.extract_vision)[0]
