@@ -44,6 +44,7 @@ def _run(cfg, **step_kw):
     return model, params, {k: float(v) for k, v in m.items()}
 
 
+@pytest.mark.slow
 def test_decoupled_contrastive_learning():
     cfg = dataclasses.replace(CTCLIPConfig.tiny(VIT, BERT),
                               decoupled_contrastive_learning=True)
@@ -55,6 +56,7 @@ def test_decoupled_contrastive_learning():
     assert float(infonce_loss(sim)) != float(infonce_loss(sim, decoupled=True))
 
 
+@pytest.mark.slow
 def test_extra_latent_projection_cloob():
     cfg = dataclasses.replace(CTCLIPConfig.tiny(VIT, BERT),
                               extra_latent_projection=True)
@@ -64,6 +66,7 @@ def test_extra_latent_projection_cloob():
     assert "to_visual_latent_extra" in params["params"]
 
 
+@pytest.mark.slow
 def test_filip_all_token_embeds():
     s = VIT.image_size // VIT.patch_size
     cfg = dataclasses.replace(
@@ -73,6 +76,7 @@ def test_filip_all_token_embeds():
     assert np.isfinite(m["loss"])
 
 
+@pytest.mark.slow
 def test_mlm_and_visual_ssl_weighting():
     cfg = dataclasses.replace(CTCLIPConfig.tiny(VIT, BERT), use_mlm=True,
                               text_ssl_loss_weight=0.5, image_ssl_loss_weight=0.5)
@@ -120,6 +124,7 @@ def test_pretrained_factory_and_lenient_overlay():
     assert merged["temperature"].shape == ()
 
 
+@pytest.mark.slow
 def test_downsample_image_embeds():
     s = VIT.image_size // VIT.patch_size        # 4 in tiny config
     ds = s // 2

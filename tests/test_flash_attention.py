@@ -198,6 +198,7 @@ def test_flash_grad_with_bias_includes_dbias(rng):
                                    rtol=2e-3, atol=2e-3, err_msg=name)
 
 
+@pytest.mark.slow
 def test_llm_flash_prefill_grad(rng):
     """End-to-end: jax.grad through the LLM with flash_prefill=True."""
     import dataclasses

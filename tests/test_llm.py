@@ -23,6 +23,7 @@ def make_llm(lora=None):
     return model, params
 
 
+@pytest.mark.slow
 def test_kv_cache_matches_full_forward():
     """Incremental cached decode must produce the same logits as a full
     uncached forward — the core correctness property of the KV cache."""

@@ -102,6 +102,7 @@ def test_ctclip_forward_loss_and_zeroshot():
     assert out2.sim.shape == (2,)
 
 
+@pytest.mark.slow
 def test_ctclip_grads_flow():
     model = CTCLIP(CLIP, VIT, BERT)
     vq_state = vq_init(jax.random.key(0), VIT.codebook_size, VIT.dim)
@@ -132,6 +133,7 @@ def test_ctvit_decoder_roundtrip_shape():
     assert vq_out is not None
 
 
+@pytest.mark.slow
 def test_ctclip_remat_matches_plain():
     """remat=True must be a pure memory/performance knob — identical outputs."""
     model = CTCLIP(CLIP, VIT, BERT)

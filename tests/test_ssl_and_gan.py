@@ -82,6 +82,7 @@ def test_augment_preserves_shape_and_simclr_runs():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_vqgan_train_step_runs_and_descends():
     import dataclasses
     cfg = dataclasses.replace(VIT, use_decoder=True)

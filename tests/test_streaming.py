@@ -60,6 +60,7 @@ def test_continuous_batching_matches_single_generate(rg):
         assert len(got) == 8
 
 
+@pytest.mark.slow
 def test_ring_wrap_matches_single_generate(rg):
     """The ring clock must wrap the cache several times without corrupting
     live lanes: 12 requests through 2 lanes of a 20-slot cache (per-request

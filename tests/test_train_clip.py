@@ -42,6 +42,7 @@ def make_model_state():
     return model, tx, CLIPTrainState.create(params, tx, vq_state)
 
 
+@pytest.mark.slow
 def test_train_step_descends_singledevice():
     model, tx, state = make_model_state()
     step = jax.jit(make_clip_train_step(model, tx), donate_argnums=())
@@ -56,6 +57,7 @@ def test_train_step_descends_singledevice():
     assert float(jnp.abs(state.vq_state.cluster_size).sum()) > 0
 
 
+@pytest.mark.slow
 def test_train_step_sharded_mesh(mesh8, tmp_path):
     model, tx, state = make_model_state()
 
@@ -80,6 +82,7 @@ def test_train_step_sharded_mesh(mesh8, tmp_path):
     assert int(trainer.state.step) == 3
 
 
+@pytest.mark.slow
 def test_finetune_mask_freezes_non_tower_params(tmp_path):
     """Reference fine-tune semantics (fine_tuning_ctclip.py:5-15): both towers
     train, latent projections and temperature stay frozen."""
@@ -154,6 +157,7 @@ def test_global_negatives_match_local_computation(mesh8):
     np.testing.assert_allclose(np.asarray(got), float(want), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     model, tx, state = make_model_state()
     step = jax.jit(make_clip_train_step(model, tx), donate_argnums=())
