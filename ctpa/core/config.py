@@ -220,6 +220,11 @@ class LLMConfig:
     # dequant — the weight-only kernel's binder at large decode batch.
     # Serving-time flag only; weight storage / quantize_tree are unchanged.
     quant_act: bool = False
+    # int8 KV cache: rows are quantized at write time (symmetric absmax per
+    # token per kv-head over head_dim) and the scales fold exactly into the
+    # attention einsums — halves the per-step KV read (the dominant HBM
+    # traffic at long serving contexts) and doubles lane capacity per chip.
+    kv_quant: Optional[str] = None       # None | "int8"
 
     @property
     def head_dim(self) -> int:

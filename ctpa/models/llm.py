@@ -113,12 +113,25 @@ class KVCache(NamedTuple):
     write_offset: jax.Array  # (b,) int32 next free slot per sequence
     true_len: jax.Array      # (b,) real-token count per sequence
     valid: jax.Array         # (b, max_len) slot holds a real token's kv
+    # int8 KV (cfg.kv_quant == "int8"): k/v store int8 rows and these hold
+    # the per-(token, kv-head) absmax scales; None for full-precision caches
+    k_scale: Optional[jax.Array] = None   # (layers, b, max_len, kv_heads) f32
+    v_scale: Optional[jax.Array] = None
 
     @classmethod
     def create(cls, cfg: LLMConfig, batch: int, max_len: Optional[int] = None,
                dtype=jnp.bfloat16):
         max_len = max_len or cfg.max_seq_len
         shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        if getattr(cfg, "kv_quant", None) == "int8":
+            return cls(
+                k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+                write_offset=jnp.zeros((batch,), jnp.int32),
+                true_len=jnp.zeros((batch,), jnp.int32),
+                valid=jnp.zeros((batch, max_len), bool),
+                k_scale=jnp.zeros(shape[:-1], jnp.float32),
+                v_scale=jnp.zeros(shape[:-1], jnp.float32),
+            )
         return cls(
             k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
             write_offset=jnp.zeros((batch,), jnp.int32),
@@ -133,6 +146,8 @@ class KVCache(NamedTuple):
             write_offset=self.write_offset[i : i + 1],
             true_len=self.true_len[i : i + 1],
             valid=self.valid[i : i + 1],
+            k_scale=None if self.k_scale is None else self.k_scale[:, i : i + 1],
+            v_scale=None if self.v_scale is None else self.v_scale[:, i : i + 1],
         )
 
 
@@ -159,6 +174,10 @@ def align_lane_to_clock(lane: KVCache, clock: jax.Array) -> KVCache:
         write_offset=jnp.full_like(lane.write_offset, clock),
         true_len=lane.true_len,
         valid=jnp.take(lane.valid, slot_perm, axis=1),
+        k_scale=(None if lane.k_scale is None
+                 else jnp.take(lane.k_scale, slot_perm, axis=2)),
+        v_scale=(None if lane.v_scale is None
+                 else jnp.take(lane.v_scale, slot_perm, axis=2)),
     )
 
 
@@ -175,6 +194,10 @@ def insert_lane(big: KVCache, lane: KVCache, idx: jax.Array) -> KVCache:
         true_len=lax.dynamic_update_slice_in_dim(
             big.true_len, lane.true_len, idx, axis=0),
         valid=lax.dynamic_update_slice_in_dim(big.valid, lane.valid, idx, axis=0),
+        k_scale=(None if big.k_scale is None else lax.dynamic_update_slice_in_dim(
+            big.k_scale, lane.k_scale, idx, axis=1)),
+        v_scale=(None if big.v_scale is None else lax.dynamic_update_slice_in_dim(
+            big.v_scale, lane.v_scale, idx, axis=1)),
     )
 
 
@@ -234,36 +257,62 @@ class LlamaAttention(nn.Module):
         q = apply_rope(q, cos, sin, positions)
         k = apply_rope(k, cos, sin, positions)
 
+        k_sc = v_sc = None
         if cache_k is not None:
-            # cache_k/cache_v are the FULL stacked buffers (L, b, m, kvh, hd);
-            # this layer writes only its new (b, n) rows — never a whole
-            # layer slice — so the while-loop carry stays in place and the
+            # cache_k/cache_v arrive as (buffer, scale_or_None) pairs.  The
+            # buffers are the FULL stacked caches (L, b, m, kvh, hd); this
+            # layer writes only its new (b, n) rows — never a whole layer
+            # slice — so the while-loop carry stays in place and the
             # per-step write traffic is O(b·n·kvh·hd), not O(b·m·kvh·hd).
             # kv_write_index comes in two forms with very different TPU cost:
             #   * scalar — ALL lanes write at the same slot (generate(): right
-            #     -padded prompts prefill at 0 and advance in lockstep).  One
-            #     dynamic_update_slice; ~6 ms/step cheaper than the scatter
-            #     at 7B b32 (docs/ROUND3_NOTES.md).
-            #   * (b,) array — per-lane offsets (continuous batching, where
-            #     lanes have different lengths).  vmap(DUS) -> XLA scatter
-            #     over the layer slice, written back at a static index.
+            #     -padded prompts prefill at 0 and advance in lockstep; ring
+            #     serving).  One dynamic_update_slice; ~6 ms/step cheaper
+            #     than the scatter at 7B b32 (docs/ROUND3_NOTES.md).
+            #   * (b,) array — per-lane offsets (non-ring decode, e.g. the
+            #     TP parity tests).  vmap(DUS) -> XLA scatter over the layer
+            #     slice, written back at a static index.
+            ck, ksc = cache_k
+            cv, vsc = cache_v
+            quant = ksc is not None
+
             def write(cache, new):
                 # offsets wrap modulo the cache length: write_offset may be
                 # an unwrapped global clock (ring-buffer serving) and DUS
                 # would otherwise CLAMP an out-of-range index to m - n,
                 # silently corrupting the newest rows
                 off = kv_write_index % cache.shape[2]
+                zeros = (0,) * (cache.ndim - 3)
                 if kv_write_index.ndim == 0:
                     return jax.lax.dynamic_update_slice(
-                        cache, new[None], (self.layer_idx, 0, off, 0, 0))
+                        cache, new[None], (self.layer_idx, 0, off) + zeros)
                 def per_seq(cb, nb, o):
                     return jax.lax.dynamic_update_slice_in_dim(cb, nb, o, axis=0)
                 sl = jax.vmap(per_seq)(cache[self.layer_idx], new, off)
                 return cache.at[self.layer_idx].set(sl)
-            cache_k = write(cache_k, k.astype(cache_k.dtype))
-            cache_v = write(cache_v, v.astype(cache_v.dtype))
-            k_full = cache_k[self.layer_idx].astype(self.dtype)
-            v_full = cache_v[self.layer_idx].astype(self.dtype)
+
+            if quant:
+                # symmetric absmax per (token, kv-head) over head_dim; the
+                # scales fold EXACTLY into the attention einsums below, so
+                # the cache read halves without a dequantized copy
+                def quant_rows(rows):
+                    a = jnp.max(jnp.abs(rows.astype(jnp.float32)), axis=-1)
+                    sc = jnp.maximum(a / 127.0, 1e-12)
+                    r8 = jnp.clip(jnp.round(rows.astype(jnp.float32)
+                                            / sc[..., None]), -127, 127
+                                  ).astype(jnp.int8)
+                    return r8, sc
+                k8, k_rows_sc = quant_rows(k)
+                v8, v_rows_sc = quant_rows(v)
+                ck, cv = write(ck, k8), write(cv, v8)
+                ksc, vsc = write(ksc, k_rows_sc), write(vsc, v_rows_sc)
+                k_sc, v_sc = ksc[self.layer_idx], vsc[self.layer_idx]  # (b,m,kvh)
+            else:
+                ck = write(ck, k.astype(ck.dtype))
+                cv = write(cv, v.astype(cv.dtype))
+            cache_k, cache_v = (ck, ksc), (cv, vsc)
+            k_full = ck[self.layer_idx].astype(self.dtype)
+            v_full = cv[self.layer_idx].astype(self.dtype)
         else:
             k_full, v_full = k, v
 
@@ -272,6 +321,9 @@ class LlamaAttention(nn.Module):
         if rep > 1:
             k_full = jnp.repeat(k_full, rep, axis=2)
             v_full = jnp.repeat(v_full, rep, axis=2)
+            if k_sc is not None:
+                k_sc = jnp.repeat(k_sc, rep, axis=2)
+                v_sc = jnp.repeat(v_sc, rep, axis=2)
 
         if self.use_flash and cache_k is None:
             from ctpa.ops.pallas.flash_attention import flash_attention
@@ -284,10 +336,15 @@ class LlamaAttention(nn.Module):
         else:
             sim = jnp.einsum("bnhd,bmhd->bhnm", q, k_full,
                              preferred_element_type=jnp.float32) / jnp.sqrt(hd)
+            if k_sc is not None:
+                sim = sim * k_sc.transpose(0, 2, 1)[:, :, None, :]
             neg = jnp.finfo(jnp.float32).min
             if attn_mask is not None:
                 sim = jnp.where(attn_mask, sim, neg)
-            attn = jax.nn.softmax(sim, axis=-1).astype(v_full.dtype)
+            attn = jax.nn.softmax(sim, axis=-1)
+            if v_sc is not None:
+                attn = attn * v_sc.transpose(0, 2, 1)[:, :, None, :]
+            attn = attn.astype(v_full.dtype)
             out = jnp.einsum("bhnm,bmhd->bnhd", attn, v_full).reshape(b, n, h * hd)
         out = _proj(c, c.hidden_size, "o_proj", self.dtype, self.lora,
                     "o_proj")(out)
@@ -444,11 +501,12 @@ class LlamaModel(nn.Module):
                          else cache.write_offset)
         else:
             write_idx = jnp.zeros((b,), jnp.int32)
-        # the full stacked cache buffers thread through the layer loop; each
-        # layer writes only its own new rows (static layer index), so there
-        # is no per-step slice+restack of the 2·L·b·m·kvh·hd cache
-        ck_all = cache.k if cache is not None else None
-        cv_all = cache.v if cache is not None else None
+        # the full stacked cache buffers thread through the layer loop as
+        # (buffer, scale_or_None) pairs; each layer writes only its own new
+        # rows (static layer index), so there is no per-step slice+restack
+        # of the 2·L·b·m·kvh·hd cache
+        ck_all = (cache.k, cache.k_scale) if cache is not None else None
+        cv_all = (cache.v, cache.v_scale) if cache is not None else None
         block_cls = nn.remat(LlamaBlock, static_argnums=()) if self.remat else LlamaBlock
         for i in range(c.num_layers):
             x, ck_all, cv_all = block_cls(c, self.lora, dtype=self.dtype,
@@ -460,7 +518,8 @@ class LlamaModel(nn.Module):
         new_cache = None
         if cache is not None:
             new_cache = KVCache(
-                k=ck_all, v=cv_all,
+                k=ck_all[0], v=cv_all[0],
+                k_scale=ck_all[1], v_scale=cv_all[1],
                 write_offset=cache.write_offset + n,
                 true_len=cache.true_len + written_real.sum(axis=-1).astype(jnp.int32),
                 valid=valid_now,

@@ -94,6 +94,36 @@ def test_shared_kv_offset_matches_per_lane():
         np.testing.assert_array_equal(a, b)
 
 
+def test_kv_int8_cache_tracks_fp():
+    """kv_quant='int8': cached decode with a quantized KV cache must track
+    the full-precision cached decode (per-row absmax scales fold exactly
+    into the attention einsums; error is bounded by the 0.4% row quant)."""
+    import dataclasses
+
+    cfg_q = dataclasses.replace(LLM, kv_quant="int8")
+    model, params = make_llm()
+    model_q = LlamaForCausalLM(cfg_q)
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(1, LLM.vocab_size, size=(2, 6)), jnp.int32)
+    mask = jnp.ones((2, 6), jnp.int32)
+
+    outs = {}
+    for name, mdl, c in (("fp", model, LLM), ("q", model_q, cfg_q)):
+        cache = KVCache.create(c, 2, max_len=10, dtype=jnp.float32)
+        assert (cache.k_scale is not None) == (name == "q")
+        lg, _, cache = mdl.apply(params, ids, mask, cache)
+        step = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
+        seq = [np.asarray(lg[:, -1])]
+        for _ in range(4):
+            lg1, _, cache = mdl.apply(params, step[:, None], None, cache)
+            seq.append(np.asarray(lg1[:, 0]))
+            step = jnp.argmax(lg1[:, 0], axis=-1).astype(jnp.int32)
+        outs[name] = seq
+    for a, b in zip(outs["fp"], outs["q"]):
+        assert np.abs(a - b).max() / (np.abs(a).max() + 1e-9) < 0.05
+        assert (a.argmax(-1) == b.argmax(-1)).mean() >= 0.5
+
+
 def test_lora_starts_as_identity():
     lora = LoRAConfig(rank=4, alpha=8.0, target_projections=("q_proj", "v_proj"))
     model_base, params_base = make_llm()

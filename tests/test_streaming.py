@@ -94,6 +94,41 @@ def test_ring_wrap_matches_single_generate(rg):
         assert len(got) == 8
 
 
+def test_batcher_kv_int8_matches_single_generate(rg):
+    """kv_quant='int8' through the ring batcher: quantization is
+    deterministic and the ring roll is lossless on int8 rows, so batched
+    decode must still reproduce the (equally-quantized) single-request
+    generate exactly."""
+    import dataclasses
+
+    model, params, video = rg
+    cfg_q = dataclasses.replace(LLM, kv_quant="int8")
+    gen_cfg = ReportGenConfig(vision_dim=32)
+    model_q = CTReportGenerator(cfg_q, VIT, gen_cfg)
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(1, LLM.vocab_size, size=(6,)).astype(np.int32)
+               for _ in range(3)]
+    vision = model.apply(params, video, method=CTReportGenerator.extract_vision)[0]
+
+    singles = []
+    for p in prompts:
+        res = model_q.apply(params, video, jnp.asarray(p[None]),
+                            jnp.ones((1, 6), jnp.int32), 8, eos_token_id=-1,
+                            greedy=True, method=CTReportGenerator.generate)
+        singles.append(np.asarray(res.tokens[0]))
+
+    batcher = ContinuousBatcher(model_q, params, num_lanes=2, max_len=32,
+                                eos_token_id=-1, greedy=True)
+    assert batcher.cache.k.dtype == jnp.int8
+    for i, p in enumerate(prompts):
+        batcher.submit(Request(request_id=i, input_ids=p,
+                               attention_mask=np.ones(6, np.int32),
+                               vision=vision, max_new_tokens=8))
+    results = batcher.run_until_done()
+    for i in range(3):
+        np.testing.assert_array_equal(np.asarray(results[i].tokens), singles[i])
+
+
 def test_ring_window_overflow_rejected(rg):
     model, params, video = rg
     vision = model.apply(params, video, method=CTReportGenerator.extract_vision)[0]
