@@ -57,6 +57,12 @@ def main():
     ap.add_argument("--act-quant", action="store_true",
                     help="with --quant int8: w8a8 — dynamic per-token int8 "
                          "activations, native int8 MXU dots (LLMConfig.quant_act)")
+    ap.add_argument("--kv-quant", choices=["none", "int8"], default="none",
+                    help="int8 KV cache (LLMConfig.kv_quant): halves the "
+                         "per-step KV read and the cache footprint")
+    ap.add_argument("--flash-decode", action="store_true",
+                    help="fused single-token decode attention pallas kernel "
+                         "(LLMConfig.flash_decode)")
     args = ap.parse_args()
 
     log("devices:", jax.devices())
@@ -81,12 +87,16 @@ def main():
         B, PROMPT, NEW = 8, 64, 256
         REF_RUNS, RUNS = 4, 3
 
-    if args.quant == "int8":
-        import dataclasses
+    import dataclasses
 
+    if args.quant == "int8":
         llm_cfg = dataclasses.replace(llm_cfg, weight_quant="int8",
                                       quant_ffn_kernel=args.ffn_kernel,
                                       quant_act=args.act_quant)
+    if args.kv_quant == "int8":
+        llm_cfg = dataclasses.replace(llm_cfg, kv_quant="int8")
+    if args.flash_decode:
+        llm_cfg = dataclasses.replace(llm_cfg, flash_decode=True)
     vit_cfg = CTViTConfig.tiny()
     gen_cfg = ReportGenConfig(vision_dim=128)
     model = CTReportGenerator(llm_cfg, vit_cfg, gen_cfg, dtype=jnp.bfloat16)

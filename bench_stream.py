@@ -94,6 +94,11 @@ def main():
     ap.add_argument("--act-quant", action="store_true",
                     help="with --quant int8: w8a8 — per-token int8 "
                          "activations, native int8 MXU dots")
+    ap.add_argument("--kv-quant", choices=["none", "int8"], default="none",
+                    help="int8 KV cache: halves the per-step KV read and "
+                         "doubles lane capacity")
+    ap.add_argument("--flash-decode", action="store_true",
+                    help="fused single-token decode attention pallas kernel")
     args = ap.parse_args()
 
     if not available():
@@ -120,6 +125,10 @@ def main():
         llm_cfg = dataclasses.replace(llm_cfg, weight_quant="int8",
                                       quant_ffn_kernel=args.ffn_kernel,
                                       quant_act=args.act_quant)
+    if args.kv_quant == "int8":
+        llm_cfg = dataclasses.replace(llm_cfg, kv_quant="int8")
+    if args.flash_decode:
+        llm_cfg = dataclasses.replace(llm_cfg, flash_decode=True)
     gen_cfg = ReportGenConfig(vision_dim=512 if args.size == "7b" else 128)
     model = CTReportGenerator(llm_cfg, vit_cfg, gen_cfg, dtype=jnp.bfloat16)
 

@@ -225,6 +225,12 @@ class LLMConfig:
     # attention einsums — halves the per-step KV read (the dominant HBM
     # traffic at long serving contexts) and doubles lane capacity per chip.
     kv_quant: Optional[str] = None       # None | "int8"
+    # fused single-token decode attention (ops/pallas/decode_attention.py):
+    # one pallas launch per layer reads each K/V cache byte exactly once
+    # (int8 scales folded in-kernel, GQA repeat in-kernel) instead of the
+    # XLA einsum chain.  TPU only — keep False on CPU test paths unless
+    # running interpreted.
+    flash_decode: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -306,11 +306,29 @@ class LlamaAttention(nn.Module):
                 v8, v_rows_sc = quant_rows(v)
                 ck, cv = write(ck, k8), write(cv, v8)
                 ksc, vsc = write(ksc, k_rows_sc), write(vsc, v_rows_sc)
-                k_sc, v_sc = ksc[self.layer_idx], vsc[self.layer_idx]  # (b,m,kvh)
             else:
                 ck = write(ck, k.astype(ck.dtype))
                 cv = write(cv, v.astype(cv.dtype))
             cache_k, cache_v = (ck, ksc), (cv, vsc)
+
+            if (n == 1 and key_mask is not None
+                    and getattr(c, "flash_decode", False)):
+                # fused single-token attention: one pallas launch reads this
+                # layer's cache planes exactly once (int8 scales + GQA
+                # repeat handled in-kernel; ops/pallas/decode_attention.py)
+                from ctpa.ops.pallas.decode_attention import decode_attention
+
+                out = decode_attention(
+                    q[:, 0], ck, cv, key_mask, self.layer_idx,
+                    k_scale=ksc, v_scale=vsc,
+                    scale=float(1.0 / hd ** 0.5),
+                ).reshape(b, 1, h * hd).astype(x.dtype)
+                out = _proj(c, c.hidden_size, "o_proj", self.dtype, self.lora,
+                            "o_proj")(out)
+                return out, cache_k, cache_v
+
+            if quant:
+                k_sc, v_sc = ksc[self.layer_idx], vsc[self.layer_idx]  # (b,m,kvh)
             k_full = ck[self.layer_idx].astype(self.dtype)
             v_full = cv[self.layer_idx].astype(self.dtype)
         else:
@@ -474,12 +492,15 @@ class LlamaModel(nn.Module):
                 # mask correct after a ring-buffer wrap, where slot order no
                 # longer equals token order.
                 mask = valid_now[:, None, None, :]
+                # the fused decode kernel wants the raw (b, m) validity
+                key_mask = valid_now if getattr(c, "flash_decode", False) else None
             else:
                 # multi-token prefill runs on a fresh lane cache (no wrap):
                 # slot order is token order, causality is slot <= q's slot.
                 key_slot = jnp.arange(m)[None, None, None, :]
                 q_slot = write_slots[:, None, :, None]
                 mask = (key_slot <= q_slot) & valid_now[:, None, None, :]
+                key_mask = None
         elif c.flash_prefill and n >= c.flash_min_len:
             # no-cache long forward -> pallas flash kernel (causal + key
             # padding handled in kernel; no (b, 1, n, n) mask materialized)
@@ -493,8 +514,9 @@ class LlamaModel(nn.Module):
             mask = key_pos <= q_pos
             if attention_mask is not None:
                 mask = mask & (attention_mask[:, None, None, :] > 0)
+            key_mask = None
         if cache is not None or mask is not None:
-            use_flash, key_mask = False, None
+            use_flash = False
 
         if cache is not None:
             write_idx = (cache.write_offset[0] if shared_kv_offset

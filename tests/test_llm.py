@@ -124,6 +124,39 @@ def test_kv_int8_cache_tracks_fp():
         assert (a.argmax(-1) == b.argmax(-1)).mean() >= 0.5
 
 
+def test_flash_decode_matches_dense():
+    """cfg.flash_decode=True routes single-token cached attention through
+    the fused pallas kernel (interpret mode here); logits must match the
+    dense einsum path closely for both fp and int8 KV caches."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(4)
+    ids = jnp.asarray(rng.integers(1, LLM.vocab_size, size=(2, 5)), jnp.int32)
+    mask = jnp.ones((2, 5), jnp.int32)
+    model, params = make_llm()
+
+    for kv_quant in (None, "int8"):
+        base = dataclasses.replace(LLM, kv_quant=kv_quant)
+        flash = dataclasses.replace(base, flash_decode=True)
+        outs = {}
+        for name, c in (("dense", base), ("kernel", flash)):
+            mdl = LlamaForCausalLM(c)
+            cache = KVCache.create(c, 2, max_len=9, dtype=jnp.float32)
+            with pltpu.force_tpu_interpret_mode():
+                lg, _, cache = mdl.apply(params, ids, mask, cache)
+                step = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
+                seq = []
+                for _ in range(3):
+                    lg1, _, cache = mdl.apply(params, step[:, None], None, cache)
+                    seq.append(np.asarray(lg1[:, 0]))
+                    step = jnp.argmax(lg1[:, 0], axis=-1).astype(jnp.int32)
+            outs[name] = seq
+        for a, b in zip(outs["dense"], outs["kernel"]):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
 def test_lora_starts_as_identity():
     lora = LoRAConfig(rank=4, alpha=8.0, target_projections=("q_proj", "v_proj"))
     model_base, params_base = make_llm()
