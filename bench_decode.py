@@ -49,8 +49,10 @@ def main():
     ap.add_argument("--size", choices=["1b", "7b"], default="7b")
     ap.add_argument("--batch", type=int, default=0,
                     help="override decode batch (0 = per-size default)")
-    ap.add_argument("--quant", choices=["none", "int8"], default="none",
-                    help="weight-only int8 serving quantization (ops/quant.py)")
+    ap.add_argument("--quant", choices=["none", "int8", "int4"], default="none",
+                    help="weight-only serving quantization (ops/quant.py); "
+                         "int4 = packed nibbles + group-128 scales, half "
+                         "the HBM of int8 (latency tier)")
     ap.add_argument("--ffn-kernel", action="store_true",
                     help="with --quant int8: single-launch fused gate/up/"
                          "silu-mul/down pallas FFN (LLMConfig.quant_ffn_kernel)")
@@ -93,6 +95,8 @@ def main():
         llm_cfg = dataclasses.replace(llm_cfg, weight_quant="int8",
                                       quant_ffn_kernel=args.ffn_kernel,
                                       quant_act=args.act_quant)
+    elif args.quant == "int4":
+        llm_cfg = dataclasses.replace(llm_cfg, weight_quant="int4")
     if args.kv_quant == "int8":
         llm_cfg = dataclasses.replace(llm_cfg, kv_quant="int8")
     if args.flash_decode:

@@ -86,9 +86,10 @@ def main():
     # roundtrip that also preempts the bulk volume upload (single tunnel),
     # so serving over the relay wants large chunks; on local PCIe 8 is fine
     ap.add_argument("--steps-per-sync", type=int, default=8)
-    ap.add_argument("--quant", choices=["none", "int8"], default="none",
-                    help="weight-only int8 LLM (ops/quant.py): halves weight "
-                         "HBM reads per decode step and fits more lanes")
+    ap.add_argument("--quant", choices=["none", "int8", "int4"], default="none",
+                    help="weight-only quantized LLM (ops/quant.py): int8 "
+                         "halves weight HBM reads per decode step; int4 "
+                         "halves them again (group-128 scales)")
     ap.add_argument("--ffn-kernel", action="store_true",
                     help="with --quant int8: single-launch fused pallas FFN")
     ap.add_argument("--act-quant", action="store_true",
@@ -125,6 +126,8 @@ def main():
         llm_cfg = dataclasses.replace(llm_cfg, weight_quant="int8",
                                       quant_ffn_kernel=args.ffn_kernel,
                                       quant_act=args.act_quant)
+    elif args.quant == "int4":
+        llm_cfg = dataclasses.replace(llm_cfg, weight_quant="int4")
     if args.kv_quant == "int8":
         llm_cfg = dataclasses.replace(llm_cfg, kv_quant="int8")
     if args.flash_decode:

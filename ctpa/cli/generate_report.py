@@ -102,10 +102,10 @@ def main(argv=None):
     p.add_argument("--visualize", action="store_true")
     p.add_argument("--max-samples", type=int, default=0)
     p.add_argument("--tiny", action="store_true")
-    p.add_argument("--quant", choices=["none", "int8"], default="none",
-                   help="weight-only int8 serving quantization of the LLM "
-                        "(ops/quant.py): ~half the weight HBM, bigger "
-                        "batches/caches per chip")
+    p.add_argument("--quant", choices=["none", "int8", "int4"], default="none",
+                   help="weight-only serving quantization of the LLM "
+                        "(ops/quant.py): int8 ~halves the weight HBM; int4 "
+                        "halves it again (group-128 scales, latency tier)")
     p.add_argument("--act-quant", action="store_true",
                    help="with --quant int8: w8a8 — per-token int8 "
                         "activations, native int8 MXU dots (quant_act)")
@@ -119,18 +119,19 @@ def main(argv=None):
         llm_cfg, vit_cfg = LLMConfig.tiny(), CTViTConfig.tiny()
     else:
         llm_cfg, vit_cfg = LLMConfig(), CTViTConfig()
-    if args.quant == "int8":
+    if args.quant != "none":
         import dataclasses
 
-        llm_cfg = dataclasses.replace(llm_cfg, weight_quant="int8",
-                                      quant_act=args.act_quant)
+        llm_cfg = dataclasses.replace(
+            llm_cfg, weight_quant=args.quant,
+            quant_act=args.act_quant and args.quant == "int8")
     lora = (LoRAConfig(rank=args.lora_rank, alpha=args.lora_alpha)
             if args.lora_rank > 0 else None)
     gen_cfg = ReportGenConfig()
-    # int8 serving merges the LoRA deltas into the base weights
+    # quantized serving merges the LoRA deltas into the base weights
     # (quantize_tree below), so the quantized model carries no adapters
     model = CTReportGenerator(llm_cfg, vit_cfg, gen_cfg,
-                              lora=None if args.quant == "int8" else lora)
+                              lora=None if args.quant != "none" else lora)
     tokenizer = (HFTokenizer(args.tokenizer) if args.tokenizer
                  else SimpleWordTokenizer(vocab_size=llm_cfg.vocab_size))
 
@@ -140,10 +141,11 @@ def main(argv=None):
         print("no checkpoint found", file=sys.stderr)
         return 1
     params = state["params"] if isinstance(state, dict) else state.params
-    if args.quant == "int8":
+    if args.quant != "none":
         from ctpa.ops.quant import quantize_tree
 
-        params = quantize_tree(params, lora=lora)
+        params = quantize_tree(params, lora=lora,
+                               bits=4 if args.quant == "int4" else 8)
 
     ds = (ReportGenDataset if args.mode == "report" else VQADataset)(args.jsonl)
     n = min(len(ds), args.max_samples) if args.max_samples else len(ds)

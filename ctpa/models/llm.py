@@ -55,6 +55,44 @@ class Int8Dense(nn.Module):
                            act_quant=self.act_quant)
 
 
+class Int4Dense(nn.Module):
+    """Weight-only int4 projection for serving (ops/quant.py): params are
+    {kernel_q: packed int8 (in/2, out), scale_g: f32 (in/group, out)} as
+    produced by `quant.quantize_tree(bits=4)`.  Half the HBM bytes of int8
+    — decode is weight-read bound, so this is the latency-serving tier
+    (int4 noise ~10x int8's; gate quality with the e2e greedy tests)."""
+
+    features: int
+    impl: str = "pallas"          # "pallas" | "xla" (ops/quant.int4_matmul)
+    dtype: jnp.dtype = jnp.bfloat16
+    group: int = 128
+
+    @nn.compact
+    def __call__(self, x):
+        from ctpa.ops.quant import _int4_group, int4_matmul
+
+        d_in = x.shape[-1]
+        g = _int4_group(d_in, self.group)
+        w4 = self.param("kernel_q", nn.initializers.zeros,
+                        (d_in // 2, self.features), jnp.int8)
+        s = self.param("scale_g", nn.initializers.ones,
+                       (d_in // g, self.features), jnp.float32)
+        return int4_matmul(x.astype(self.dtype), w4, s, group=g,
+                           impl=self.impl)
+
+
+def _quant_dense(cfg, features, dtype, name):
+    """The serving projection for cfg.weight_quant ('int8' or 'int4')."""
+    if cfg.weight_quant == "int4":
+        if getattr(cfg, "quant_act", False):
+            raise ValueError("quant_act (w8a8) requires int8 weights: the "
+                             "MXU has no int4 contraction")
+        return Int4Dense(features, impl=cfg.quant_impl, dtype=dtype,
+                         group=getattr(cfg, "quant_group", 128), name=name)
+    return Int8Dense(features, impl=cfg.quant_impl, dtype=dtype,
+                     act_quant=getattr(cfg, "quant_act", False), name=name)
+
+
 class _Int8Weights(nn.Module):
     """Bare {kernel_q, scale} holder matching quantize_tree's unfused layout
     (used by the fused int8 FFN kernel, which consumes the raw leaves)."""
@@ -71,15 +109,14 @@ class _Int8Weights(nn.Module):
 
 def _proj(cfg: LLMConfig, features: int, name: str, dtype,
           lora: Optional[LoRAConfig] = None, lora_name: Optional[str] = None):
-    """Projection factory: int8-quantized for serving when
-    cfg.weight_quant == 'int8' (LoRA overlays are a training feature and are
+    """Projection factory: int8/int4-quantized for serving when
+    cfg.weight_quant is set (LoRA overlays are a training feature and are
     rejected in that mode), LoRADense otherwise."""
-    if getattr(cfg, "weight_quant", None) == "int8":
+    if getattr(cfg, "weight_quant", None) in ("int8", "int4"):
         if lora is not None and lora_name in (lora.target_projections or ()):
-            raise ValueError("LoRA overlays are not supported with int8 "
-                             "weight quantization (merge adapters first)")
-        return Int8Dense(features, impl=cfg.quant_impl, dtype=dtype,
-                         act_quant=getattr(cfg, "quant_act", False), name=name)
+            raise ValueError("LoRA overlays are not supported with "
+                             "quantized weights (merge adapters first)")
+        return _quant_dense(cfg, features, dtype, name)
     if lora_name is not None:
         return LoRADense(features, dtype=dtype, name=name,
                          **_lora_args(lora, lora_name))
@@ -229,19 +266,17 @@ class LlamaAttention(nn.Module):
         h, kvh, hd = c.num_heads, c.num_kv_heads, c.head_dim
         b, n, _ = x.shape
 
-        if getattr(c, "weight_quant", None) == "int8" and c.quant_fused:
+        if getattr(c, "weight_quant", None) in ("int8", "int4") and c.quant_fused:
             # fused qkv projection (quantize_tree(fuse=True) layout): one
-            # int8 kernel launch instead of three; exact because scales are
-            # per-output-channel
+            # quantized kernel launch instead of three; exact because scales
+            # are per-output-channel (int8) / per-(group, out) (int4)
             if self.lora is not None and any(
                     t in (self.lora.target_projections or ())
                     for t in ("q_proj", "k_proj", "v_proj")):
-                raise ValueError("LoRA overlays are not supported with int8 "
-                                 "weight quantization (merge adapters first)")
-            qkv = Int8Dense(h * hd + 2 * kvh * hd, impl=c.quant_impl,
-                            dtype=self.dtype,
-                            act_quant=getattr(c, "quant_act", False),
-                            name="qkv_proj")(x)
+                raise ValueError("LoRA overlays are not supported with "
+                                 "quantized weights (merge adapters first)")
+            qkv = _quant_dense(c, h * hd + 2 * kvh * hd, self.dtype,
+                               "qkv_proj")(x)
             q, k, v = (qkv[..., : h * hd],
                        qkv[..., h * hd : h * hd + kvh * hd],
                        qkv[..., h * hd + kvh * hd :])
@@ -387,11 +422,13 @@ class LlamaMLP(nn.Module):
             wd, sd = _Int8Weights((i, h), name="down_proj")()
             return int8_ffn(x.astype(self.dtype), wg, sg, wu, su, wd, sd,
                             act_quant=getattr(c, "quant_act", False))
-        if getattr(c, "weight_quant", None) == "int8" and c.quant_fused:
-            gu = Int8Dense(2 * c.intermediate_size, impl=c.quant_impl,
-                           dtype=self.dtype,
-                           act_quant=getattr(c, "quant_act", False),
-                           name="gateup_proj")(x)
+        if (getattr(c, "weight_quant", None) == "int4"
+                and getattr(c, "quant_ffn_kernel", False)):
+            raise ValueError("quant_ffn_kernel is int8-only; int4 serves "
+                             "gate/up fused + down as int4_matmul launches")
+        if getattr(c, "weight_quant", None) in ("int8", "int4") and c.quant_fused:
+            gu = _quant_dense(c, 2 * c.intermediate_size, self.dtype,
+                              "gateup_proj")(x)
             gate = gu[..., : c.intermediate_size]
             up = gu[..., c.intermediate_size :]
         else:

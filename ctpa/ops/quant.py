@@ -62,6 +62,53 @@ def dequantize_int8(w8: jax.Array, scale: jax.Array, dtype=jnp.bfloat16):
     return (w8.astype(jnp.float32) * scale).astype(dtype)
 
 
+def _int4_group(d_in: int, group: int) -> int:
+    """Largest group <= `group` that divides d_in (halving; every llama
+    dim is highly even, so this terminates well above 2)."""
+    g = min(group, d_in)
+    while g > 2 and d_in % g != 0:
+        g //= 2
+    assert d_in % g == 0 and g % 2 == 0, (d_in, group)
+    return g
+
+
+def quantize_int4(w: jax.Array, group: int = 128
+                  ) -> tuple[jax.Array, jax.Array]:
+    """(in, out) float weights -> (packed int8 (in/2, out), group scales
+    f32 (in/group, out)).  Symmetric absmax per (input-group, out-channel),
+    values in [-7, 7].  Packing pairs the two HALVES of each group (byte j
+    of group g holds rows g·G+j and g·G+G/2+j), so the in-kernel unpack —
+    low nibbles then high nibbles, concatenated along the group axis —
+    reconstructs natural row order with no permutation of the activations."""
+    d_in, d_out = w.shape
+    g = _int4_group(d_in, group)
+    wf = w.astype(jnp.float32).reshape(d_in // g, g, d_out)
+    s = jnp.maximum(jnp.max(jnp.abs(wf), axis=1) / 7.0, 1e-12)  # (n_g, out)
+    q = jnp.clip(jnp.round(wf / s[:, None, :]), -7, 7).astype(jnp.int32)
+    lo, hi = q[:, : g // 2], q[:, g // 2 :]
+    packed = ((lo & 0xF) | ((hi & 0xF) << 4)).astype(jnp.uint8)
+    packed = jax.lax.bitcast_convert_type(packed, jnp.int8)
+    return packed.reshape(d_in // 2, d_out), s
+
+
+def _unpack_int4(packed: jax.Array, group: int):
+    """(in/2, out) packed int8 -> (n_g, group, out) int8 in natural order."""
+    half = group // 2
+    p3 = packed.reshape(-1, half, packed.shape[-1])          # (n_g, G/2, out)
+    lo = jnp.right_shift(jnp.left_shift(p3, 4), 4)           # sign-extended
+    hi = jnp.right_shift(p3, 4)                              # arithmetic
+    return jnp.concatenate([lo, hi], axis=1)                 # (n_g, G, out)
+
+
+def dequantize_int4(packed: jax.Array, scale: jax.Array, group: int = 128,
+                    dtype=jnp.bfloat16):
+    d_in = packed.shape[0] * 2
+    g = _int4_group(d_in, group)
+    q = _unpack_int4(packed, g)                              # (n_g, g, out)
+    w = q.astype(jnp.float32) * scale[:, None, :]
+    return w.reshape(d_in, -1).astype(dtype)
+
+
 def quantize_act_int8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Dynamic symmetric per-token (per-row) activation quantization:
     (..., in) float -> (x8 int8 same shape, sx f32 (..., 1)).  Cheap — the
@@ -201,6 +248,85 @@ def int8_matmul(
             pl.BlockSpec((block_in, block_out), lambda mi, o, i: (i, o),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_out), lambda mi, o, i: (0, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_out), lambda mi, o, i: (mi, o),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, out_pad), x.dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_out), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(xp, wp, sp)
+    return out[:m, :d_out].reshape(*lead, d_out)
+
+
+def _q4_kernel(x_ref, w_ref, s_ref, o_ref, acc_scr, *, n_in_blocks: int,
+               group: int):
+    """int4 weight-only step: unpack the packed byte tile (shift/shift/
+    concat, ~3 VPU ops per weight element on HALF the HBM bytes of int8),
+    apply the per-(group, out-channel) scales, and feed the MXU.  Decode is
+    weight-read bound, so halving the bytes ~halves the stream time."""
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = _unpack_int4(w_ref[:], group)                    # (n_g, G, block_out)
+    w = (q.astype(jnp.float32) * s_ref[:][:, None, :]).astype(x_ref.dtype)
+    w = w.reshape(-1, w.shape[-1])                       # (block_in, block_out)
+    acc_scr[:] += jax.lax.dot_general(
+        x_ref[:], w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(i == n_in_blocks - 1)
+    def _flush():
+        o_ref[:] = acc_scr[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("group", "impl", "block_in", "block_out"))
+def int4_matmul(
+    x: jax.Array,          # (..., in) activations (bf16 on the hot path)
+    w4: jax.Array,         # (in/2, out) packed int8 (quantize_int4 layout)
+    scale: jax.Array,      # (in/group, out) f32
+    group: int = 128,
+    impl: str = "pallas",
+    block_in: int = 2048,
+    block_out: int = 512,
+) -> jax.Array:
+    *lead, d_in = x.shape
+    assert w4.shape[0] * 2 == d_in, (w4.shape, d_in)
+    d_out = w4.shape[1]
+    g = _int4_group(d_in, group)
+    if impl == "xla":
+        w = dequantize_int4(w4, scale, g, jnp.float32)
+        y = jax.lax.dot_general(
+            x.astype(jnp.float32), w, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return y.astype(x.dtype)
+
+    xm = x.reshape(-1, d_in)
+    m = xm.shape[0]
+    block_m = max(16, min(_rup(m, 16), 256))
+    m_pad = _rup(max(m, 16), block_m)
+    block_in = min(_rup(block_in, g), _rup(d_in, g))
+    in_pad = _rup(d_in, block_in)
+    out_pad = _rup(d_out, block_out)
+    xp = jnp.pad(xm, ((0, m_pad - m), (0, in_pad - d_in)))
+    wp = jnp.pad(w4, ((0, (in_pad - d_in) // 2), (0, out_pad - d_out)))
+    sp = jnp.pad(scale, ((0, (in_pad - d_in) // g), (0, out_pad - d_out)))
+    n_in_blocks = in_pad // block_in
+
+    out = pl.pallas_call(
+        functools.partial(_q4_kernel, n_in_blocks=n_in_blocks, group=g),
+        grid=(m_pad // block_m, out_pad // block_out, n_in_blocks),
+        in_specs=[
+            pl.BlockSpec((block_m, block_in), lambda mi, o, i: (mi, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_in // 2, block_out), lambda mi, o, i: (i, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_in // g, block_out), lambda mi, o, i: (i, o),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_m, block_out), lambda mi, o, i: (mi, o),
@@ -373,10 +499,17 @@ def quantize_tree(params, *, targets: tuple[str, ...] = (
         "gate_proj", "up_proj", "down_proj", "lm_head"),
         fuse: bool = True,
         ffn_kernel: bool = False,
-        lora=None):
+        lora=None,
+        bits: int = 8,
+        group: int = 128):
     """Convert an LLM param tree for int8 serving: every `kernel` leaf under
     a targeted projection becomes {kernel_q: int8, scale: f32}.  The tree
     then matches what `Int8Dense` (models/llm.py) expects.
+
+    bits=4 instead produces the `Int4Dense` layout {kernel_q: packed int8
+    (in/2, out), scale_g: f32 (in/group, out)} (quantize_int4) — half the
+    serving HBM of int8 for the latency tier.  int4 is incompatible with
+    ffn_kernel (the fused FFN kernel is int8-only).
 
     If the tree carries trained LoRA adapters (lora_a/lora_b leaves), pass
     the `LoRAConfig` used in training: the deltas are merged into the base
@@ -396,6 +529,17 @@ def quantize_tree(params, *, targets: tuple[str, ...] = (
     layout `LLMConfig.quant_ffn_kernel` models expect, where the whole FFN
     runs as one `int8_ffn` pallas launch (gateup concat would be wasted
     there)."""
+    assert bits in (8, 4), bits
+    if bits == 4 and ffn_kernel:
+        raise ValueError("ffn_kernel layout is int8-only (bits=8)")
+
+    def _q(kernel):
+        if bits == 4:
+            w4, s = quantize_int4(kernel, group=group)
+            return {"kernel_q": w4, "scale_g": s}
+        w8, s = quantize_int8(kernel)
+        return {"kernel_q": w8, "scale": s}
+
     leaf_keys = [
         tuple(getattr(p, "key", getattr(p, "name", str(p))) for p in kp)
         for kp, _ in jax.tree_util.tree_flatten_with_path(params)[0]
@@ -441,9 +585,8 @@ def quantize_tree(params, *, targets: tuple[str, ...] = (
             if proj in fused_members:
                 pending.setdefault(tuple(base[:-1]), {})[proj] = leaf
                 continue
-            w8, s = quantize_int8(leaf)
-            assign(out, base + ["kernel_q"], w8)
-            assign(out, base + ["scale"], s)
+            for pname, pval in _q(leaf).items():
+                assign(out, base + [pname], pval)
         else:
             assign(out, keys, leaf)
 
@@ -460,9 +603,8 @@ def quantize_tree(params, *, targets: tuple[str, ...] = (
                     f"(pass fuse=False or include all group members in "
                     f"targets)")
             w = jnp.concatenate([kernels[m] for m in members], axis=1)
-            w8, s = quantize_int8(w)
-            assign(out, list(parent) + [fused_name, "kernel_q"], w8)
-            assign(out, list(parent) + [fused_name, "scale"], s)
+            for pname, pval in _q(w).items():
+                assign(out, list(parent) + [fused_name, pname], pval)
             consumed.update(members)
         leftover = set(kernels) - consumed
         if leftover:

@@ -283,6 +283,108 @@ def test_int8_ffn_w8a8_matches_separate(rng):
     assert np.abs(got - want).max() / (np.abs(want).max() + 1e-9) < 0.03
 
 
+def test_quantize_int4_roundtrip_error_bound(rng):
+    from ctpa.ops.quant import dequantize_int4, quantize_int4
+
+    w = jnp.asarray(rng.normal(size=(256, 96)) * 0.04, jnp.float32)
+    w4, s = quantize_int4(w, group=128)
+    assert w4.dtype == jnp.int8 and w4.shape == (128, 96)
+    assert s.shape == (2, 96)
+    back = np.asarray(dequantize_int4(w4, s, 128, jnp.float32))
+    err = np.abs(back - np.asarray(w))
+    bound = np.repeat(np.asarray(s), 128, axis=0) * 0.5 + 1e-8
+    assert (err <= bound).all()
+
+
+def test_int4_matmul_pallas_matches_xla(rng):
+    from ctpa.ops.quant import int4_matmul, quantize_int4
+
+    x = jnp.asarray(rng.normal(size=(5, 384)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(384, 200)) * 0.05, jnp.float32)
+    w4, s = quantize_int4(w, group=128)
+    want = int4_matmul(x, w4, s, group=128, impl="xla")
+    with pltpu.force_tpu_interpret_mode():
+        got = int4_matmul(x, w4, s, group=128, impl="pallas",
+                          block_in=128, block_out=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-3, atol=5e-3)
+    # and the xla path tracks the float matmul within the 4-bit envelope:
+    # per-element err <= s/2 ~ absmax/14, accumulated over 384 random-sign
+    # inputs => max deviation ~4 sigma ~ 12% of the max output here (int4
+    # noise is ~10x int8's; end-to-end quality is gated by the greedy-token
+    # agreement in the llm-level test, not this synthetic worst case)
+    ref = np.asarray(x @ w)
+    g = np.asarray(want)
+    assert np.abs(g - ref).max() / (np.abs(ref).max() + 1e-9) < 0.15
+
+
+def test_int4_small_input_group_clamps(rng):
+    """d_in < group: the group clamps to d_in (tiny-config geometry)."""
+    from ctpa.ops.quant import int4_matmul, quantize_int4
+
+    x = jnp.asarray(rng.normal(size=(3, 64)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(64, 48)) * 0.05, jnp.float32)
+    w4, s = quantize_int4(w, group=128)
+    assert s.shape == (1, 48)
+    got = np.asarray(int4_matmul(x, w4, s, impl="xla"))
+    ref = np.asarray(x @ w)
+    assert np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9) < 0.2
+
+
+def test_quantized_llm_int4_matches_dequantized_fp(rng):
+    """weight_quant='int4' end-to-end: the int4 model must match an fp
+    model running the DEQUANTIZED weights almost exactly — that isolates
+    implementation correctness (packing, group scales, fused layouts)
+    from quantization noise, which on an UNTRAINED tiny net flips ~half
+    the argmaxes (int4 noise/signal ~13% per matmul; real trained 7B
+    weights at group 128 are the supported quality regime and need real
+    checkpoints to gate — see docs)."""
+    from ctpa.core.config import LLMConfig
+    from ctpa.models.llm import LlamaForCausalLM
+    from ctpa.ops.quant import dequantize_int4, quantize_int4
+
+    cfg = LLMConfig.tiny()
+    b, n = 2, 10
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size, size=(b, n)), jnp.int32)
+    mask = jnp.ones((b, n), jnp.int32)
+    fp = LlamaForCausalLM(cfg)
+    params = fp.init(jax.random.key(0), ids, mask)
+
+    targets = ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
+               "up_proj", "down_proj", "lm_head")
+
+    def roundtrip(kp, leaf):
+        keys = [getattr(p, "key", str(p)) for p in kp]
+        if keys[-1] == "kernel" and any(t in keys for t in targets):
+            from ctpa.ops.quant import _int4_group
+            g = _int4_group(leaf.shape[0], 128)
+            return dequantize_int4(*quantize_int4(leaf, g), group=g,
+                                   dtype=jnp.float32)
+        return leaf
+
+    deq_params = jax.tree_util.tree_map_with_path(roundtrip, params)
+    want, _, _ = fp.apply(deq_params, ids, mask)
+    w = np.asarray(want, np.float32)
+
+    cfg_q = dataclasses.replace(cfg, weight_quant="int4", quant_impl="xla",
+                                quant_fused=False)
+    qm = LlamaForCausalLM(cfg_q)
+    qparams = quantize_tree(params, fuse=False, bits=4)
+    keys = [jax.tree_util.keystr(kp)
+            for kp, _ in jax.tree_util.tree_flatten_with_path(qparams)[0]]
+    assert any("scale_g" in k for k in keys)
+    got, _, _ = qm.apply(qparams, ids, mask)
+    g = np.asarray(got, np.float32)
+    np.testing.assert_allclose(g, w, rtol=2e-3, atol=2e-3)
+
+    # fused qkv/gateup layout must agree with the unfused one
+    cfg_f = dataclasses.replace(cfg_q, quant_fused=True)
+    got_f, _, _ = LlamaForCausalLM(cfg_f).apply(
+        quantize_tree(params, fuse=True, bits=4), ids, mask)
+    np.testing.assert_allclose(np.asarray(got_f, np.float32), g,
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_quantized_llm_w8a8_matches_fp(rng):
     """LLMConfig.quant_act=True end-to-end: per-token activation quant on
     top of int8 weights still tracks fp32 logits and greedy decisions, for
