@@ -66,6 +66,9 @@ def main():
                     help="fused single-token decode attention pallas kernel "
                          "(LLMConfig.flash_decode)")
     args = ap.parse_args()
+    if args.quant != "int8" and (args.act_quant or args.ffn_kernel):
+        ap.error("--act-quant/--ffn-kernel require --quant int8 "
+                 "(w8a8 and the fused FFN kernel are int8-weight paths)")
 
     log("devices:", jax.devices())
     if args.size == "7b":

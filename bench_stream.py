@@ -101,6 +101,9 @@ def main():
     ap.add_argument("--flash-decode", action="store_true",
                     help="fused single-token decode attention pallas kernel")
     args = ap.parse_args()
+    if args.quant != "int8" and (args.act_quant or args.ffn_kernel):
+        ap.error("--act-quant/--ffn-kernel require --quant int8 "
+                 "(w8a8 and the fused FFN kernel are int8-weight paths)")
 
     if not available():
         log("native loader unavailable (no g++/zlib)")
@@ -109,7 +112,7 @@ def main():
     log("devices:", jax.devices())
     import dataclasses
     if args.size == "7b":
-        llm_cfg = LLMConfig(max_seq_len=args.prompt_len + args.new_tokens + 8)
+        llm_cfg = LLMConfig(max_seq_len=args.prompt_len + args.new_tokens + args.steps_per_sync)
         vit_cfg = dataclasses.replace(CTViTConfig(), pallas_patchify=True,
                                       flash_axial=True)
         pre_cfg = PreprocessConfig.train()
@@ -160,7 +163,7 @@ def main():
             shapes)
         formats = negotiate_param_formats(
             model, shapes, num_lanes=args.lanes,
-            max_len=args.prompt_len + args.new_tokens + 8,
+            max_len=args.prompt_len + args.new_tokens + args.steps_per_sync,
             steps_per_sync=args.steps_per_sync)
         log(f"layout negotiation (AOT): {time.time()-t0:.1f}s")
         t0 = time.time()
@@ -178,7 +181,7 @@ def main():
 
     batcher = ContinuousBatcher(
         model, params, num_lanes=args.lanes,
-        max_len=args.prompt_len + args.new_tokens + 8,
+        max_len=args.prompt_len + args.new_tokens + args.steps_per_sync,
         eos_token_id=2, temperature=0.7, steps_per_sync=args.steps_per_sync,
         cache_dtype=jnp.bfloat16)
 

@@ -47,6 +47,8 @@ def eval_nlg(args) -> int:
         # corpus (reference rescale_with_baseline parity for custom encoders)
         if embed_fn is None:
             raise SystemExit("--compute-baseline requires --encoder-path")
+        if not (args.corpus or args.results):
+            raise SystemExit("--compute-baseline requires --corpus (or --results)")
         with open(args.corpus or args.results) as f:
             corpus = [line.strip() for line in f if line.strip()]
         baseline = compute_bertscore_baseline(embed_fn, corpus,
@@ -57,6 +59,8 @@ def eval_nlg(args) -> int:
 
     if not args.results:
         raise SystemExit("--results is required unless --compute-baseline")
+    if args.idf and embed_fn is None:
+        raise SystemExit("--idf requires --encoder-path (BERTScore embeddings)")
     if args.results.endswith(".json"):
         with open(args.results) as f:
             payload = json.load(f)
@@ -67,8 +71,7 @@ def eval_nlg(args) -> int:
     hyps = [str(r[args.prediction_col]) for r in records]
     baseline = load_bertscore_baseline(args.baseline) if args.baseline else None
     metrics = NLGEvaluator(embed_fn=embed_fn, bertscore_baseline=baseline,
-                           use_idf=args.idf and embed_fn is not None,
-                           ).evaluate(refs, hyps)
+                           use_idf=args.idf).evaluate(refs, hyps)
     print(json.dumps({k: round(v, 6) for k, v in metrics.items()}, indent=2))
     return 0
 

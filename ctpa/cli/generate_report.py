@@ -114,6 +114,8 @@ def main(argv=None):
                         "LoRA); must match cli/train_report.py")
     p.add_argument("--lora-alpha", type=float, default=32.0)
     args = p.parse_args(argv)
+    if args.act_quant and args.quant != "int8":
+        p.error("--act-quant (w8a8) requires --quant int8")
 
     if args.tiny:
         llm_cfg, vit_cfg = LLMConfig.tiny(), CTViTConfig.tiny()
@@ -124,7 +126,7 @@ def main(argv=None):
 
         llm_cfg = dataclasses.replace(
             llm_cfg, weight_quant=args.quant,
-            quant_act=args.act_quant and args.quant == "int8")
+            quant_act=args.act_quant)
     lora = (LoRAConfig(rank=args.lora_rank, alpha=args.lora_alpha)
             if args.lora_rank > 0 else None)
     gen_cfg = ReportGenConfig()

@@ -73,6 +73,11 @@ class CTViTConfig:
     # checkpoints only reproduce reference activations with this True
     # (build_ctclip auto-sets it when loading a torch .pt checkpoint).
     peg_reference_layout: bool = False
+    # True projects self-attention K/V from the LayerNormed tokens.  Default
+    # False matches the reference quirk (attention.py:136-143, K/V from the
+    # UN-normalized input) — set True only to reproduce ctpa checkpoints
+    # trained before the round-3 parity fix, which normalized both.
+    attn_kv_from_normed: bool = False
     vq_decay: float = 0.99          # EMA codebook decay
     vq_commitment_weight: float = 1.0
     # fused full-sequence attention over all t*h*w tokens via the pallas flash

@@ -132,6 +132,11 @@ class CosineAttention(nn.Module):
     causal: bool = False
     num_null_kv: int = 0
     norm_context: bool = True
+    # True projects self-attention K/V from the LayerNormed input instead of
+    # the reference's un-normalized quirk (see __call__) — the compat switch
+    # for ctpa checkpoints trained before the parity fix (round 3), mirroring
+    # CTViTConfig.peg_reference_layout's role for imported torch weights.
+    kv_from_normed: bool = False
     dropout: float = 0.0
     use_flash: bool = False   # pallas flash kernel for long fused sequences
     # context parallelism: shard the fused sequence over cp_axis of cp_mesh
@@ -160,7 +165,7 @@ class CosineAttention(nn.Module):
             kv_in = (LayerNorm(dtype=self.dtype, name="context_norm")(context)
                      if self.norm_context else context)
         else:
-            kv_in = raw
+            kv_in = x if self.kv_from_normed else raw
 
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         kv = nn.Dense(inner * 2, use_bias=False, dtype=self.dtype, name="to_kv")(kv_in)
@@ -245,6 +250,7 @@ class TransformerBlock(nn.Module):
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
     use_flash: bool = False
+    kv_from_normed: bool = False
     cp_mesh: object = None
     cp_axis: str = None
     dtype: jnp.dtype = jnp.float32
@@ -254,7 +260,8 @@ class TransformerBlock(nn.Module):
         x = x + CosineAttention(
             dim=self.dim, heads=self.heads, dim_head=self.dim_head,
             causal=self.causal, dropout=self.attn_dropout, dtype=self.dtype,
-            use_flash=self.use_flash, cp_mesh=self.cp_mesh,
+            use_flash=self.use_flash, kv_from_normed=self.kv_from_normed,
+            cp_mesh=self.cp_mesh,
             cp_axis=self.cp_axis, name="attn",
         )(x, mask=mask, bias=bias)
         if self.cross_attend:
@@ -291,6 +298,7 @@ class Transformer(nn.Module):
     ff_dropout: float = 0.0
     remat: bool = False
     use_flash: bool = False
+    kv_from_normed: bool = False
     cp_mesh: object = None
     cp_axis: str = None
     dtype: jnp.dtype = jnp.float32
@@ -311,6 +319,7 @@ class Transformer(nn.Module):
                 ff_mult=self.ff_mult, causal=self.causal,
                 cross_attend=self.cross_attend, attn_dropout=self.attn_dropout,
                 ff_dropout=self.ff_dropout, use_flash=self.use_flash,
+                kv_from_normed=self.kv_from_normed,
                 cp_mesh=self.cp_mesh, cp_axis=self.cp_axis,
                 dtype=self.dtype, name=f"block_{i}",
             )(x, context, mask, bias, deterministic)

@@ -131,6 +131,7 @@ class CTViT(nn.Module):
             attn_dropout=c.attn_dropout, ff_dropout=c.ff_dropout,
             peg=True, peg_causal=True,
             peg_reference_layout=c.peg_reference_layout,
+            kv_from_normed=c.attn_kv_from_normed,
             dtype=self.dtype, remat=self.remat,
         )
         # the 576-token spatial fold benefits from the flash kernel's flat

@@ -176,17 +176,6 @@ class KVCache(NamedTuple):
             valid=jnp.zeros((batch, max_len), bool),
         )
 
-    def lane(self, i: int) -> "KVCache":
-        """Extract a single-lane view (for slot insertion in serving)."""
-        return KVCache(
-            k=self.k[:, i : i + 1], v=self.v[:, i : i + 1],
-            write_offset=self.write_offset[i : i + 1],
-            true_len=self.true_len[i : i + 1],
-            valid=self.valid[i : i + 1],
-            k_scale=None if self.k_scale is None else self.k_scale[:, i : i + 1],
-            v_scale=None if self.v_scale is None else self.v_scale[:, i : i + 1],
-        )
-
 
 def align_lane_to_clock(lane: KVCache, clock: jax.Array) -> KVCache:
     """Rotate a freshly-prefilled single-lane cache (slots [0, n)) so its

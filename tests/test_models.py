@@ -154,3 +154,21 @@ def optax_global_norm(tree):
     import optax
 
     return optax.global_norm(tree)
+
+
+def test_kv_from_normed_compat_flag_changes_activations():
+    """Default (False) keeps the reference's K/V-from-un-normalized quirk;
+    kv_from_normed=True is the compat mode for pre-round-3 ctpa checkpoints
+    (models/attention.py CosineAttention) — it must actually change the
+    self-attention output, and only the flag may differ."""
+    from ctpa.models.attention import CosineAttention
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 6, 16)) * 3.0,
+                    jnp.float32)
+    ref = CosineAttention(dim=16, heads=2, dim_head=8)
+    params = ref.init(jax.random.PRNGKey(0), x)
+    y_ref = ref.apply(params, x)
+    y_compat = CosineAttention(dim=16, heads=2, dim_head=8,
+                               kv_from_normed=True).apply(params, x)
+    assert y_ref.shape == y_compat.shape
+    assert not np.allclose(np.asarray(y_ref), np.asarray(y_compat), atol=1e-4)
