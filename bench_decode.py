@@ -46,7 +46,8 @@ def main():
     from ctpa.models.report_generator import CTReportGenerator
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", choices=["1b", "7b"], default="7b")
+    ap.add_argument("--size", choices=["tiny", "1b", "7b"], default="7b",
+                    help="tiny = CPU-smokeable script-path check, not a benchmark")
     ap.add_argument("--batch", type=int, default=0,
                     help="override decode batch (0 = per-size default)")
     ap.add_argument("--quant", choices=["none", "int8", "int4"], default="none",
@@ -65,6 +66,15 @@ def main():
     ap.add_argument("--flash-decode", action="store_true",
                     help="fused single-token decode attention pallas kernel "
                          "(LLMConfig.flash_decode)")
+    ap.add_argument("--spec-lookup", type=int, default=0, metavar="K",
+                    help="greedy prompt-lookup speculative decoding with K "
+                         "draft tokens per verify (generate_speculative). "
+                         "Random-init weights give ~0 acceptance, so this "
+                         "measures the overhead floor; --spec-repetitive "
+                         "measures the full-acceptance ceiling")
+    ap.add_argument("--spec-repetitive", action="store_true",
+                    help="with --spec-lookup: zero the lm_head so argmax is "
+                         "constant — every draft accepts (ceiling measurement)")
     args = ap.parse_args()
     if args.quant != "int8" and (args.act_quant or args.ffn_kernel):
         ap.error("--act-quant/--ffn-kernel require --quant int8 "
@@ -84,13 +94,19 @@ def main():
         REF_RUNS, RUNS = 2, 3
         if args.batch:
             B = args.batch
-    else:
+    elif args.size == "1b":
         llm_cfg = LLMConfig(
             vocab_size=32000, hidden_size=2048, num_layers=16, num_heads=16,
             num_kv_heads=16, intermediate_size=5632, max_seq_len=1024,
         )
         B, PROMPT, NEW = 8, 64, 256
         REF_RUNS, RUNS = 4, 3
+    else:
+        llm_cfg = LLMConfig.tiny()
+        B, PROMPT, NEW = 2, 8, 16
+        REF_RUNS, RUNS = 1, 1
+    if args.batch:
+        B = args.batch
 
     import dataclasses
 
@@ -122,9 +138,15 @@ def main():
     log(f"params: {n_params/1e9:.2f}B ({n_bytes/1e9:.1f} GB on device, "
         f"quant={args.quant})")
 
-    gen_fn = lambda p, v, i, m, key: model.apply(
-        p, v, i, m, NEW, eos_token_id=-1, temperature=0.7, rng=key,
-        method=CTReportGenerator.generate)
+    if args.spec_lookup:
+        # key is ignored (greedy) but kept so the AOT plumbing below is shared
+        gen_fn = lambda p, v, i, m, key: model.apply(
+            p, v, i, m, NEW, eos_token_id=-1, draft_len=args.spec_lookup,
+            method=CTReportGenerator.generate_speculative)
+    else:
+        gen_fn = lambda p, v, i, m, key: model.apply(
+            p, v, i, m, NEW, eos_token_id=-1, temperature=0.7, rng=key,
+            method=CTReportGenerator.generate)
 
     if args.size == "7b":
         # At 7B the weight tree barely fits HBM, so the program may not copy
@@ -163,6 +185,15 @@ def main():
         log(f"device-side param materialization: {time.time()-t0:.1f}s")
         gen = jax.jit(gen_fn)
 
+    if args.spec_repetitive:
+        # full-acceptance ceiling: zero the lm_head so argmax is constant and
+        # the repeat-pending-token fallback draft is always right
+        head = params["params"]["llm"]["lm_head"]
+        zkey = "kernel" if "kernel" in head else (
+            "scale" if "scale" in head else "scale_g")
+        head[zkey] = head[zkey] * 0
+        jax.block_until_ready(head[zkey])
+
     t0 = time.time()
     r = gen(params, video, ids, mask, jax.random.key(0))
     _ = np.asarray(r.tokens[:1, :1])
@@ -185,6 +216,12 @@ def main():
     p50_tok = per / NEW * 1000
     log(f"KV-cached decode: {per*1000:.0f} ms for {B}x{NEW} tokens "
         f"({tput:.0f} tok/s, p50 {p50_tok:.1f} ms/step for batch {B})")
+    spec_steps = None
+    if args.spec_lookup:
+        spec_steps = int(np.asarray(r.steps))
+        log(f"speculative: {spec_steps} verify forwards for {NEW} tokens/"
+            f"lane ({(NEW - 1) / max(spec_steps, 1):.2f} emitted/verify, "
+            f"draft_len={args.spec_lookup})")
 
     # reference decode shape: one full-prefix forward per generated token
     fwd_fn = lambda p, v, i, m: model.apply(p, v, i, m)
@@ -208,12 +245,17 @@ def main():
     log(f"reference shape: {per_fwd*1000:.0f} ms per full-prefix forward "
         f"({ref_tput:.1f} tok/s)")
 
-    print(json.dumps({
+    payload = {
         "metric": f"report_decode_tokens_per_sec_{args.size}",
         "value": round(tput, 1),
         "unit": "tokens/sec",
         "vs_baseline": round(tput / ref_tput, 1),
-    }))
+    }
+    if spec_steps is not None:
+        payload["spec_verify_steps"] = spec_steps
+        payload["spec_emitted_per_verify"] = round(
+            (NEW - 1) / max(spec_steps, 1), 2)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

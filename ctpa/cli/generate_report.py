@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import sys
+import time
 
 import numpy as np
 
@@ -42,10 +43,47 @@ def generate_responses(
     prompt_len: int = 64,
     temperature: float = 0.7,
     greedy: bool = False,
+    spec_lookup: int = 0,
     visualize_dir: str | None = None,
 ) -> list[dict]:
     """Batched KV-cached generation over dataset items (vqa_inference.py
-    generate_responses parity, minus the unused-vision bug)."""
+    generate_responses parity, minus the unused-vision bug).
+
+    ``spec_lookup > 0`` switches to the latency tier: one request at a time
+    through greedy prompt-lookup speculative decoding with that many draft
+    tokens (CTReportGenerator.generate_speculative — exact greedy outputs in
+    fewer model forwards; formulaic report text accepts often)."""
+    if spec_lookup:
+        eos = tokenizer.sep_token_id or 2
+
+        @jax.jit
+        def spec_gen(p, video, ids, mask):
+            return model.apply(p, video, ids, mask, max_new_tokens,
+                               eos_token_id=eos, draft_len=spec_lookup,
+                               method=CTReportGenerator.generate_speculative)
+
+        records = []
+        for i, item in enumerate(items):
+            video = preprocess_volume_inference(jnp.asarray(item["volume"]),
+                                                cfg=pre_cfg)
+            prompt = item.get("prompt", item.get("question", ""))
+            toks = tokenizer([prompt], max_length=prompt_len)
+            t0 = time.time()
+            r = spec_gen(params, video[None].astype(jnp.float32),
+                         jnp.asarray(toks["input_ids"][:1], jnp.int32),
+                         jnp.asarray(toks["attention_mask"][:1], jnp.int32))
+            n_tok = int(r.lengths[0])
+            records.append({
+                "id": i,
+                "prompt": prompt,
+                "reference": item.get("report", item.get("answer", "")),
+                "prediction": tokenizer.decode(
+                    np.asarray(r.tokens[0])[:n_tok].tolist()),
+                "tokens": n_tok,
+                "latency_s": round(time.time() - t0, 4),
+                "verify_steps": int(r.steps),
+            })
+        return records
 
     @jax.jit
     def encode(video):
@@ -99,6 +137,10 @@ def main(argv=None):
     p.add_argument("--max-new-tokens", type=int, default=128)
     p.add_argument("--num-lanes", type=int, default=4)
     p.add_argument("--greedy", action="store_true")
+    p.add_argument("--speculative", type=int, default=0, metavar="K",
+                   help="latency tier: greedy prompt-lookup speculative "
+                        "decoding with K draft tokens, one request at a "
+                        "time (exact greedy outputs in fewer forwards)")
     p.add_argument("--visualize", action="store_true")
     p.add_argument("--max-samples", type=int, default=0)
     p.add_argument("--tiny", action="store_true")
@@ -158,7 +200,7 @@ def main(argv=None):
     records = generate_responses(
         model, params, tokenizer, items, pre_cfg,
         max_new_tokens=args.max_new_tokens, num_lanes=args.num_lanes,
-        greedy=args.greedy,
+        greedy=args.greedy, spec_lookup=args.speculative,
         visualize_dir=f"{args.out_dir}/viz" if args.visualize else None)
 
     metrics = NLGEvaluator().evaluate(

@@ -89,6 +89,38 @@ class GenerateResult(NamedTuple):
     lengths: jax.Array      # (b,) number of real generated tokens
 
 
+class SpecGenerateResult(NamedTuple):
+    tokens: jax.Array       # (b, max_new) generated ids, pad_id after EOS
+    lengths: jax.Array      # (b,) number of real generated tokens
+    steps: jax.Array        # scalar: verify forwards taken (<= max_new - 1)
+
+
+def _draft_lookup(buf: jax.Array, cur_len: jax.Array, fallback: jax.Array,
+                  ngram: int, draft_len: int) -> jax.Array:
+    """Prompt-lookup drafting for one lane: propose the `draft_len` tokens
+    that followed the most recent earlier occurrence of the trailing
+    `ngram`-gram of `buf[:cur_len]` (prompt + emitted history).  Radiology
+    reports are highly formulaic, so the continuation of a repeated bigram
+    is right often enough to pay for a free verify (see
+    generate_speculative).  No match -> repeat `fallback` (the pending
+    token), which itself wins on digit/unit runs."""
+    L = buf.shape[0]
+    tail = jax.lax.dynamic_slice(
+        buf, (jnp.maximum(cur_len - ngram, 0),), (ngram,))
+    pos = jnp.arange(L)
+    m = jnp.ones((L,), bool)
+    for i in range(ngram):
+        m = m & (jnp.roll(buf, -i) == tail[i])
+    # the matched gram plus >= 1 continuation token must lie strictly inside
+    # the real history (this also excludes matching the tail against itself)
+    m = m & (pos + ngram <= cur_len - 1)
+    j = jnp.max(jnp.where(m, pos, -1))
+    found = j >= 0
+    d = jax.lax.dynamic_slice(buf, (jnp.where(found, j + ngram, 0),),
+                              (draft_len,))
+    return jnp.where(found, d, jnp.full((draft_len,), fallback))
+
+
 class CTReportGenerator(nn.Module):
     """LLM + vision cross-attention conditioning (model_components.py:140-269)."""
 
@@ -224,3 +256,125 @@ class CTReportGenerator(nn.Module):
         )
         real = (out != pad_token_id) & (out != eos_token_id)
         return GenerateResult(tokens=out, lengths=real.sum(axis=-1))
+
+    def generate_speculative(
+        self,
+        video: jax.Array,
+        input_ids: jax.Array,         # (b, n) right-padded prompt
+        attention_mask: jax.Array,    # (b, n)
+        max_new_tokens: int,
+        eos_token_id: int,
+        pad_token_id: int = 0,
+        draft_len: int = 8,
+        ngram: int = 2,
+    ) -> SpecGenerateResult:
+        """Greedy decode with prompt-lookup speculative drafting — exact:
+        emits the SAME tokens as generate(greedy=True), in fewer model
+        forwards (tested in tests/test_speculative.py).
+
+        Each loop step drafts `draft_len` tokens from the most recent
+        `ngram`-gram match in the token history (_draft_lookup; the
+        train-free 'prompt lookup decoding' scheme), then runs ONE cached
+        forward over (pending_token, draft) — `draft_len + 1` positions.
+        Single-token decode at serving batch sizes is weight-read-bound, so
+        that verify costs roughly the HBM traffic of a 1-token step; the
+        argmax at draft position i is exactly the token greedy decode would
+        emit after the accepted prefix, so `a` leading matches let the step
+        emit `a + 1` tokens.  Rejected rows are rolled back by resetting
+        write_offset/true_len and re-invalidating their slots — the next
+        verify simply overwrites them (the cache carries `draft_len + 1`
+        slots of slack for this).
+
+        Latency tier only: greedy (sampling would need rejection-sampling to
+        stay exact), per-lane offsets (acceptance lengths diverge across
+        lanes, so this path never uses the lockstep/ring fast path — the
+        throughput tier in pipelines/streaming.py keeps plain decode).
+        Reference decode loop: model_components.py:193-269."""
+        b, n = input_ids.shape
+        K = draft_len
+        vision = self.extract_vision(video)
+        # K + 1 slots of slack: a fully-rejected verify writes K + 1 rows
+        # past the committed history before rollback
+        cache = KVCache.create(
+            self.llm_cfg, b, max_len=n + max_new_tokens + K + 1,
+            dtype=self.dtype,
+        )
+        _, hidden, cache = self.llm(input_ids, attention_mask, cache=cache,
+                                    shared_kv_offset=True)
+        last_idx = jnp.maximum(attention_mask.sum(axis=-1) - 1, 0)
+        last_hidden = jnp.take_along_axis(
+            hidden, last_idx[:, None, None].astype(jnp.int32), axis=1)
+        logits0 = self._fused_logits(last_hidden, vision)[:, 0]
+        tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+        done0 = tok0 == eos_token_id
+        out0 = jnp.full((b, max_new_tokens), pad_token_id, jnp.int32)
+        out0 = out0.at[:, 0].set(tok0)
+
+        # token history (prompt + emissions), contiguous from 0 per lane:
+        # right-padded prompts keep real tokens in [0, plen)
+        L = n + max_new_tokens + 1
+        plen = attention_mask.sum(axis=-1).astype(jnp.int32)
+        buf0 = jnp.zeros((b, L), jnp.int32)
+        buf0 = jax.lax.dynamic_update_slice(buf0, input_ids.astype(jnp.int32),
+                                            (0, 0))
+        buf0 = buf0.at[jnp.arange(b), plen].set(tok0)
+        cur_len0 = plen + 1
+        cnt0 = jnp.ones((b,), jnp.int32)
+        rows = jnp.arange(b)[:, None]
+        idx = jnp.arange(K + 1)[None, :]
+
+        def cond(carry):
+            _, _, done, *_ = carry
+            return ~jnp.all(done)
+
+        def body(carry):
+            cache, cur_tok, done, out, buf, cur_len, cnt, steps = carry
+            draft = jax.vmap(
+                lambda bf, cl, fb: _draft_lookup(bf, cl, fb, ngram, K)
+            )(buf, cur_len, cur_tok)
+            tokens_in = jnp.concatenate([cur_tok[:, None], draft], axis=1)
+            pre_off, pre_tl = cache.write_offset, cache.true_len
+            _, hidden, c2 = self.llm(tokens_in, None, cache=cache,
+                                     shared_kv_offset=False)
+            g = jnp.argmax(self._fused_logits(hidden, vision),
+                           axis=-1).astype(jnp.int32)          # (b, K+1)
+            # a = accepted draft prefix; greedy would emit g[:a+1] verbatim
+            match = (draft == g[:, :K]).astype(jnp.int32)
+            a = jnp.cumprod(match, axis=1).sum(axis=1)          # (b,) in [0,K]
+            eos_hit = (g == eos_token_id) & (idx <= a[:, None])
+            has_eos = jnp.any(eos_hit, axis=1)
+            first_eos = jnp.argmax(eos_hit, axis=1)
+            c = jnp.where(has_eos, first_eos + 1, a + 1)        # tokens to emit
+            c = jnp.where(done, 0, c)
+            c_emit = jnp.minimum(c, max_new_tokens - cnt)
+            emit_ok = (idx < c_emit[:, None]) & ~done[:, None]
+            out = out.at[rows, jnp.where(emit_ok, cnt[:, None] + idx,
+                                         max_new_tokens)].set(g, mode="drop")
+            buf = buf.at[rows, jnp.where(emit_ok, cur_len[:, None] + idx,
+                                         L)].set(g, mode="drop")
+            # roll back the rejected rows: committed history grows by c
+            # (pending token + c - 1 accepted drafts stay; emitted g[c-1]
+            # becomes the next pending token and is written next step)
+            m_slots = c2.k.shape[2]
+            sl = jnp.arange(m_slots)[None, :]
+            rolled = ((sl >= (pre_off + c)[:, None])
+                      & (sl < (pre_off + K + 1)[:, None]))
+            cache = KVCache(
+                k=c2.k, v=c2.v, write_offset=pre_off + c,
+                true_len=pre_tl + c, valid=c2.valid & ~rolled,
+                k_scale=c2.k_scale, v_scale=c2.v_scale,
+            )
+            nxt = jnp.take_along_axis(
+                g, jnp.clip(c - 1, 0, K)[:, None], axis=1)[:, 0]
+            cur_tok = jnp.where(done, cur_tok, nxt)
+            cnt = cnt + c_emit
+            done = done | has_eos | (cnt >= max_new_tokens)
+            return (cache, cur_tok, done, out, buf, cur_len + c_emit, cnt,
+                    steps + 1)
+
+        carry = (cache, tok0, done0, out0, buf0, cur_len0, cnt0,
+                 jnp.asarray(0, jnp.int32))
+        _, _, _, out, _, _, _, steps = jax.lax.while_loop(cond, body, carry)
+        real = (out != pad_token_id) & (out != eos_token_id)
+        return SpecGenerateResult(tokens=out, lengths=real.sum(axis=-1),
+                                  steps=steps)
