@@ -89,3 +89,32 @@ def clip_param_shardings(params: Any, mesh: Mesh) -> Any:
 
 def llm_param_shardings(params: Any, mesh: Mesh) -> Any:
     return param_shardings(params, mesh, LLM_RULES + CTCLIP_RULES)
+
+
+def kv_cache_shardings(cache: Any, mesh: Mesh) -> Any:
+    """NamedSharding pytree for a `ctpa.models.llm.KVCache` under tensor
+    parallelism: the kv-head axis (axis 3 of k/v/scales) is sharded over the
+    'model' axis so each TP shard holds only its own heads' cache — with
+    column-parallel k/v projections the per-head KV is computed shard-local,
+    so cache reads/writes never cross ICI.  Falls back to replication when
+    kv_heads does not divide the axis (tiny test configs, heavy GQA).
+
+    `cache` may be a concrete KVCache or an eval_shape of one."""
+    tp = mesh.shape[MODEL_AXIS]
+
+    def head_sharded(x):
+        if x is None:
+            return None
+        if x.ndim >= 4 and x.shape[3] % tp == 0:
+            spec = [None] * x.ndim
+            spec[3] = MODEL_AXIS
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    rep = NamedSharding(mesh, P())
+    return type(cache)(
+        k=head_sharded(cache.k), v=head_sharded(cache.v),
+        write_offset=rep, true_len=rep, valid=rep,
+        k_scale=head_sharded(cache.k_scale),
+        v_scale=head_sharded(cache.v_scale),
+    )

@@ -190,12 +190,21 @@ class ContinuousBatcher:
         rng: Optional[jax.Array] = None,
         cache_dtype=jnp.bfloat16,
         steps_per_sync: int = 1,
+        mesh=None,
     ):
         """steps_per_sync > 1 enables multi-step scheduling: K decode steps
         run as one compiled lax.scan between host syncs.  Essential on
         high-latency links (the axon relay costs ~35 ms per device->host
         fetch, so K=8 cuts serving latency ~8x); lanes finishing mid-chunk
-        waste at most K-1 steps.  Size max_len with +steps_per_sync slack."""
+        waste at most K-1 steps.  Size max_len with +steps_per_sync slack.
+
+        `mesh` enables tensor-parallel serving (SURVEY §2.4 — the reference
+        has no model parallelism at all): params are sharded Megatron-style
+        over the mesh's 'model' axis (ctpa.parallel.sharding.LLM_RULES) and
+        the KV cache over its kv-head axis, so one batcher spans the whole
+        slice — the memory/latency path to models that exceed a single chip.
+        Output shardings of the decode/insert programs are pinned to the
+        cache's sharding so the donated cache round-trips without resharding."""
         self.model = model
         self.params = params
         self.cfg: LLMConfig = model.llm_cfg
@@ -222,16 +231,39 @@ class ContinuousBatcher:
         self.queue: collections.deque[Request] = collections.deque()
         self._t_start: dict[int, float] = {}
 
+        self._lane_cache_sh = None
         prefill, decode_chunk = _decode_fns(
             model, eos_token_id=self.eos, pad_token_id=self.pad,
             temperature=temperature, greedy=greedy,
             steps_per_sync=self.steps_per_sync)
-        self._prefill = jax.jit(prefill)
-        self._decode_chunk = jax.jit(decode_chunk, donate_argnums=(1,))
-        self._insert = jax.jit(
-            lambda big, lane, idx, clock: insert_lane(
-                big, align_lane_to_clock(lane, clock), idx),
-            donate_argnums=(0,))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ctpa.parallel.sharding import (kv_cache_shardings,
+                                                llm_param_shardings)
+            param_sh = llm_param_shardings(params, mesh)
+            self.params = jax.device_put(params, param_sh)
+            cache_sh = kv_cache_shardings(self.cache, mesh)
+            self.cache = jax.device_put(self.cache, cache_sh)
+            self._lane_cache_sh = kv_cache_shardings(
+                jax.eval_shape(lambda: KVCache.create(
+                    self.cfg, 1, max_len, dtype=cache_dtype)), mesh)
+            rep = NamedSharding(mesh, P())
+            self._prefill = jax.jit(
+                prefill, out_shardings=(rep, self._lane_cache_sh))
+            self._decode_chunk = jax.jit(
+                decode_chunk, donate_argnums=(1,),
+                out_shardings=(rep, cache_sh, rep, rep))
+            self._insert = jax.jit(
+                lambda big, lane, idx, clock: insert_lane(
+                    big, align_lane_to_clock(lane, clock), idx),
+                donate_argnums=(0,), out_shardings=cache_sh)
+        else:
+            self._prefill = jax.jit(prefill)
+            self._decode_chunk = jax.jit(decode_chunk, donate_argnums=(1,))
+            self._insert = jax.jit(
+                lambda big, lane, idx, clock: insert_lane(
+                    big, align_lane_to_clock(lane, clock), idx),
+                donate_argnums=(0,))
         # unwrapped global decode clock: every lane's write_offset equals it
         # at all times (initial zeros == clock 0; decode chunks advance all
         # lanes together; admissions stamp the lane with the current clock),
