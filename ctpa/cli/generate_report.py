@@ -45,6 +45,8 @@ def generate_responses(
     greedy: bool = False,
     spec_lookup: int = 0,
     visualize_dir: str | None = None,
+    top_k: int | None = None,
+    top_p: float | None = None,
 ) -> list[dict]:
     """Batched KV-cached generation over dataset items (vqa_inference.py
     generate_responses parity, minus the unused-vision bug).
@@ -93,7 +95,7 @@ def generate_responses(
         model, params, num_lanes=num_lanes,
         max_len=prompt_len + max_new_tokens + 8,
         eos_token_id=tokenizer.sep_token_id or 2,
-        temperature=temperature, greedy=greedy,
+        temperature=temperature, greedy=greedy, top_k=top_k, top_p=top_p,
     )
     records = []
     for i, item in enumerate(items):
@@ -137,6 +139,13 @@ def main(argv=None):
     p.add_argument("--max-new-tokens", type=int, default=128)
     p.add_argument("--num-lanes", type=int, default=4)
     p.add_argument("--greedy", action="store_true")
+    p.add_argument("--temperature", type=float, default=0.7)
+    p.add_argument("--top-k", type=int, default=0,
+                   help="sample from the k highest-probability tokens "
+                        "(0 = off)")
+    p.add_argument("--top-p", type=float, default=0.0,
+                   help="nucleus sampling: smallest token set with "
+                        "cumulative probability >= p (0 = off)")
     p.add_argument("--speculative", type=int, default=0, metavar="K",
                    help="latency tier: greedy prompt-lookup speculative "
                         "decoding with K draft tokens, one request at a "
@@ -158,6 +167,9 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.act_quant and args.quant != "int8":
         p.error("--act-quant (w8a8) requires --quant int8")
+    if args.speculative and (args.top_k or args.top_p):
+        p.error("--speculative is greedy-only (draft verification relies on "
+                "argmax identity); drop --top-k/--top-p")
 
     if args.tiny:
         llm_cfg, vit_cfg = LLMConfig.tiny(), CTViTConfig.tiny()
@@ -200,7 +212,9 @@ def main(argv=None):
     records = generate_responses(
         model, params, tokenizer, items, pre_cfg,
         max_new_tokens=args.max_new_tokens, num_lanes=args.num_lanes,
-        greedy=args.greedy, spec_lookup=args.speculative,
+        temperature=args.temperature, greedy=args.greedy,
+        top_k=args.top_k or None, top_p=args.top_p or None,
+        spec_lookup=args.speculative,
         visualize_dir=f"{args.out_dir}/viz" if args.visualize else None)
 
     metrics = NLGEvaluator().evaluate(

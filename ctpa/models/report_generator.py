@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from ctpa.core.config import CTViTConfig, LLMConfig, LoRAConfig, ReportGenConfig
 from ctpa.models.ctvit import CTViT
 from ctpa.models.llm import KVCache, LlamaForCausalLM
+from ctpa.ops.sampling import sample_logits
 
 
 class VisionFeatureExtractor(nn.Module):
@@ -200,6 +201,8 @@ class CTReportGenerator(nn.Module):
         temperature: float = 0.7,
         rng: Optional[jax.Array] = None,
         greedy: bool = False,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
     ) -> GenerateResult:
         """Jit-friendly autoregressive decode.  Prefill once, then a
         while_loop of single-token cached steps; stops early when every
@@ -223,11 +226,8 @@ class CTReportGenerator(nn.Module):
         rng = rng if rng is not None else jax.random.key(0)
 
         def sample(logits, key):
-            if greedy:
-                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            return jax.random.categorical(
-                key, logits.astype(jnp.float32) / temperature, axis=-1
-            ).astype(jnp.int32)
+            return sample_logits(logits, key, temperature=temperature,
+                                 top_k=top_k, top_p=top_p, greedy=greedy)
 
         k0, rng = jax.random.split(rng)
         tok0 = sample(logits0, k0)

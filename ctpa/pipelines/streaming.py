@@ -37,6 +37,7 @@ import numpy as np
 from ctpa.core.config import LLMConfig
 from ctpa.models.llm import KVCache, align_lane_to_clock, insert_lane
 from ctpa.models.report_generator import CTReportGenerator
+from ctpa.ops.sampling import sample_logits
 
 
 @dataclass
@@ -58,9 +59,14 @@ class Result:
 
 def _decode_fns(model: CTReportGenerator, *, eos_token_id: int,
                 pad_token_id: int, temperature: float, greedy: bool,
-                steps_per_sync: int):
+                steps_per_sync: int, top_k: Optional[int] = None,
+                top_p: Optional[float] = None):
     """Pure (prefill, decode_chunk) functions shared by ContinuousBatcher and
     the AOT layout negotiation below."""
+
+    def sample(logits, key):
+        return sample_logits(logits, key, temperature=temperature,
+                             top_k=top_k, top_p=top_p, greedy=greedy)
 
     def prefill(params, ids, mask, vision, lane_cache, key):
         """Prefill AND sample the first token on device — admission never
@@ -76,12 +82,7 @@ def _decode_fns(model: CTReportGenerator, *, eos_token_id: int,
         logits = model.apply(
             params, h, vision,
             method=lambda m, hh, vv: m._fused_logits(hh, vv))[:, 0]
-        if greedy:
-            first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        else:
-            first = jax.random.categorical(
-                key, logits.astype(jnp.float32) / temperature, axis=-1
-            ).astype(jnp.int32)
+        first = sample(logits, key)
         return first, lane_cache
 
     def one_step(params, cache, tok, vision, key, done):
@@ -95,12 +96,7 @@ def _decode_fns(model: CTReportGenerator, *, eos_token_id: int,
         logits = model.apply(
             params, hidden, vision,
             method=lambda m, hh, vv: m._fused_logits(hh, vv))[:, 0]
-        if greedy:
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        else:
-            nxt = jax.random.categorical(
-                key, logits.astype(jnp.float32) / temperature, axis=-1
-            ).astype(jnp.int32)
+        nxt = sample(logits, key)
         nxt = jnp.where(done, pad_token_id, nxt)
         done = done | (nxt == eos_token_id)
         return nxt, cache, done
@@ -136,6 +132,8 @@ def negotiate_param_formats(
     greedy: bool = False,
     eos_token_id: int = 2,
     pad_token_id: int = 0,
+    top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
 ):
     """AOT-lower the decode-chunk program with AUTO parameter layouts and
     return the negotiated formats pytree (compile is chipless).
@@ -154,7 +152,8 @@ def negotiate_param_formats(
     # that reintroduce the in-program copies this function exists to avoid.
     _, decode_chunk = _decode_fns(
         model, eos_token_id=eos_token_id, pad_token_id=pad_token_id,
-        temperature=temperature, greedy=greedy, steps_per_sync=steps_per_sync)
+        temperature=temperature, greedy=greedy, steps_per_sync=steps_per_sync,
+        top_k=top_k, top_p=top_p)
 
     cache_s = jax.eval_shape(
         lambda: KVCache.create(model.llm_cfg, num_lanes, max_len, dtype=cache_dtype))
@@ -191,6 +190,8 @@ class ContinuousBatcher:
         cache_dtype=jnp.bfloat16,
         steps_per_sync: int = 1,
         mesh=None,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
     ):
         """steps_per_sync > 1 enables multi-step scheduling: K decode steps
         run as one compiled lax.scan between host syncs.  Essential on
@@ -235,7 +236,7 @@ class ContinuousBatcher:
         prefill, decode_chunk = _decode_fns(
             model, eos_token_id=self.eos, pad_token_id=self.pad,
             temperature=temperature, greedy=greedy,
-            steps_per_sync=self.steps_per_sync)
+            steps_per_sync=self.steps_per_sync, top_k=top_k, top_p=top_p)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from ctpa.parallel.sharding import (kv_cache_shardings,
