@@ -77,6 +77,26 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def global_batch_from_local(mesh: Mesh, local_batch):
+    """Assemble a globally-sharded batch from THIS process's local rows.
+
+    Multi-host data loading: each process reads only its own samples (e.g. a
+    `ctpa.data.datasets.ProcessShard` slice) and contributes
+    global_batch/process_count rows; the returned arrays are global jax.Arrays
+    sharded over the 'data' axis with no cross-host data movement (each
+    host's rows land on its own devices).  Single-process: equivalent to
+    `shard_batch`."""
+    sh = batch_sharding(mesh)
+    nproc = jax.process_count()
+
+    def make(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * nproc,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sh, x, global_shape)
+
+    return jax.tree.map(make, local_batch)
+
+
 def is_primary() -> bool:
     """Rank-0 gating for checkpoint/eval writes (replaces
     accelerator.is_main_process, CTCLIPTrainer.py:312-314)."""

@@ -208,6 +208,38 @@ def collate_clip(samples: Sequence[Sample], tokenizer, max_length: int = 512) ->
     return batch
 
 
+class ProcessShard:
+    """Process-disjoint view of a dataset for multi-host data parallelism.
+
+    Each JAX process sees a strided (round-robin) slice — process p of P gets
+    indices p, p+P, p+2P, … — so every sample is read by exactly ONE host and
+    shards stay balanced even on sorted manifests.  This is the data-layer
+    fix for the reference's broken DDP sharding (accelerate.prepare called on
+    a cycle() iterator, CTCLIPTrainer.py:260-275 — every rank trained on the
+    same stream).  Pair with `core.mesh.global_batch_from_local` to assemble
+    the globally-sharded device batch from each process's local rows."""
+
+    def __init__(self, dataset, process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
+        import jax
+
+        self.dataset = dataset
+        self.index = jax.process_index() if process_index is None else process_index
+        self.count = jax.process_count() if process_count is None else process_count
+        if not 0 <= self.index < self.count:
+            raise ValueError(
+                f"process_index {self.index} not in [0, {self.count})")
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return (n - self.index + self.count - 1) // self.count
+
+    def __getitem__(self, i: int):
+        if not 0 <= i < len(self):
+            raise IndexError(i)
+        return self.dataset[self.index + i * self.count]
+
+
 def batch_iterator(
     dataset,
     batch_size: int,
@@ -218,10 +250,11 @@ def batch_iterator(
     cycle: bool = True,
     on_error: str = "raise",
 ) -> Iterator[dict]:
-    """Shard-aware epoch iterator.  Under multi-process JAX, pass a
-    process-sliced dataset or rely on batch sharding: the global batch is
-    assembled on every host and pjit places each shard (single-host TPU slices
-    need no slicing).
+    """Shard-aware epoch iterator.  Under multi-process JAX, either wrap the
+    dataset in `ProcessShard` (each host reads only its slice; assemble the
+    device batch with `core.mesh.global_batch_from_local`) or rely on batch
+    sharding: the global batch is assembled on every host and pjit places
+    each shard (single-host TPU slices need no slicing).
 
     on_error: 'raise' (default) or 'skip' — skip-and-LOG replaces the
     reference's silent dummy-tensor substitution (SURVEY.md §5.3): a corrupt

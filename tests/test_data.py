@@ -244,3 +244,23 @@ def test_batch_iterator_skip_on_error(tmp_path, rng):
     assert seen == [0, 1, 3, 4]          # idx 2 skipped, 5 dropped (drop_last)
     with pytest.raises(ValueError):
         list(batch_iterator(Flaky(), 2, lambda s: s, shuffle=False, cycle=False))
+
+
+def test_process_shard_partitions_dataset():
+    """ProcessShard slices must be disjoint, balanced, and cover the dataset."""
+    from ctpa.data.datasets import ProcessShard
+
+    data = list(range(10))
+    shards = [ProcessShard(data, process_index=p, process_count=3)
+              for p in range(3)]
+    seen = []
+    for s in shards:
+        seen.extend(s[i] for i in range(len(s)))
+    assert sorted(seen) == data                       # coverage, no overlap
+    assert [len(s) for s in shards] == [4, 3, 3]      # balanced
+    import pytest
+
+    with pytest.raises(IndexError):
+        shards[0][len(shards[0])]
+    with pytest.raises(ValueError):
+        ProcessShard(data, process_index=3, process_count=3)

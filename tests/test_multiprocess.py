@@ -47,6 +47,22 @@ sh = NamedSharding(mesh, P(DATA_AXIS))
 local = np.full((2, 8), 1.0 + pid, np.float32)              # 2 rows/process
 garr = jax.make_array_from_process_local_data(sh, local, (4, 8))
 
+# library path: ProcessShard reads a disjoint slice, global_batch_from_local
+# assembles the global array from each host's rows
+from ctpa.core.mesh import global_batch_from_local
+from ctpa.data.datasets import ProcessShard
+
+full = list(range(8))
+shard = ProcessShard(full)                 # uses jax.process_index/count
+mine = [shard[i] for i in range(len(shard))]
+assert mine == list(range(pid, 8, 2)), mine          # strided, disjoint
+rows = np.asarray(mine[:2], np.float32)[:, None] * np.ones((1, 8), np.float32)
+gb = global_batch_from_local(mesh, {"x": rows})
+assert gb["x"].shape == (4, 8)
+# global sum over both processes' disjoint rows: (0+2) + (1+3) = 6
+total = jax.jit(lambda b: jnp.sum(b["x"][:, 0]) * jnp.ones(()))(gb)
+np.testing.assert_allclose(float(total), 6.0)
+
 @jax.jit
 def step(x):
     # mean over the GLOBAL batch: crosses the process boundary
