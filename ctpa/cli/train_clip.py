@@ -31,9 +31,13 @@ from ctpa.train.train_state import CLIPTrainState
 
 
 def build_loader(dataset, tokenizer, batch_size, pre_cfg, mesh, max_length=512,
-                 preprocessed=False):
+                 preprocessed=False, process_local=False):
     """Host loader; device-side preprocessing happens here (outside the train
-    step so the volume pipeline overlaps the model step via async dispatch)."""
+    step so the volume pipeline overlaps the model step via async dispatch).
+
+    process_local=True (multi-host): `dataset` is this process's ProcessShard
+    slice, `batch_size` is the PER-PROCESS row count, and batches are
+    assembled into global arrays (PrefetchIterator process_local mode)."""
     raw_iter = batch_iterator(
         dataset, batch_size, lambda s: collate_clip(s, tokenizer, max_length))
 
@@ -51,7 +55,8 @@ def build_loader(dataset, tokenizer, batch_size, pre_cfg, mesh, max_length=512,
                    "video": np.asarray(video)}
 
     return PrefetchIterator(device_side(),
-                            sharding=batch_sharding(mesh) if mesh else None)
+                            sharding=batch_sharding(mesh) if mesh else None,
+                            process_local=process_local)
 
 
 def main(argv=None):
@@ -77,7 +82,21 @@ def main(argv=None):
     p.add_argument("--tiny", action="store_true", help="tiny config smoke mode")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler device trace here (§5.1)")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multi-host training: jax.distributed coordinator "
+                        "address (pass on every host, with --num-processes "
+                        "and --process-id); each host then reads a disjoint "
+                        "ProcessShard of the dataset and --batch-size is the "
+                        "GLOBAL batch (must divide by the process count)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     args = p.parse_args(argv)
+    if args.coordinator:
+        from ctpa.core.mesh import initialize_distributed
+
+        initialize_distributed(coordinator_address=args.coordinator,
+                               num_processes=args.num_processes,
+                               process_id=args.process_id)
 
     if args.tiny:
         import dataclasses
@@ -104,8 +123,19 @@ def main(argv=None):
     # cap tokenization at the text tower's position table (an OOB position
     # lookup is a silent NaN under XLA)
     max_length = min(512, bert_cfg.max_position_embeddings)
-    loader = build_loader(dataset, tokenizer, args.batch_size, pre_cfg, mesh,
-                          max_length=max_length, preprocessed=args.preprocessed)
+    multihost = jax.process_count() > 1
+    local_batch = args.batch_size
+    if multihost:
+        from ctpa.data.datasets import ProcessShard
+
+        if args.batch_size % jax.process_count():
+            p.error(f"--batch-size {args.batch_size} must divide by the "
+                    f"process count {jax.process_count()}")
+        local_batch = args.batch_size // jax.process_count()
+        dataset = ProcessShard(dataset)
+    loader = build_loader(dataset, tokenizer, local_batch, pre_cfg, mesh,
+                          max_length=max_length, preprocessed=args.preprocessed,
+                          process_local=multihost)
 
     first = next(loader)
     params = model.init(jax.random.key(0), jnp.asarray(first["input_ids"]),

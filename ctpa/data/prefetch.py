@@ -26,9 +26,18 @@ class PrefetchIterator:
         sharding=None,
         depth: int = 2,
         name: str = "prefetch",
+        process_local: bool = False,
     ):
+        """process_local=True: the source yields THIS process's rows only
+        (e.g. batches off a `datasets.ProcessShard`); batches are assembled
+        into global arrays via jax.make_array_from_process_local_data (the
+        global shape is inferred from `sharding`) instead of device_put —
+        the multi-host data path, no cross-host batch movement."""
+        if process_local and sharding is None:
+            raise ValueError("process_local prefetch requires a sharding")
         self._source = source
         self._sharding = sharding
+        self._process_local = process_local
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._done = object()
         self._err: Optional[BaseException] = None
@@ -38,7 +47,11 @@ class PrefetchIterator:
     def _worker(self):
         try:
             for batch in self._source:
-                if self._sharding is not None:
+                if self._process_local:
+                    batch = jax.tree.map(
+                        lambda x: jax.make_array_from_process_local_data(
+                            self._sharding, x), batch)
+                elif self._sharding is not None:
                     batch = jax.tree.map(
                         lambda x: jax.device_put(x, self._sharding), batch
                     )

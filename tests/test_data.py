@@ -264,3 +264,31 @@ def test_process_shard_partitions_dataset():
         shards[0][len(shards[0])]
     with pytest.raises(ValueError):
         ProcessShard(data, process_index=3, process_count=3)
+
+
+def test_prefetch_process_local_assembles_global_batch():
+    """process_local prefetch must build sharded global arrays from local rows
+    (single-process: global == local, sharded over the data axis)."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ctpa.core.config import MeshConfig
+    from ctpa.core.mesh import DATA_AXIS, create_mesh
+    from ctpa.data.prefetch import PrefetchIterator
+
+    mesh = create_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    batches = [{"x": np.arange(16, dtype=np.float32).reshape(8, 2) + i}
+               for i in range(3)]
+    it = PrefetchIterator(iter(batches), sharding=sh, process_local=True)
+    got = list(it)
+    assert len(got) == 3
+    assert got[0]["x"].shape == (8, 2)
+    assert got[0]["x"].sharding.spec == P(DATA_AXIS)
+    np.testing.assert_array_equal(np.asarray(got[2]["x"]), batches[2]["x"])
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        PrefetchIterator(iter([]), sharding=None, process_local=True)
