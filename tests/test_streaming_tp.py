@@ -85,3 +85,37 @@ def test_tp_batcher_matches_single_device(rg):
 
     assert got == want
     assert all(len(t) == 8 for t in got.values())
+
+
+def test_tp_batcher_int8_kv_matches_single_device(rg):
+    """kv_quant='int8' under TP: the per-(token, kv-head) scale tensors are
+    sharded over the model axis alongside the int8 rows; tokens must still
+    match the single-device int8-KV batcher exactly (quantization is
+    deterministic)."""
+    import dataclasses
+
+    model, params, video = rg
+    cfg_q = dataclasses.replace(LLM, kv_quant="int8")
+    model_q = CTReportGenerator(cfg_q, VIT, ReportGenConfig(vision_dim=32))
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(1, LLM.vocab_size, size=(6,)).astype(np.int32)
+               for _ in range(3)]
+    vision = model.apply(params, video, method=CTReportGenerator.extract_vision)[0]
+
+    def run(mesh):
+        b = ContinuousBatcher(model_q, params, num_lanes=2, max_len=32,
+                              eos_token_id=-1, greedy=True, steps_per_sync=2,
+                              mesh=mesh)
+        assert b.cache.k.dtype == jnp.int8
+        for i, p in enumerate(prompts):
+            b.submit(Request(request_id=i, input_ids=p,
+                             attention_mask=np.ones(6, np.int32),
+                             vision=vision, max_new_tokens=8))
+        res = b.run_until_done()
+        return b, {i: list(res[i].tokens) for i in range(3)}
+
+    _, want = run(None)
+    mesh = create_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    tp, got = run(mesh)
+    assert tp.cache.k_scale.sharding.spec == P(None, None, None, MODEL_AXIS)
+    assert got == want
