@@ -97,6 +97,11 @@ def main(argv=None):
         initialize_distributed(coordinator_address=args.coordinator,
                                num_processes=args.num_processes,
                                process_id=args.process_id)
+    elif args.num_processes is not None or args.process_id is not None:
+        # loud guard: without the coordinator each host would silently train
+        # single-process on the FULL dataset — the duplicated-stream DDP bug
+        # (CTCLIPTrainer.py:260-275) that ProcessShard exists to fix
+        p.error("--num-processes/--process-id require --coordinator")
 
     if args.tiny:
         import dataclasses

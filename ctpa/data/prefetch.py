@@ -48,9 +48,9 @@ class PrefetchIterator:
         try:
             for batch in self._source:
                 if self._process_local:
-                    batch = jax.tree.map(
-                        lambda x: jax.make_array_from_process_local_data(
-                            self._sharding, x), batch)
+                    from ctpa.core.mesh import global_batch_from_local
+
+                    batch = global_batch_from_local(self._sharding.mesh, batch)
                 elif self._sharding is not None:
                     batch = jax.tree.map(
                         lambda x: jax.device_put(x, self._sharding), batch

@@ -29,10 +29,13 @@ def sample_logits(
 ) -> jax.Array:
     """Draw one token id per row.  greedy=True ignores every other knob.
 
-    top_k keeps the k highest logits; top_p keeps the smallest set of
-    tokens whose cumulative probability reaches top_p (the argmax always
-    survives both filters).  Filters compose: top_k is applied first, then
-    top_p renormalizes over the survivors, matching HF's processor order."""
+    top_k keeps the k highest logits (value-thresholded, so exact ties at
+    the k-th value all survive — HF TopKLogitsWarper semantics); top_p keeps
+    the smallest set of tokens whose cumulative probability reaches top_p,
+    rank-based so logit ties at the nucleus boundary do NOT leak extra
+    tokens in.  The argmax always survives both filters, for any top_p
+    (including degenerate values <= 0).  Filters compose: top_k first, then
+    top_p over the survivors, matching HF's processor order."""
     if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits.astype(jnp.float32) / max(temperature, 1e-6)
@@ -40,12 +43,17 @@ def sample_logits(
         kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
     if top_p is not None and top_p < 1.0:
-        sort = jnp.sort(logits, axis=-1)[..., ::-1]
+        order = jnp.argsort(-logits, axis=-1)           # descending, stable
+        sort = jnp.take_along_axis(logits, order, axis=-1)
         probs = jax.nn.softmax(sort, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
         # keep tokens whose cumulative mass BEFORE them is < top_p — the
-        # smallest prefix reaching top_p, never empty
-        keep = (cum - probs) < top_p
-        thresh = jnp.min(jnp.where(keep, sort, jnp.inf), axis=-1, keepdims=True)
-        logits = jnp.where(logits < thresh, -jnp.inf, logits)
+        # smallest prefix reaching top_p; position 0 (the argmax) always
+        # survives so the filter can never empty the support
+        keep_sorted = (cum - probs) < top_p
+        keep_sorted = keep_sorted.at[..., :1].set(True)
+        n_keep = keep_sorted.sum(axis=-1, keepdims=True)
+        # token's descending rank = its position in `order`
+        ranks = jnp.argsort(order, axis=-1)
+        logits = jnp.where(ranks < n_keep, logits, -jnp.inf)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)

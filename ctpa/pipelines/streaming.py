@@ -237,6 +237,7 @@ class ContinuousBatcher:
             model, eos_token_id=self.eos, pad_token_id=self.pad,
             temperature=temperature, greedy=greedy,
             steps_per_sync=self.steps_per_sync, top_k=top_k, top_p=top_p)
+        pre_kw, dec_kw, ins_kw = {}, {}, {}
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from ctpa.parallel.sharding import (kv_cache_shardings,
@@ -249,22 +250,15 @@ class ContinuousBatcher:
                 jax.eval_shape(lambda: KVCache.create(
                     self.cfg, 1, max_len, dtype=cache_dtype)), mesh)
             rep = NamedSharding(mesh, P())
-            self._prefill = jax.jit(
-                prefill, out_shardings=(rep, self._lane_cache_sh))
-            self._decode_chunk = jax.jit(
-                decode_chunk, donate_argnums=(1,),
-                out_shardings=(rep, cache_sh, rep, rep))
-            self._insert = jax.jit(
-                lambda big, lane, idx, clock: insert_lane(
-                    big, align_lane_to_clock(lane, clock), idx),
-                donate_argnums=(0,), out_shardings=cache_sh)
-        else:
-            self._prefill = jax.jit(prefill)
-            self._decode_chunk = jax.jit(decode_chunk, donate_argnums=(1,))
-            self._insert = jax.jit(
-                lambda big, lane, idx, clock: insert_lane(
-                    big, align_lane_to_clock(lane, clock), idx),
-                donate_argnums=(0,))
+            pre_kw = {"out_shardings": (rep, self._lane_cache_sh)}
+            dec_kw = {"out_shardings": (rep, cache_sh, rep, rep)}
+            ins_kw = {"out_shardings": cache_sh}
+        self._prefill = jax.jit(prefill, **pre_kw)
+        self._decode_chunk = jax.jit(decode_chunk, donate_argnums=(1,), **dec_kw)
+        self._insert = jax.jit(
+            lambda big, lane, idx, clock: insert_lane(
+                big, align_lane_to_clock(lane, clock), idx),
+            donate_argnums=(0,), **ins_kw)
         # unwrapped global decode clock: every lane's write_offset equals it
         # at all times (initial zeros == clock 0; decode chunks advance all
         # lanes together; admissions stamp the lane with the current clock),

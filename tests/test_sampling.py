@@ -79,3 +79,16 @@ def test_generate_accepts_sampling_knobs():
     toks = np.asarray(res.tokens[0])
     assert toks.shape == (6,)
     assert (toks >= 0).all() and (toks < llm.vocab_size).all()
+
+
+def test_top_p_degenerate_and_ties():
+    """Review regressions: top_p<=0 must still emit the argmax (never an
+    all--inf support), and logit TIES at the nucleus boundary must not leak
+    extra tokens in (rank-based cut, not value threshold)."""
+    logits = np.asarray([1.0, 3.0, 2.0, 0.0], np.float32)
+    assert set(np.unique(_draws(logits, top_p=0.0))) == {1}
+    assert set(np.unique(_draws(logits, top_p=-1.0))) == {1}
+    # uniform logits: nucleus at p=0.3 is the smallest 2 of 4 equal tokens
+    # (ceil(0.3/0.25) = 2 by prefix mass), ties broken by index order
+    uni = np.zeros(4, np.float32)
+    assert set(np.unique(_draws(uni, top_p=0.3))) == {0, 1}

@@ -36,10 +36,10 @@ run stream_best python bench_stream.py --size 7b --volumes 16 --lanes 32 \
 # 6b. CLIP contrastive fine-tune step on chip (VERDICT #10a — wedged at 17:07)
 run clip_train python bench_clip_train.py --size full --batch 2 --steps 4
 
-echo "MATRIX DONE $(date +%H:%M:%S)"
-
 # 7. speculative decoding latency tier: overhead floor (random weights) and
 #    full-acceptance ceiling at batch 1, int4 weights
 run b1_int4_spec python bench_decode.py --size 7b --quant int4 --batch 1 --spec-lookup 8
 run b1_int4_spec_ceiling python bench_decode.py --size 7b --quant int4 --batch 1 --spec-lookup 8 --spec-repetitive
 run b1_int4_plain python bench_decode.py --size 7b --quant int4 --batch 1
+
+echo "MATRIX DONE $(date +%H:%M:%S)"
