@@ -133,7 +133,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--jsonl", required=True, help="dataset manifest")
     p.add_argument("--mode", default="report", choices=["report", "vqa"])
-    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="training checkpoints (or pass --serving-bundle)")
     p.add_argument("--tokenizer", default=None)
     p.add_argument("--out-dir", default="generation_results")
     p.add_argument("--max-new-tokens", type=int, default=128)
@@ -157,9 +158,17 @@ def main(argv=None):
                    help="weight-only serving quantization of the LLM "
                         "(ops/quant.py): int8 ~halves the weight HBM; int4 "
                         "halves it again (group-128 scales, latency tier)")
+    p.add_argument("--serving-bundle", default=None, metavar="DIR",
+                   help="load a pre-quantized bundle written by "
+                        "cli/export_serving.py instead of a training "
+                        "checkpoint — skips the startup quantize_tree pass; "
+                        "the bundle's metadata sets the serving config")
     p.add_argument("--act-quant", action="store_true",
                    help="with --quant int8: w8a8 — per-token int8 "
                         "activations, native int8 MXU dots (quant_act)")
+    p.add_argument("--quant-impl", choices=["pallas", "xla"], default="pallas",
+                   help="quantized-matmul backend: the pallas kernels on "
+                        "TPU, or the XLA reference path (CPU debugging)")
     p.add_argument("--lora-rank", type=int, default=16,
                    help="LoRA rank the checkpoint was trained with (0 = no "
                         "LoRA); must match cli/train_report.py")
@@ -170,6 +179,21 @@ def main(argv=None):
     if args.speculative and (args.top_k or args.top_p):
         p.error("--speculative is greedy-only (draft verification relies on "
                 "argmax identity); drop --top-k/--top-p")
+    if bool(args.serving_bundle) == bool(args.checkpoint_dir):
+        p.error("pass exactly one of --checkpoint-dir / --serving-bundle")
+    if args.serving_bundle and (args.quant != "none" or args.act_quant):
+        p.error("--serving-bundle already fixes the quantization config; "
+                "drop --quant/--act-quant")
+
+    if args.serving_bundle:
+        from ctpa.core.checkpoint import CheckpointManager as _Mgr
+
+        bundle_meta = _Mgr(args.serving_bundle).restore_metadata()
+        if not bundle_meta or bundle_meta.get("kind") != "ctpa-serving-bundle":
+            p.error(f"{args.serving_bundle} is not a serving bundle "
+                    "(write one with cli/export_serving.py)")
+        args.quant = bundle_meta["weight_quant"]
+        args.act_quant = bool(bundle_meta.get("quant_act"))
 
     if args.tiny:
         llm_cfg, vit_cfg = LLMConfig.tiny(), CTViTConfig.tiny()
@@ -180,7 +204,15 @@ def main(argv=None):
 
         llm_cfg = dataclasses.replace(
             llm_cfg, weight_quant=args.quant,
-            quant_act=args.act_quant)
+            quant_act=args.act_quant, quant_impl=args.quant_impl)
+    if args.serving_bundle:
+        import dataclasses
+
+        llm_cfg = dataclasses.replace(
+            llm_cfg,
+            quant_ffn_kernel=bool(bundle_meta.get("quant_ffn_kernel")),
+            kv_quant=bundle_meta.get("kv_quant"),
+            flash_decode=bool(bundle_meta.get("flash_decode")))
     lora = (LoRAConfig(rank=args.lora_rank, alpha=args.lora_alpha)
             if args.lora_rank > 0 else None)
     gen_cfg = ReportGenConfig()
@@ -191,17 +223,20 @@ def main(argv=None):
     tokenizer = (HFTokenizer(args.tokenizer) if args.tokenizer
                  else SimpleWordTokenizer(vocab_size=llm_cfg.vocab_size))
 
-    mgr = CheckpointManager(args.checkpoint_dir)
+    mgr = CheckpointManager(args.serving_bundle or args.checkpoint_dir)
     state = mgr.restore()
     if state is None:
         print("no checkpoint found", file=sys.stderr)
         return 1
-    params = state["params"] if isinstance(state, dict) else state.params
-    if args.quant != "none":
-        from ctpa.ops.quant import quantize_tree
+    if args.serving_bundle:
+        params = state   # the bundle stores the quantized variables directly
+    else:
+        params = state["params"] if isinstance(state, dict) else state.params
+        if args.quant != "none":
+            from ctpa.ops.quant import quantize_tree
 
-        params = quantize_tree(params, lora=lora,
-                               bits=4 if args.quant == "int4" else 8)
+            params = quantize_tree(params, lora=lora,
+                                   bits=4 if args.quant == "int4" else 8)
 
     ds = (ReportGenDataset if args.mode == "report" else VQADataset)(args.jsonl)
     n = min(len(ds), args.max_samples) if args.max_samples else len(ds)

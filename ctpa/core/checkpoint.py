@@ -50,6 +50,18 @@ class CheckpointManager:
         out = self._mgr.restore(step, args=restore_args)
         return out["state"]
 
+    def restore_metadata(self, step: Optional[int] = None) -> Optional[dict]:
+        """The JSON metadata saved alongside a step, or None if absent."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return None
+        try:
+            out = self._mgr.restore(
+                step, args=ocp.args.Composite(metadata=ocp.args.JsonRestore()))
+            return out["metadata"]
+        except (KeyError, FileNotFoundError, ValueError):
+            return None
+
     def latest_step(self) -> Optional[int]:
         """Step-indexed equivalent of the reference's mtime-based
         `find_latest_checkpoint` (vqa_inference.py:24-46)."""
