@@ -105,6 +105,27 @@ class CTReportDataset:
                       intercept=m["intercept"], spacing=m["spacing"])
 
 
+class VolumeDataset:
+    """All .npz volumes under a directory — report-free workloads (VQGAN
+    reconstruction training, SSL pretraining) where text pairing is not
+    needed.  Volumes are expected on the canonical preprocessed grid."""
+
+    def __init__(self, data_dir: str):
+        self.paths: list[str] = []
+        for root, _, files in os.walk(data_dir):
+            for fname in sorted(files):
+                if fname.endswith(".npz"):
+                    self.paths.append(os.path.join(root, fname))
+        if not self.paths:
+            raise FileNotFoundError(f"no .npz volumes under {data_dir}")
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, idx: int) -> Sample:
+        return Sample(volume=load_npz_volume(self.paths[idx]), text="")
+
+
 class CTReportInferenceDataset:
     """Volume + text + one-hot pathology labels + accession for zero-shot eval
     (data_inference.py:15-132; labels.csv one-hot columns per pathology)."""
