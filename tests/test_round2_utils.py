@@ -132,3 +132,58 @@ def test_llm_flash_prefill_matches_dense():
         np.testing.assert_allclose(
             np.asarray(got)[bi, :lens[bi]], np.asarray(want)[bi, :lens[bi]],
             rtol=5e-3, atol=5e-3)
+
+
+def test_aot_cache_roundtrip(tmp_path):
+    """Serialized-executable cache: second load must come from disk (no
+    recompile) and execute identically; a poisoned blob degrades to compile."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from ctpa.core.aot_cache import load_or_compile
+
+    calls = []
+
+    def f(x):
+        calls.append(1)        # traced once per real compile
+        return (x @ x).sum()
+
+    # pin the program to the full visible topology: deserialize_and_load
+    # binds to all addressable devices, so the compiled program must too
+    # (on the single-chip TPU this is automatic)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ctpa.core.config import MeshConfig
+    from ctpa.core.mesh import create_mesh
+
+    mesh = create_mesh(MeshConfig(data_parallel=jax.device_count(),
+                                  model_parallel=1))
+    rep = NamedSharding(mesh, P())
+    x = jax.device_put(jnp.ones((32, 32)), rep)
+    jk = {"in_shardings": rep, "out_shardings": rep}
+    d = str(tmp_path / "aot")
+    c1 = load_or_compile("unit", f, x, cache_dir=d, jit_kwargs=jk)
+    want = float(c1(x))
+    n_traces = len(calls)
+    files = [p for p in __import__("os").listdir(d) if p.endswith(".bin")]
+    assert len(files) == 1
+
+    c2 = load_or_compile("unit", f, x, cache_dir=d, jit_kwargs=jk)
+    assert float(c2(x)) == want
+    # deserialization still traces (lower() runs to build the key) but must
+    # not write a second cache entry
+    assert [p for p in __import__("os").listdir(d) if p.endswith(".bin")] == files
+
+    # different shape -> different key -> second entry
+    load_or_compile("unit", f, jax.device_put(jnp.ones((16, 16)), rep), cache_dir=d, jit_kwargs=jk)
+    assert len([p for p in __import__("os").listdir(d) if p.endswith(".bin")]) == 2
+
+    # poisoned blob: silently recompiles
+    import os as _os
+    with open(_os.path.join(d, files[0]), "wb") as fh:
+        fh.write(b"garbage")
+    c3 = load_or_compile("unit", f, x, cache_dir=d, jit_kwargs=jk)
+    assert float(c3(x)) == want
+    assert n_traces >= 1

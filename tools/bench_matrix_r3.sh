@@ -13,6 +13,10 @@ run() {
 # 0. Mosaic lowering smoke for the new kernels on the real chip (tiny)
 run kernels python tools/drive_new_kernels.py
 
+# 0b. serialized-executable cache over the relay (run twice: compile, load)
+run aot_probe1 python tools/probe_aot_cache.py
+run aot_probe2 python tools/probe_aot_cache.py
+
 # 1. row-write restructure verify (same config as the 1186 tok/s run)
 run b32_base python bench_decode.py --size 7b --quant int8 --ffn-kernel --batch 32 --act-quant
 
