@@ -76,9 +76,12 @@ def main():
                     help="with --spec-lookup: zero the lm_head so argmax is "
                          "constant — every draft accepts (ceiling measurement)")
     args = ap.parse_args()
-    if args.quant != "int8" and (args.act_quant or args.ffn_kernel):
-        ap.error("--act-quant/--ffn-kernel require --quant int8 "
-                 "(w8a8 and the fused FFN kernel are int8-weight paths)")
+    if args.quant != "int8" and args.act_quant:
+        ap.error("--act-quant requires --quant int8 (w8a8 is an int8-weight "
+                 "path; the MXU has no int4 contraction)")
+    if args.quant == "none" and args.ffn_kernel:
+        ap.error("--ffn-kernel requires --quant int8 or int4 (fused "
+                 "quantized FFN kernels)")
 
     log("devices:", jax.devices())
     if args.size == "7b":

@@ -101,9 +101,12 @@ def main():
     ap.add_argument("--flash-decode", action="store_true",
                     help="fused single-token decode attention pallas kernel")
     args = ap.parse_args()
-    if args.quant != "int8" and (args.act_quant or args.ffn_kernel):
-        ap.error("--act-quant/--ffn-kernel require --quant int8 "
-                 "(w8a8 and the fused FFN kernel are int8-weight paths)")
+    if args.quant != "int8" and args.act_quant:
+        ap.error("--act-quant requires --quant int8 (w8a8 is an int8-weight "
+                 "path; the MXU has no int4 contraction)")
+    if args.quant == "none" and args.ffn_kernel:
+        ap.error("--ffn-kernel requires --quant int8 or int4 (fused "
+                 "quantized FFN kernels)")
 
     if not available():
         log("native loader unavailable (no g++/zlib)")

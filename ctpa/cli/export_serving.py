@@ -33,7 +33,7 @@ def main(argv=None) -> int:
     p.add_argument("--quant", choices=["int8", "int4"], default="int8")
     p.add_argument("--ffn-kernel", action="store_true",
                    help="prepare for LLMConfig.quant_ffn_kernel serving "
-                        "(int8 only)")
+                        "(one fused pallas FFN launch per layer)")
     p.add_argument("--act-quant", action="store_true",
                    help="record w8a8 serving intent (weights are identical; "
                         "stored so the loader enables quant_act)")
@@ -44,9 +44,6 @@ def main(argv=None) -> int:
                         "LoRA); deltas are merged before quantization")
     p.add_argument("--lora-alpha", type=float, default=32.0)
     args = p.parse_args(argv)
-    if args.quant == "int4" and args.ffn_kernel:
-        p.error("--ffn-kernel is int8-only (the fused FFN kernel has no "
-                "int4 path)")
     if args.act_quant and args.quant != "int8":
         p.error("--act-quant (w8a8) requires --quant int8")
 

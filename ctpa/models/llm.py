@@ -107,6 +107,24 @@ class _Int8Weights(nn.Module):
                            jnp.float32))
 
 
+class _Int4Weights(nn.Module):
+    """Bare {kernel_q, scale_g} holder matching quantize_tree(bits=4)'s
+    unfused layout (consumed by the fused int4 FFN kernel)."""
+
+    shape: tuple
+    group: int = 128
+
+    @nn.compact
+    def __call__(self):
+        from ctpa.ops.quant import _int4_group
+
+        g = _int4_group(self.shape[0], self.group)
+        return (self.param("kernel_q", nn.initializers.zeros,
+                           (self.shape[0] // 2, self.shape[1]), jnp.int8),
+                self.param("scale_g", nn.initializers.ones,
+                           (self.shape[0] // g, self.shape[1]), jnp.float32))
+
+
 def _proj(cfg: LLMConfig, features: int, name: str, dtype,
           lora: Optional[LoRAConfig] = None, lora_name: Optional[str] = None):
     """Projection factory: int8/int4-quantized for serving when
@@ -413,8 +431,18 @@ class LlamaMLP(nn.Module):
                             act_quant=getattr(c, "quant_act", False))
         if (getattr(c, "weight_quant", None) == "int4"
                 and getattr(c, "quant_ffn_kernel", False)):
-            raise ValueError("quant_ffn_kernel is int8-only; int4 serves "
-                             "gate/up fused + down as int4_matmul launches")
+            # one pallas launch for the whole SwiGLU FFN at half the int8
+            # weight HBM (ops/quant.int4_ffn) — the latency-tier decode is
+            # weight-read bound
+            from ctpa.ops.quant import int4_ffn
+
+            h, i = c.hidden_size, c.intermediate_size
+            gq = getattr(c, "quant_group", 128)
+            wg, sg = _Int4Weights((h, i), gq, name="gate_proj")()
+            wu, su = _Int4Weights((h, i), gq, name="up_proj")()
+            wd, sd = _Int4Weights((i, h), gq, name="down_proj")()
+            return int4_ffn(x.astype(self.dtype), wg, sg, wu, su, wd, sd,
+                            group=gq, impl=c.quant_impl)
         if getattr(c, "weight_quant", None) in ("int8", "int4") and c.quant_fused:
             gu = _quant_dense(c, 2 * c.intermediate_size, self.dtype,
                               "gateup_proj")(x)

@@ -494,6 +494,118 @@ def int8_ffn(
     return out[:m].reshape(*lead, hidden)
 
 
+def _ffn_kernel_q4(x_ref, wg_ref, sg_ref, wu_ref, su_ref, wd_ref, sd_ref,
+                   o_ref, acc_scr, *, n_j: int, group_h: int, group_i: int):
+    """int4 SwiGLU FFN in one launch: unpack + dequantize each weight tile
+    in VMEM (group scales applied before the dot, so the fusion is exact),
+    silu*mul stays in VMEM, down projection accumulates per j-block.  Halves
+    the FFN weight HBM of the int8 kernel — the latency-tier (small-batch)
+    decode is weight-read bound."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    x = x_ref[:]                                        # (block_m, hidden) bf16
+
+    def dq(w_ref, s_ref, group):
+        q = _unpack_int4(w_ref[:], group)               # (n_g, G, cols) int8
+        w = (q.astype(jnp.float32) * s_ref[:][:, None, :]).astype(x.dtype)
+        return w.reshape(-1, w.shape[-1])
+
+    g = jax.lax.dot_general(
+        x, dq(wg_ref, sg_ref, group_h), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    u = jax.lax.dot_general(
+        x, dq(wu_ref, su_ref, group_h), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    h = (g * jax.lax.logistic(g) * u).astype(x.dtype)   # silu(g) * u
+    acc_scr[:] += jax.lax.dot_general(
+        h, dq(wd_ref, sd_ref, group_i), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == n_j - 1)
+    def _flush():
+        o_ref[:] = acc_scr[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "impl", "block_j"))
+def int4_ffn(
+    x: jax.Array,            # (..., hidden) activations (bf16 hot path)
+    wg4: jax.Array,          # (hidden/2, inter) packed int4 gate
+    sg: jax.Array,           # (hidden/g_h, inter) f32 group scales
+    wu4: jax.Array,          # (hidden/2, inter) packed int4 up
+    su: jax.Array,           # (hidden/g_h, inter) f32
+    wd4: jax.Array,          # (inter/2, hidden) packed int4 down
+    sd: jax.Array,           # (inter/g_i, hidden) f32
+    group: int = 128,
+    impl: str = "pallas",
+    block_j: int = 256,
+) -> jax.Array:
+    """down(silu(x@gate) * (x@up)) with int4 weights, one pallas launch
+    (the int8_ffn analog for the latency tier; group scales make the fusion
+    exact)."""
+    *lead, hidden = x.shape
+    inter = sg.shape[1]
+    g_h = _int4_group(hidden, group)
+    g_i = _int4_group(inter, group)
+    if impl == "xla":
+        w_g = dequantize_int4(wg4, sg, g_h, jnp.float32)
+        w_u = dequantize_int4(wu4, su, g_h, jnp.float32)
+        w_d = dequantize_int4(wd4, sd, g_i, jnp.float32)
+        xf = x.astype(jnp.float32)
+        h = jax.nn.silu(xf @ w_g) * (xf @ w_u)
+        return (h @ w_d).astype(x.dtype)
+
+    assert hidden <= 8192, "fused FFN keeps the full hidden contraction in VMEM"
+    xm = x.reshape(-1, hidden)
+    m = xm.shape[0]
+    block_m = max(16, min(_rup(m, 16), 128))
+    m_pad = _rup(max(m, 16), block_m)
+    # the j-block must cover whole scale groups of the down projection
+    block_j = max(g_i, (min(block_j, _rup(inter, g_i)) // g_i) * g_i)
+    j_pad = _rup(inter, block_j)
+    xp = jnp.pad(xm, ((0, m_pad - m), (0, 0)))
+    if j_pad != inter:
+        wg4 = jnp.pad(wg4, ((0, 0), (0, j_pad - inter)))
+        wu4 = jnp.pad(wu4, ((0, 0), (0, j_pad - inter)))
+        sg = jnp.pad(sg, ((0, 0), (0, j_pad - inter)))
+        su = jnp.pad(su, ((0, 0), (0, j_pad - inter)))
+        # padded groups have zero scales -> dequantize to exact zeros
+        wd4 = jnp.pad(wd4, ((0, (j_pad - inter) // 2), (0, 0)))
+        sd = jnp.pad(sd, ((0, (j_pad - inter) // g_i), (0, 0)))
+    n_j = j_pad // block_j
+
+    out = pl.pallas_call(
+        functools.partial(_ffn_kernel_q4, n_j=n_j, group_h=g_h, group_i=g_i),
+        grid=(m_pad // block_m, n_j),
+        in_specs=[
+            pl.BlockSpec((block_m, hidden), lambda mi, j: (mi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden // 2, block_j), lambda mi, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden // g_h, block_j), lambda mi, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden // 2, block_j), lambda mi, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden // g_h, block_j), lambda mi, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_j // 2, hidden), lambda mi, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_j // g_i, hidden), lambda mi, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, hidden), lambda mi, j: (mi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, hidden), x.dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, hidden), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(xp, wg4, sg, wu4, su, wd4, sd)
+    return out[:m].reshape(*lead, hidden)
+
+
 def quantize_tree(params, *, targets: tuple[str, ...] = (
         "q_proj", "k_proj", "v_proj", "o_proj",
         "gate_proj", "up_proj", "down_proj", "lm_head"),
@@ -508,8 +620,7 @@ def quantize_tree(params, *, targets: tuple[str, ...] = (
 
     bits=4 instead produces the `Int4Dense` layout {kernel_q: packed int8
     (in/2, out), scale_g: f32 (in/group, out)} (quantize_int4) — half the
-    serving HBM of int8 for the latency tier.  int4 is incompatible with
-    ffn_kernel (the fused FFN kernel is int8-only).
+    serving HBM of int8 for the latency tier.
 
     If the tree carries trained LoRA adapters (lora_a/lora_b leaves), pass
     the `LoRAConfig` used in training: the deltas are merged into the base
@@ -527,11 +638,9 @@ def quantize_tree(params, *, targets: tuple[str, ...] = (
 
     ffn_kernel=True keeps gate/up/down as SEPARATE quantized leaves — the
     layout `LLMConfig.quant_ffn_kernel` models expect, where the whole FFN
-    runs as one `int8_ffn` pallas launch (gateup concat would be wasted
-    there)."""
+    runs as one `int8_ffn` / `int4_ffn` pallas launch (gateup concat would
+    be wasted there)."""
     assert bits in (8, 4), bits
-    if bits == 4 and ffn_kernel:
-        raise ValueError("ffn_kernel layout is int8-only (bits=8)")
 
     def _q(kernel):
         if bits == 4:

@@ -448,3 +448,79 @@ def test_quantized_llm_with_ffn_kernel_matches_fp(rng):
     g = np.asarray(got, np.float32)
     assert np.abs(g - w).max() / (np.abs(w).max() + 1e-9) < 0.05
     assert (g.argmax(-1) == w.argmax(-1)).mean() > 0.95
+
+
+def test_int4_ffn_xla_matches_matmul_composition(rng):
+    from ctpa.ops.quant import int4_ffn, int4_matmul, quantize_int4
+
+    hidden, inter, m = 64, 384, 8
+    x = jnp.asarray(rng.normal(size=(m, hidden)), jnp.float32)
+    wg, sg = quantize_int4(jnp.asarray(rng.normal(size=(hidden, inter)) * 0.1))
+    wu, su = quantize_int4(jnp.asarray(rng.normal(size=(hidden, inter)) * 0.1))
+    wd, sd = quantize_int4(jnp.asarray(rng.normal(size=(inter, hidden)) * 0.1))
+
+    got = int4_ffn(x, wg, sg, wu, su, wd, sd, impl="xla")
+    g = int4_matmul(x, wg, sg, group=64, impl="xla").astype(jnp.float32)
+    u = int4_matmul(x, wu, su, group=64, impl="xla").astype(jnp.float32)
+    want = int4_matmul(jax.nn.silu(g) * u, wd, sd, group=128, impl="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_int4_ffn_pallas_matches_xla(rng):
+    """Fused int4 FFN kernel (interpret mode): different scale-group sizes
+    for the hidden (64) and intermediate (128) contractions, intermediate
+    not a multiple of the j-block (384 -> padded 512)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ctpa.ops.quant import int4_ffn, quantize_int4
+
+    hidden, inter, m = 64, 384, 4
+    x = jnp.asarray(rng.normal(size=(m, hidden)), jnp.float32)
+    wg, sg = quantize_int4(jnp.asarray(rng.normal(size=(hidden, inter)) * 0.1))
+    wu, su = quantize_int4(jnp.asarray(rng.normal(size=(hidden, inter)) * 0.1))
+    wd, sd = quantize_int4(jnp.asarray(rng.normal(size=(inter, hidden)) * 0.1))
+
+    want = int4_ffn(x, wg, sg, wu, su, wd, sd, impl="xla")
+    with pltpu.force_tpu_interpret_mode():
+        got = int4_ffn(x, wg, sg, wu, su, wd, sd, impl="pallas", block_j=256)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_quantize_tree_int4_ffn_layout_serves(rng):
+    """quantize_tree(bits=4, ffn_kernel=True) keeps separate gate/up/down
+    {kernel_q, scale_g} leaves AND the int4 ffn-kernel model accepts the
+    tree: tiny cached decode matches the unfused int4 model exactly (same
+    quantized weights, xla backend)."""
+    from ctpa.core.config import LLMConfig
+    from ctpa.models.llm import KVCache, LlamaForCausalLM
+
+    cfg = LLMConfig.tiny()
+    model = LlamaForCausalLM(cfg)
+    ids = jnp.asarray(np.arange(1, 9)[None], jnp.int32)
+    mask = jnp.ones_like(ids)
+    params = model.init(jax.random.key(0), ids, mask)
+
+    qtree = quantize_tree(params, bits=4, ffn_kernel=True)
+    layers = qtree["params"]["model"]
+    layer0 = next(k for k in layers if k.startswith("layer"))
+    mlp0 = layers[layer0]["mlp"]
+    assert set(mlp0.keys()) == {"gate_proj", "up_proj", "down_proj"}
+    assert set(mlp0["gate_proj"].keys()) == {"kernel_q", "scale_g"}
+
+    def decode(cfg_q, tree):
+        m = LlamaForCausalLM(cfg_q)
+        cache = KVCache.create(cfg_q, 1, max_len=16, dtype=jnp.float32)
+        logits, _, cache = m.apply(tree, ids, mask, cache=cache)
+        tok = jnp.argmax(logits[:, -1].astype(jnp.float32), axis=-1)
+        logits2, _, _ = m.apply(tree, tok[:, None].astype(jnp.int32), None,
+                                cache=cache)
+        return np.asarray(logits2[:, 0])
+
+    cfg_f = dataclasses.replace(cfg, weight_quant="int4",
+                                quant_ffn_kernel=True, quant_impl="xla")
+    cfg_u = dataclasses.replace(cfg, weight_quant="int4", quant_impl="xla")
+    got = decode(cfg_f, qtree)
+    want = decode(cfg_u, quantize_tree(params, bits=4))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

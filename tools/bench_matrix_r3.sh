@@ -29,6 +29,10 @@ run b32_kv8_fd python bench_decode.py --size 7b --quant int8 --ffn-kernel --batc
 # 4. int4 latency tier at batch 4 (vs recorded int8 b4)
 run b4_int4 python bench_decode.py --size 7b --quant int4 --batch 4
 
+# 4b. int4 fused FFN kernel A/B (one launch per layer at half int8 FFN HBM)
+run b4_int4_ffn python bench_decode.py --size 7b --quant int4 --batch 4 --ffn-kernel
+run b1_int4_ffn python bench_decode.py --size 7b --quant int4 --batch 1 --ffn-kernel
+
 # 5. flash-decode alone on the base config (isolates kernel vs kv-quant)
 run b32_fd python bench_decode.py --size 7b --quant int8 --ffn-kernel --batch 32 --act-quant --flash-decode
 

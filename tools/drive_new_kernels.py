@@ -27,6 +27,19 @@ rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
 log(f"int4_matmul pallas-vs-xla rel: {rel:.2e}")
 assert rel < 2e-2, rel
 
+# --- int4 fused FFN lowering + numerics vs xla
+from ctpa.ops.quant import int4_ffn
+hid, itr = 512, 768
+xf = jnp.asarray(rng.normal(size=(8, hid)).astype(np.float32), jnp.bfloat16)
+wg, sg = quantize_int4(jnp.asarray(rng.normal(size=(hid, itr)) * 0.05, jnp.float32))
+wu, su = quantize_int4(jnp.asarray(rng.normal(size=(hid, itr)) * 0.05, jnp.float32))
+wd, sd = quantize_int4(jnp.asarray(rng.normal(size=(itr, hid)) * 0.05, jnp.float32))
+gotf = np.asarray(int4_ffn(xf, wg, sg, wu, su, wd, sd).astype(jnp.float32))
+wantf = np.asarray(int4_ffn(xf, wg, sg, wu, su, wd, sd, impl="xla").astype(jnp.float32))
+relf = np.abs(gotf - wantf).max() / (np.abs(wantf).max() + 1e-9)
+log(f"int4_ffn pallas-vs-xla rel: {relf:.2e}")
+assert relf < 3e-2, relf
+
 # --- decode_attention lowering + numerics (fp and int8-kv)
 from ctpa.ops.pallas.decode_attention import decode_attention
 L, b, m, kvh, hd, h = 2, 4, 64, 8, 128, 8
