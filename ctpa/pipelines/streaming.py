@@ -239,6 +239,21 @@ class ContinuousBatcher:
             steps_per_sync=self.steps_per_sync, top_k=top_k, top_p=top_p)
         pre_kw, dec_kw, ins_kw = {}, {}, {}
         if mesh is not None:
+            # the pallas serving kernels are single-chip programs: under
+            # GSPMD a pallas_call over TP-sharded operands would need a
+            # shard_map wrapper (not yet wired).  TP serving drives the XLA
+            # compute paths; fail loudly rather than let GSPMD replicate the
+            # sharded weights back onto every chip
+            if getattr(self.cfg, "flash_decode", False):
+                raise ValueError("TP serving (mesh=...) does not compose "
+                                 "with flash_decode (single-chip pallas "
+                                 "kernel); disable one")
+            if (getattr(self.cfg, "weight_quant", None)
+                    and getattr(self.cfg, "quant_impl", "pallas") == "pallas"):
+                raise ValueError("TP serving (mesh=...) requires "
+                                 "quant_impl='xla' for quantized weights "
+                                 "(the pallas dequant kernels are "
+                                 "single-chip)")
             from jax.sharding import NamedSharding, PartitionSpec as P
             from ctpa.parallel.sharding import (kv_cache_shardings,
                                                 llm_param_shardings)

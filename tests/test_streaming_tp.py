@@ -119,3 +119,25 @@ def test_tp_batcher_int8_kv_matches_single_device(rg):
     tp, got = run(mesh)
     assert tp.cache.k_scale.sharding.spec == P(None, None, None, MODEL_AXIS)
     assert got == want
+
+
+def test_tp_batcher_rejects_single_chip_pallas_kernels(rg):
+    """flash_decode / pallas quant matmuls are single-chip programs; the TP
+    batcher must refuse them loudly instead of letting GSPMD silently
+    replicate sharded weights around a pallas_call."""
+    import dataclasses
+
+    model, params, _ = rg
+    mesh = create_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+
+    fd_model = CTReportGenerator(
+        dataclasses.replace(LLM, flash_decode=True), VIT,
+        ReportGenConfig(vision_dim=32))
+    with pytest.raises(ValueError, match="flash_decode"):
+        ContinuousBatcher(fd_model, params, num_lanes=2, max_len=32, mesh=mesh)
+
+    q_model = CTReportGenerator(
+        dataclasses.replace(LLM, weight_quant="int8", quant_impl="pallas"),
+        VIT, ReportGenConfig(vision_dim=32))
+    with pytest.raises(ValueError, match="quant_impl"):
+        ContinuousBatcher(q_model, params, num_lanes=2, max_len=32, mesh=mesh)
