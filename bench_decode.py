@@ -118,11 +118,20 @@ def main():
                                       quant_ffn_kernel=args.ffn_kernel,
                                       quant_act=args.act_quant)
     elif args.quant == "int4":
-        llm_cfg = dataclasses.replace(llm_cfg, weight_quant="int4")
+        llm_cfg = dataclasses.replace(llm_cfg, weight_quant="int4",
+                                      quant_ffn_kernel=args.ffn_kernel)
     if args.kv_quant == "int8":
         llm_cfg = dataclasses.replace(llm_cfg, kv_quant="int8")
     if args.flash_decode:
         llm_cfg = dataclasses.replace(llm_cfg, flash_decode=True)
+    if args.size == "tiny" and jax.default_backend() == "cpu":
+        # tiny is the CPU script-path smoke: pallas kernels can't lower on
+        # the CPU backend, so route quantized math through XLA and drop the
+        # pallas-only decode-attention kernel
+        if llm_cfg.flash_decode:
+            log("tiny CPU smoke: flash_decode disabled (pallas-only)")
+        llm_cfg = dataclasses.replace(llm_cfg, quant_impl="xla",
+                                      flash_decode=False)
     vit_cfg = CTViTConfig.tiny()
     gen_cfg = ReportGenConfig(vision_dim=128)
     model = CTReportGenerator(llm_cfg, vit_cfg, gen_cfg, dtype=jnp.bfloat16)

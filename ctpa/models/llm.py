@@ -420,10 +420,22 @@ class LlamaMLP(nn.Module):
         c = self.cfg
         if (getattr(c, "weight_quant", None) == "int8"
                 and getattr(c, "quant_ffn_kernel", False)):
+            h, i = c.hidden_size, c.intermediate_size
+            if c.quant_impl == "xla":
+                # same ffn_kernel param layout, unfused XLA math — keeps the
+                # layout CPU-runnable (script smokes, debugging); the fused
+                # kernel itself is pallas-only
+                aq = getattr(c, "quant_act", False)
+                gate = Int8Dense(i, impl="xla", dtype=self.dtype,
+                                 act_quant=aq, name="gate_proj")(x)
+                up = Int8Dense(i, impl="xla", dtype=self.dtype,
+                               act_quant=aq, name="up_proj")(x)
+                return Int8Dense(h, impl="xla", dtype=self.dtype,
+                                 act_quant=aq, name="down_proj")(
+                                     nn.silu(gate) * up)
             # one pallas launch for the whole SwiGLU FFN (ops/quant.int8_ffn)
             from ctpa.ops.quant import int8_ffn
 
-            h, i = c.hidden_size, c.intermediate_size
             wg, sg = _Int8Weights((h, i), name="gate_proj")()
             wu, su = _Int8Weights((h, i), name="up_proj")()
             wd, sd = _Int8Weights((i, h), name="down_proj")()
