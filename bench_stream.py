@@ -101,9 +101,12 @@ def main():
     ap.add_argument("--flash-decode", action="store_true",
                     help="fused single-token decode attention pallas kernel")
     args = ap.parse_args()
-    if args.quant != "int8" and args.act_quant:
-        ap.error("--act-quant requires --quant int8 (w8a8 is an int8-weight "
-                 "path; the MXU has no int4 contraction)")
+    if args.quant == "none" and args.act_quant:
+        ap.error("--act-quant requires quantized weights (--quant int8 -> "
+                 "w8a8, --quant int4 -> w4a8)")
+    if args.quant == "int4" and args.act_quant and args.ffn_kernel:
+        ap.error("the fused int4 FFN kernel has no w4a8 path; drop "
+                 "--ffn-kernel")
     if args.quant == "none" and args.ffn_kernel:
         ap.error("--ffn-kernel requires --quant int8 or int4 (fused "
                  "quantized FFN kernels)")
@@ -134,7 +137,8 @@ def main():
                                       quant_act=args.act_quant)
     elif args.quant == "int4":
         llm_cfg = dataclasses.replace(llm_cfg, weight_quant="int4",
-                                      quant_ffn_kernel=args.ffn_kernel)
+                                      quant_ffn_kernel=args.ffn_kernel,
+                                      quant_act=args.act_quant)
     if args.kv_quant == "int8":
         llm_cfg = dataclasses.replace(llm_cfg, kv_quant="int8")
     if args.flash_decode:

@@ -35,8 +35,8 @@ def main(argv=None) -> int:
                    help="prepare for LLMConfig.quant_ffn_kernel serving "
                         "(one fused pallas FFN launch per layer)")
     p.add_argument("--act-quant", action="store_true",
-                   help="record w8a8 serving intent (weights are identical; "
-                        "stored so the loader enables quant_act)")
+                   help="record w8a8/w4a8 serving intent (weights are "
+                        "identical; stored so the loader enables quant_act)")
     p.add_argument("--kv-quant", choices=["none", "int8"], default="none")
     p.add_argument("--flash-decode", action="store_true")
     p.add_argument("--lora-rank", type=int, default=16,
@@ -44,8 +44,9 @@ def main(argv=None) -> int:
                         "LoRA); deltas are merged before quantization")
     p.add_argument("--lora-alpha", type=float, default=32.0)
     args = p.parse_args(argv)
-    if args.act_quant and args.quant != "int8":
-        p.error("--act-quant (w8a8) requires --quant int8")
+    if args.act_quant and args.ffn_kernel and args.quant == "int4":
+        p.error("the fused int4 FFN kernel has no w4a8 path; drop "
+                "--ffn-kernel")
 
     from ctpa.ops.quant import quantize_tree
 

@@ -174,8 +174,9 @@ def main(argv=None):
                         "LoRA); must match cli/train_report.py")
     p.add_argument("--lora-alpha", type=float, default=32.0)
     args = p.parse_args(argv)
-    if args.act_quant and args.quant != "int8":
-        p.error("--act-quant (w8a8) requires --quant int8")
+    if args.act_quant and args.quant == "none":
+        p.error("--act-quant requires quantized weights (--quant int8 -> "
+                "w8a8, --quant int4 -> w4a8)")
     if args.speculative and (args.top_k or args.top_p):
         p.error("--speculative is greedy-only (draft verification relies on "
                 "argmax identity); drop --top-k/--top-p")

@@ -66,6 +66,7 @@ class Int4Dense(nn.Module):
     impl: str = "pallas"          # "pallas" | "xla" (ops/quant.int4_matmul)
     dtype: jnp.dtype = jnp.bfloat16
     group: int = 128
+    act_quant: bool = False       # w4a8: per-group int8×int8→int32 MXU dots
 
     @nn.compact
     def __call__(self, x):
@@ -78,17 +79,15 @@ class Int4Dense(nn.Module):
         s = self.param("scale_g", nn.initializers.ones,
                        (d_in // g, self.features), jnp.float32)
         return int4_matmul(x.astype(self.dtype), w4, s, group=g,
-                           impl=self.impl)
+                           impl=self.impl, act_quant=self.act_quant)
 
 
 def _quant_dense(cfg, features, dtype, name):
     """The serving projection for cfg.weight_quant ('int8' or 'int4')."""
     if cfg.weight_quant == "int4":
-        if getattr(cfg, "quant_act", False):
-            raise ValueError("quant_act (w8a8) requires int8 weights: the "
-                             "MXU has no int4 contraction")
         return Int4Dense(features, impl=cfg.quant_impl, dtype=dtype,
-                         group=getattr(cfg, "quant_group", 128), name=name)
+                         group=getattr(cfg, "quant_group", 128),
+                         act_quant=getattr(cfg, "quant_act", False), name=name)
     return Int8Dense(features, impl=cfg.quant_impl, dtype=dtype,
                      act_quant=getattr(cfg, "quant_act", False), name=name)
 
@@ -443,6 +442,10 @@ class LlamaMLP(nn.Module):
                             act_quant=getattr(c, "quant_act", False))
         if (getattr(c, "weight_quant", None) == "int4"
                 and getattr(c, "quant_ffn_kernel", False)):
+            if getattr(c, "quant_act", False):
+                raise ValueError("the fused int4 FFN kernel has no w4a8 "
+                                 "path yet; drop quant_ffn_kernel (the "
+                                 "unfused int4 projections support w4a8)")
             # one pallas launch for the whole SwiGLU FFN at half the int8
             # weight HBM (ops/quant.int4_ffn) — the latency-tier decode is
             # weight-read bound

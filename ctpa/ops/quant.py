@@ -285,7 +285,8 @@ def _q4_kernel(x_ref, w_ref, s_ref, o_ref, acc_scr, *, n_in_blocks: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("group", "impl", "block_in", "block_out"))
+                   static_argnames=("group", "impl", "block_in", "block_out",
+                                    "act_quant"))
 def int4_matmul(
     x: jax.Array,          # (..., in) activations (bf16 on the hot path)
     w4: jax.Array,         # (in/2, out) packed int8 (quantize_int4 layout)
@@ -294,12 +295,25 @@ def int4_matmul(
     impl: str = "pallas",
     block_in: int = 2048,
     block_out: int = 512,
+    act_quant: bool = False,
 ) -> jax.Array:
+    """act_quant=True is w4a8: per-token int8 activations, per-group exact
+    int8×int8→int32 MXU dots with f32 group-scale accumulation — half the
+    weight HBM of w8a8 at the int8 MXU rate."""
     *lead, d_in = x.shape
     assert w4.shape[0] * 2 == d_in, (w4.shape, d_in)
     d_out = w4.shape[1]
     g = _int4_group(d_in, group)
     if impl == "xla":
+        if act_quant:
+            x8, sx = quantize_act_int8(x)
+            q = _unpack_int4(w4, g).astype(jnp.int32)       # (n_g, G, out)
+            xg = x8.reshape(-1, d_in // g, g).astype(jnp.int32)
+            part = jnp.einsum("mng,ngo->nmo", xg, q)        # exact int32
+            y = (part.astype(jnp.float32)
+                 * scale[:, None, :].astype(jnp.float32)).sum(axis=0)
+            y = y * sx.reshape(-1, 1)
+            return y.astype(x.dtype).reshape(*lead, d_out)
         w = dequantize_int4(w4, scale, g, jnp.float32)
         y = jax.lax.dot_general(
             x.astype(jnp.float32), w, (((x.ndim - 1,), (0,)), ((), ())),
@@ -317,6 +331,34 @@ def int4_matmul(
     wp = jnp.pad(w4, ((0, (in_pad - d_in) // 2), (0, out_pad - d_out)))
     sp = jnp.pad(scale, ((0, (in_pad - d_in) // g), (0, out_pad - d_out)))
     n_in_blocks = in_pad // block_in
+
+    if act_quant:
+        x8, sx = quantize_act_int8(xp)
+        out = pl.pallas_call(
+            functools.partial(_q4_kernel_a8, n_in_blocks=n_in_blocks,
+                              group=g, n_gb=block_in // g),
+            grid=(m_pad // block_m, out_pad // block_out, n_in_blocks),
+            in_specs=[
+                pl.BlockSpec((block_m, block_in), lambda mi, o, i: (mi, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_m, 1), lambda mi, o, i: (mi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_in // 2, block_out),
+                             lambda mi, o, i: (i, o),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_in // g, block_out),
+                             lambda mi, o, i: (i, o),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((block_m, block_out),
+                                   lambda mi, o, i: (mi, o),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m_pad, out_pad), x.dtype),
+            scratch_shapes=[pltpu.VMEM((block_m, block_out), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+        )(x8, sx, wp, sp)
+        return out[:m, :d_out].reshape(*lead, d_out)
 
     out = pl.pallas_call(
         functools.partial(_q4_kernel, n_in_blocks=n_in_blocks, group=g),
@@ -528,6 +570,41 @@ def _ffn_kernel_q4(x_ref, wg_ref, sg_ref, wu_ref, su_ref, wd_ref, sd_ref,
     @pl.when(j == n_j - 1)
     def _flush():
         o_ref[:] = acc_scr[:].astype(o_ref.dtype)
+
+
+def _q4_kernel_a8(x_ref, sx_ref, w_ref, s_ref, o_ref, acc_scr, *,
+                  n_in_blocks: int, group: int, n_gb: int):
+    """w4a8 step: int8 activations × int4 weights.  Group scales do NOT
+    factor out of the contraction (they vary along it), so the kernel dots
+    one scale group at a time — each an exact int8×int8→int32 MXU dot whose
+    int32 partial is scaled by its group's f32 row before accumulation.
+    Weight HBM is HALF of w8a8's; the dots stay on the int8 MXU path."""
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    half = group // 2
+
+    def body(gi, acc):
+        wblk = w_ref[pl.ds(gi * half, half), :]          # packed (G/2, bo)
+        lo = jnp.right_shift(jnp.left_shift(wblk, 4), 4)
+        hi = jnp.right_shift(wblk, 4)
+        q = jnp.concatenate([lo, hi], axis=0)            # (G, bo) natural rows
+        xg = x_ref[:, pl.ds(gi * group, group)]          # (block_m, G) int8
+        part = jax.lax.dot_general(
+            xg, q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        sg = s_ref[pl.ds(gi, 1), :].astype(jnp.float32)  # (1, bo)
+        return acc + part.astype(jnp.float32) * sg
+
+    acc_scr[:] += jax.lax.fori_loop(0, n_gb, body, jnp.zeros_like(acc_scr))
+
+    @pl.when(i == n_in_blocks - 1)
+    def _flush():
+        o_ref[:] = (acc_scr[:] * sx_ref[:].astype(jnp.float32)
+                    ).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("group", "impl", "block_j"))

@@ -70,9 +70,9 @@ def test_export_guards(trained_ckpt, tmp_path):
     from ctpa.cli.export_serving import main as export_main
 
     ckpt_dir, _ = trained_ckpt
-    with pytest.raises(SystemExit):   # w8a8 is an int8-weight path
+    with pytest.raises(SystemExit):   # int4 FFN kernel has no w4a8 path
         export_main(["--checkpoint-dir", ckpt_dir, "--out", str(tmp_path / "b"),
-                     "--quant", "int4", "--act-quant"])
+                     "--quant", "int4", "--act-quant", "--ffn-kernel"])
 
 
 def test_generate_report_serves_from_bundle(trained_ckpt, tmp_path):

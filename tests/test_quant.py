@@ -524,3 +524,48 @@ def test_quantize_tree_int4_ffn_layout_serves(rng):
     got = decode(cfg_f, qtree)
     want = decode(cfg_u, quantize_tree(params, bits=4))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_int4_matmul_w4a8_pallas_matches_xla(rng):
+    """w4a8: per-group int8x int8->int32 MXU dots with f32 group-scale
+    accumulation; pallas (interpret) must match the exact XLA einsum
+    reference, including multi-in-block accumulation and ragged out dims."""
+    from ctpa.ops.quant import int4_matmul, quantize_int4
+
+    d_in, d_out, m = 512, 384, 8
+    x = jnp.asarray(rng.normal(size=(m, d_in)), jnp.float32)
+    w4, s = quantize_int4(jnp.asarray(rng.normal(size=(d_in, d_out)) * 0.1))
+
+    want = int4_matmul(x, w4, s, impl="xla", act_quant=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = int4_matmul(x, w4, s, impl="pallas", act_quant=True,
+                          block_in=256, block_out=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_int4_w4a8_decode_matches_weight_only_closely(rng):
+    """End-to-end: a w4a8 tiny decode (xla impl) stays within activation-
+    quantization noise of the weight-only int4 decode — same quantized
+    weights, int8 activations add <1% relative error at tiny scale."""
+    from ctpa.core.config import LLMConfig
+    from ctpa.models.llm import LlamaForCausalLM
+
+    cfg = LLMConfig.tiny()
+    model = LlamaForCausalLM(cfg)
+    ids = jnp.asarray(np.arange(1, 9)[None], jnp.int32)
+    mask = jnp.ones_like(ids)
+    params = model.init(jax.random.key(0), ids, mask)
+    qtree = quantize_tree(params, bits=4)
+
+    def logits(cfg_q):
+        m = LlamaForCausalLM(cfg_q)
+        out, _, _ = m.apply(qtree, ids, mask)
+        return np.asarray(out[:, -1].astype(jnp.float32))
+
+    base = logits(dataclasses.replace(cfg, weight_quant="int4",
+                                      quant_impl="xla"))
+    a8 = logits(dataclasses.replace(cfg, weight_quant="int4",
+                                    quant_impl="xla", quant_act=True))
+    rel = np.abs(a8 - base).max() / (np.abs(base).max() + 1e-9)
+    assert rel < 0.05, rel

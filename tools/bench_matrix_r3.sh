@@ -33,6 +33,9 @@ run b4_int4 python bench_decode.py --size 7b --quant int4 --batch 4
 run b4_int4_ffn python bench_decode.py --size 7b --quant int4 --batch 4 --ffn-kernel
 run b1_int4_ffn python bench_decode.py --size 7b --quant int4 --batch 1 --ffn-kernel
 
+# 4c. w4a8 at throughput batch: half w8a8's weight HBM on the int8 MXU path
+run b32_w4a8 python bench_decode.py --size 7b --quant int4 --batch 32 --act-quant --kv-quant int8
+
 # 5. flash-decode alone on the base config (isolates kernel vs kv-quant)
 run b32_fd python bench_decode.py --size 7b --quant int8 --ffn-kernel --batch 32 --act-quant --flash-decode
 

@@ -40,6 +40,15 @@ relf = np.abs(gotf - wantf).max() / (np.abs(wantf).max() + 1e-9)
 log(f"int4_ffn pallas-vs-xla rel: {relf:.2e}")
 assert relf < 3e-2, relf
 
+# --- w4a8 matmul lowering + numerics vs xla
+gota = np.asarray(int4_matmul(x, w4, s, block_in=256, block_out=128,
+                              act_quant=True).astype(jnp.float32))
+wanta = np.asarray(int4_matmul(x, w4, s, impl="xla",
+                               act_quant=True).astype(jnp.float32))
+rela = np.abs(gota - wanta).max() / (np.abs(wanta).max() + 1e-9)
+log(f"int4 w4a8 pallas-vs-xla rel: {rela:.2e}")
+assert rela < 2e-2, rela
+
 # --- decode_attention lowering + numerics (fp and int8-kv)
 from ctpa.ops.pallas.decode_attention import decode_attention
 L, b, m, kvh, hd, h = 2, 4, 64, 8, 128, 8
