@@ -79,9 +79,6 @@ def main():
     if args.quant == "none" and args.act_quant:
         ap.error("--act-quant requires quantized weights (--quant int8 -> "
                  "w8a8, --quant int4 -> w4a8)")
-    if args.quant == "int4" and args.act_quant and args.ffn_kernel:
-        ap.error("the fused int4 FFN kernel has no w4a8 path; drop "
-                 "--ffn-kernel")
     if args.quant == "none" and args.ffn_kernel:
         ap.error("--ffn-kernel requires --quant int8 or int4 (fused "
                  "quantized FFN kernels)")

@@ -44,9 +44,6 @@ def main(argv=None) -> int:
                         "LoRA); deltas are merged before quantization")
     p.add_argument("--lora-alpha", type=float, default=32.0)
     args = p.parse_args(argv)
-    if args.act_quant and args.ffn_kernel and args.quant == "int4":
-        p.error("the fused int4 FFN kernel has no w4a8 path; drop "
-                "--ffn-kernel")
 
     from ctpa.ops.quant import quantize_tree
 

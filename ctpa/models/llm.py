@@ -442,13 +442,10 @@ class LlamaMLP(nn.Module):
                             act_quant=getattr(c, "quant_act", False))
         if (getattr(c, "weight_quant", None) == "int4"
                 and getattr(c, "quant_ffn_kernel", False)):
-            if getattr(c, "quant_act", False):
-                raise ValueError("the fused int4 FFN kernel has no w4a8 "
-                                 "path yet; drop quant_ffn_kernel (the "
-                                 "unfused int4 projections support w4a8)")
             # one pallas launch for the whole SwiGLU FFN at half the int8
             # weight HBM (ops/quant.int4_ffn) — the latency-tier decode is
-            # weight-read bound
+            # weight-read bound; quant_act=True additionally runs all three
+            # contractions as int8 MXU dots (w4a8)
             from ctpa.ops.quant import int4_ffn
 
             h, i = c.hidden_size, c.intermediate_size
@@ -457,7 +454,8 @@ class LlamaMLP(nn.Module):
             wu, su = _Int4Weights((h, i), gq, name="up_proj")()
             wd, sd = _Int4Weights((i, h), gq, name="down_proj")()
             return int4_ffn(x.astype(self.dtype), wg, sg, wu, su, wd, sd,
-                            group=gq, impl=c.quant_impl)
+                            group=gq, impl=c.quant_impl,
+                            act_quant=getattr(c, "quant_act", False))
         if getattr(c, "weight_quant", None) in ("int8", "int4") and c.quant_fused:
             gu = _quant_dense(c, 2 * c.intermediate_size, self.dtype,
                               "gateup_proj")(x)

@@ -572,6 +572,72 @@ def _ffn_kernel_q4(x_ref, wg_ref, sg_ref, wu_ref, su_ref, wd_ref, sd_ref,
         o_ref[:] = acc_scr[:].astype(o_ref.dtype)
 
 
+def _ffn_kernel_q4_a8(x_ref, sx_ref, wg_ref, sg_ref, wu_ref, su_ref, wd_ref,
+                      sd_ref, o_ref, h8_scr, acc_scr, *, n_j: int,
+                      group_h: int, group_i: int, n_gh: int, n_gj: int):
+    """w4a8 SwiGLU FFN: int8 activations × int4 weights in ONE launch — half
+    of w8a8's FFN weight HBM at the int8 MXU rate.  Group scales vary along
+    every contraction, so gate/up/down each dot one scale group at a time
+    (exact int8×int8→int32 MXU dots whose int32 partials are scaled by the
+    group's f32 row before accumulation — the `_q4_kernel_a8` scheme); the
+    hidden activation h = silu(g)·u is requantized per row per j-block in
+    VMEM (the `_ffn_kernel_a8` scheme) via an int8 scratch, because Mosaic
+    only supports dynamic slicing on refs, not values."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    sx = sx_ref[:].astype(jnp.float32)               # (block_m, 1)
+    half_h = group_h // 2
+
+    def _unpack(wblk):
+        lo = jnp.right_shift(jnp.left_shift(wblk, 4), 4)
+        hi = jnp.right_shift(wblk, 4)
+        return jnp.concatenate([lo, hi], axis=0)     # (G, cols) natural rows
+
+    def gu_body(gi, carry):
+        acc_g, acc_u = carry
+        xg = x_ref[:, pl.ds(gi * group_h, group_h)]  # (block_m, G_h) int8
+
+        def dot1(w_ref, s_ref):
+            q = _unpack(w_ref[pl.ds(gi * half_h, half_h), :])
+            part = jax.lax.dot_general(
+                xg, q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return part.astype(jnp.float32) * s_ref[pl.ds(gi, 1), :].astype(
+                jnp.float32)
+
+        return acc_g + dot1(wg_ref, sg_ref), acc_u + dot1(wu_ref, su_ref)
+
+    z = jnp.zeros((x_ref.shape[0], wg_ref.shape[1]), jnp.float32)
+    acc_g, acc_u = jax.lax.fori_loop(0, n_gh, gu_body, (z, z))
+    g = acc_g * sx
+    u = acc_u * sx
+    h = g * jax.lax.logistic(g) * u                  # silu(g)·u, f32
+    habs = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
+    sh = jnp.maximum(habs / 127.0, 1e-12)            # (block_m, 1)
+    h8_scr[:] = jnp.clip(jnp.round(h / sh), -127, 127).astype(jnp.int8)
+    half_i = group_i // 2
+
+    def d_body(gj, acc):
+        q = _unpack(wd_ref[pl.ds(gj * half_i, half_i), :])  # (G_i, hidden)
+        hg = h8_scr[:, pl.ds(gj * group_i, group_i)]
+        part = jax.lax.dot_general(
+            hg, q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return acc + part.astype(jnp.float32) * sd_ref[pl.ds(gj, 1), :].astype(
+            jnp.float32)
+
+    down = jax.lax.fori_loop(0, n_gj, d_body, jnp.zeros_like(acc_scr))
+    acc_scr[:] += down * sh
+
+    @pl.when(j == n_j - 1)
+    def _flush():
+        o_ref[:] = acc_scr[:].astype(o_ref.dtype)
+
+
 def _q4_kernel_a8(x_ref, sx_ref, w_ref, s_ref, o_ref, acc_scr, *,
                   n_in_blocks: int, group: int, n_gb: int):
     """w4a8 step: int8 activations × int4 weights.  Group scales do NOT
@@ -607,7 +673,8 @@ def _q4_kernel_a8(x_ref, sx_ref, w_ref, s_ref, o_ref, acc_scr, *,
                     ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("group", "impl", "block_j"))
+@functools.partial(jax.jit, static_argnames=("group", "impl", "block_j",
+                                              "act_quant"))
 def int4_ffn(
     x: jax.Array,            # (..., hidden) activations (bf16 hot path)
     wg4: jax.Array,          # (hidden/2, inter) packed int4 gate
@@ -619,15 +686,28 @@ def int4_ffn(
     group: int = 128,
     impl: str = "pallas",
     block_j: int = 256,
+    act_quant: bool = False,
 ) -> jax.Array:
     """down(silu(x@gate) * (x@up)) with int4 weights, one pallas launch
     (the int8_ffn analog for the latency tier; group scales make the fusion
-    exact)."""
+    exact).  act_quant=True is the w4a8 FFN: per-token int8 activations and
+    a per-row-per-j-block requantized hidden activation keep all three
+    contractions on the int8 MXU path (`_ffn_kernel_q4_a8`)."""
     *lead, hidden = x.shape
     inter = sg.shape[1]
     g_h = _int4_group(hidden, group)
     g_i = _int4_group(inter, group)
     if impl == "xla":
+        if act_quant:
+            # composition of the w4a8 matmul (numerics oracle for the fused
+            # kernel; the kernel requantizes h per j-block, this path per
+            # full row — both within the activation-quant error envelope)
+            g = int4_matmul(x, wg4, sg, group=g_h, impl="xla", act_quant=True)
+            u = int4_matmul(x, wu4, su, group=g_h, impl="xla", act_quant=True)
+            h = (jax.nn.silu(g.astype(jnp.float32))
+                 * u.astype(jnp.float32)).astype(x.dtype)
+            return int4_matmul(h, wd4, sd, group=g_i, impl="xla",
+                               act_quant=True)
         w_g = dequantize_int4(wg4, sg, g_h, jnp.float32)
         w_u = dequantize_int4(wu4, su, g_h, jnp.float32)
         w_d = dequantize_int4(wd4, sd, g_i, jnp.float32)
@@ -638,8 +718,9 @@ def int4_ffn(
     assert hidden <= 8192, "fused FFN keeps the full hidden contraction in VMEM"
     xm = x.reshape(-1, hidden)
     m = xm.shape[0]
-    block_m = max(16, min(_rup(m, 16), 128))
-    m_pad = _rup(max(m, 16), block_m)
+    min_m = 32 if act_quant else 16
+    block_m = max(min_m, min(_rup(m, min_m), 128))
+    m_pad = _rup(max(m, min_m), block_m)
     # the j-block must cover whole scale groups of the down projection
     block_j = max(g_i, (min(block_j, _rup(inter, g_i)) // g_i) * g_i)
     j_pad = _rup(inter, block_j)
@@ -654,32 +735,59 @@ def int4_ffn(
         sd = jnp.pad(sd, ((0, (j_pad - inter) // g_i), (0, 0)))
     n_j = j_pad // block_j
 
+    w_specs = [
+        pl.BlockSpec((hidden // 2, block_j), lambda mi, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((hidden // g_h, block_j), lambda mi, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((hidden // 2, block_j), lambda mi, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((hidden // g_h, block_j), lambda mi, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_j // 2, hidden), lambda mi, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_j // g_i, hidden), lambda mi, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    w_args = (wg4, sg, wu4, su, wd4, sd)
+
+    if act_quant:
+        x8, sx = quantize_act_int8(xp)
+        out = pl.pallas_call(
+            functools.partial(_ffn_kernel_q4_a8, n_j=n_j, group_h=g_h,
+                              group_i=g_i, n_gh=hidden // g_h,
+                              n_gj=block_j // g_i),
+            grid=(m_pad // block_m, n_j),
+            in_specs=[
+                pl.BlockSpec((block_m, hidden), lambda mi, j: (mi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_m, 1), lambda mi, j: (mi, 0),
+                             memory_space=pltpu.VMEM),
+            ] + w_specs,
+            out_specs=pl.BlockSpec((block_m, hidden), lambda mi, j: (mi, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m_pad, hidden), x.dtype),
+            scratch_shapes=[pltpu.VMEM((block_m, block_j), jnp.int8),
+                            pltpu.VMEM((block_m, hidden), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+        )(x8, sx, *w_args)
+        return out[:m].reshape(*lead, hidden)
+
     out = pl.pallas_call(
         functools.partial(_ffn_kernel_q4, n_j=n_j, group_h=g_h, group_i=g_i),
         grid=(m_pad // block_m, n_j),
         in_specs=[
             pl.BlockSpec((block_m, hidden), lambda mi, j: (mi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden // 2, block_j), lambda mi, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden // g_h, block_j), lambda mi, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden // 2, block_j), lambda mi, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden // g_h, block_j), lambda mi, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_j // 2, hidden), lambda mi, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_j // g_i, hidden), lambda mi, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        ] + w_specs,
         out_specs=pl.BlockSpec((block_m, hidden), lambda mi, j: (mi, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, hidden), x.dtype),
         scratch_shapes=[pltpu.VMEM((block_m, hidden), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(xp, wg4, sg, wu4, su, wd4, sd)
+    )(xp, *w_args)
     return out[:m].reshape(*lead, hidden)
 
 

@@ -66,13 +66,23 @@ def test_export_bundle_roundtrip(trained_ckpt, tmp_path):
     assert same
 
 
-def test_export_guards(trained_ckpt, tmp_path):
+def test_export_w4a8_ffn_bundle(trained_ckpt, tmp_path):
+    """int4 + act-quant + ffn-kernel is a valid export since the fused int4
+    FFN kernel grew a w4a8 path (ops/quant._ffn_kernel_q4_a8); the bundle
+    metadata must record all three knobs so the loader enables them."""
     from ctpa.cli.export_serving import main as export_main
+    from ctpa.core.checkpoint import CheckpointManager
 
     ckpt_dir, _ = trained_ckpt
-    with pytest.raises(SystemExit):   # int4 FFN kernel has no w4a8 path
-        export_main(["--checkpoint-dir", ckpt_dir, "--out", str(tmp_path / "b"),
-                     "--quant", "int4", "--act-quant", "--ffn-kernel"])
+    out = str(tmp_path / "b")
+    assert export_main(
+        ["--checkpoint-dir", ckpt_dir, "--out", out, "--quant", "int4",
+         "--act-quant", "--ffn-kernel", "--lora-rank", "4",
+         "--lora-alpha", "8.0"]) == 0
+    meta = CheckpointManager(out).restore_metadata(0)
+    assert meta["weight_quant"] == "int4"
+    assert meta["quant_act"] is True
+    assert meta["quant_ffn_kernel"] is True
 
 
 def test_generate_report_serves_from_bundle(trained_ckpt, tmp_path):

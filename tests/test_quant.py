@@ -544,6 +544,65 @@ def test_int4_matmul_w4a8_pallas_matches_xla(rng):
                                rtol=2e-3, atol=2e-3)
 
 
+def test_int4_ffn_w4a8_pallas_matches_float(rng):
+    """w4a8 fused FFN kernel (interpret mode): per-group int8 MXU dots for
+    gate/up/down with a per-row-per-j-block requantized hidden activation
+    still track the float SwiGLU with dequantized weights.  Shapes exercise
+    n_gh=2 hidden groups, a padded final j-block (384 -> 512), and n_gj=2
+    down groups per block."""
+    from ctpa.ops.quant import dequantize_int4, int4_ffn, quantize_int4
+
+    hidden, inter, m = 256, 384, 5
+    x = jnp.asarray(rng.normal(size=(m, hidden)), jnp.float32)
+    wg, sg = quantize_int4(jnp.asarray(rng.normal(size=(hidden, inter)) * 0.1))
+    wu, su = quantize_int4(jnp.asarray(rng.normal(size=(hidden, inter)) * 0.1))
+    wd, sd = quantize_int4(jnp.asarray(rng.normal(size=(inter, hidden)) * 0.1))
+
+    g = x @ dequantize_int4(wg, sg, 128, jnp.float32)
+    u = x @ dequantize_int4(wu, su, 128, jnp.float32)
+    want = np.asarray((jax.nn.silu(g) * u)
+                      @ dequantize_int4(wd, sd, 128, jnp.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(int4_ffn(x, wg, sg, wu, su, wd, sd, impl="pallas",
+                                  block_j=256, act_quant=True))
+    assert np.abs(got - want).max() / (np.abs(want).max() + 1e-9) < 0.03
+    # and the xla w4a8 composition agrees (only the h-requant granularity
+    # differs: per full row there vs per j-block in the kernel)
+    xla = np.asarray(int4_ffn(x, wg, sg, wu, su, wd, sd, impl="xla",
+                              act_quant=True))
+    assert np.abs(got - xla).max() / (np.abs(xla).max() + 1e-9) < 0.03
+
+
+def test_int4_ffn_kernel_layout_serves_w4a8(rng):
+    """The int4 ffn-kernel layout serves with quant_act=True: tiny decode
+    (xla impl) stays within activation-quant noise of the unfused w4a8
+    model — same quantized weights."""
+    from ctpa.core.config import LLMConfig
+    from ctpa.models.llm import LlamaForCausalLM
+
+    cfg = LLMConfig.tiny()
+    model = LlamaForCausalLM(cfg)
+    ids = jnp.asarray(np.arange(1, 9)[None], jnp.int32)
+    mask = jnp.ones_like(ids)
+    params = model.init(jax.random.key(0), ids, mask)
+
+    def logits(cfg_q, tree):
+        m = LlamaForCausalLM(cfg_q)
+        out, _, _ = m.apply(tree, ids, mask)
+        return np.asarray(out[:, -1].astype(jnp.float32))
+
+    fused = logits(
+        dataclasses.replace(cfg, weight_quant="int4", quant_ffn_kernel=True,
+                            quant_impl="xla", quant_act=True),
+        quantize_tree(params, bits=4, ffn_kernel=True))
+    unfused = logits(
+        dataclasses.replace(cfg, weight_quant="int4", quant_impl="xla",
+                            quant_act=True),
+        quantize_tree(params, bits=4))
+    rel = np.abs(fused - unfused).max() / (np.abs(unfused).max() + 1e-9)
+    assert rel < 0.05, rel
+
+
 def test_int4_w4a8_decode_matches_weight_only_closely(rng):
     """End-to-end: a w4a8 tiny decode (xla impl) stays within activation-
     quantization noise of the weight-only int4 decode — same quantized

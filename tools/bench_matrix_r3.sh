@@ -44,6 +44,7 @@ run b1_int4_ffn python bench_decode.py --size 7b --quant int4 --batch 1 --ffn-ke
 
 # 7. w4a8 at throughput batch: half w8a8's weight HBM on the int8 MXU path
 run b32_w4a8 python bench_decode.py --size 7b --quant int4 --batch 32 --act-quant --kv-quant int8
+run b32_w4a8_ffn python bench_decode.py --size 7b --quant int4 --batch 32 --act-quant --kv-quant int8 --ffn-kernel
 
 # 8. speculative decoding latency tier: overhead floor (random weights) and
 #    full-acceptance ceiling at batch 1, int4 weights

@@ -40,6 +40,15 @@ relf = np.abs(gotf - wantf).max() / (np.abs(wantf).max() + 1e-9)
 log(f"int4_ffn pallas-vs-xla rel: {relf:.2e}")
 assert relf < 3e-2, relf
 
+# --- w4a8 fused FFN lowering + numerics vs xla
+gotaf = np.asarray(int4_ffn(xf, wg, sg, wu, su, wd, sd,
+                            act_quant=True).astype(jnp.float32))
+wantaf = np.asarray(int4_ffn(xf, wg, sg, wu, su, wd, sd, impl="xla",
+                             act_quant=True).astype(jnp.float32))
+relaf = np.abs(gotaf - wantaf).max() / (np.abs(wantaf).max() + 1e-9)
+log(f"int4_ffn w4a8 pallas-vs-xla rel: {relaf:.2e}")
+assert relaf < 3e-2, relaf
+
 # --- w4a8 matmul lowering + numerics vs xla
 gota = np.asarray(int4_matmul(x, w4, s, block_in=256, block_out=128,
                               act_quant=True).astype(jnp.float32))
