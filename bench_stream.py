@@ -100,6 +100,9 @@ def main():
                          "doubles lane capacity")
     ap.add_argument("--flash-decode", action="store_true",
                     help="fused single-token decode attention pallas kernel")
+    ap.add_argument("--no-shared-prefix", action="store_true",
+                    help="disable shared-prefix admission (prefill the "
+                         "prompt per request instead of once)")
     args = ap.parse_args()
     if args.quant == "none" and args.act_quant:
         ap.error("--act-quant requires quantized weights (--quant int8 -> "
@@ -203,6 +206,13 @@ def main():
     prompt_ids = rng.integers(3, llm_cfg.vocab_size, size=(args.prompt_len,)
                               ).astype(np.int32)
     prompt_mask = np.ones((args.prompt_len,), np.int32)
+    # serving uses ONE fixed prompt per scan (reference data_utils.py:40), so
+    # by default its KV is prefilled once and admissions reuse it (exact —
+    # vision enters only at the fused-logits head); --no-shared-prefix
+    # restores per-request prefill for A/B
+    if not args.no_shared_prefix:
+        batcher.set_shared_prefix(prompt_ids, prompt_mask)
+        prompt_ids = prompt_mask = None
 
     # ---- warm up every compiled program off the clock ----------------------
     t0 = time.time()

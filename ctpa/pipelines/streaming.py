@@ -43,9 +43,11 @@ from ctpa.ops.sampling import sample_logits
 @dataclass
 class Request:
     request_id: int
-    input_ids: np.ndarray          # (Lp,) right-padded prompt
-    attention_mask: np.ndarray     # (Lp,)
-    vision: Any                    # (d,) vision feature (device array ok)
+    input_ids: Optional[np.ndarray] = None   # (Lp,) right-padded prompt;
+    # None = use the batcher's shared prefix (set_shared_prefix) — admission
+    # then skips the LLM prefill entirely
+    attention_mask: Optional[np.ndarray] = None  # (Lp,)
+    vision: Any = None             # (d,) vision feature (device array ok)
     max_new_tokens: int = 256
 
 
@@ -68,21 +70,35 @@ def _decode_fns(model: CTReportGenerator, *, eos_token_id: int,
         return sample_logits(logits, key, temperature=temperature,
                              top_k=top_k, top_p=top_p, greedy=greedy)
 
+    def prefix_prefill(params, ids, mask, lane_cache):
+        """LLM-only half of prefill: the prompt KV and the last-position
+        hidden state are REQUEST-INDEPENDENT (vision conditions the model
+        only at the fused-logits head), so for a shared prompt they are
+        computed once and reused by every admission (set_shared_prefix)."""
+        _, hidden, lane_cache = model.apply(
+            params, ids, mask, lane_cache,
+            method=lambda m, i, a, c: m.llm(i, a, cache=c))
+        last = jnp.maximum(mask.sum(axis=-1) - 1, 0)
+        h = jnp.take_along_axis(hidden, last[:, None, None], axis=1)
+        return h, lane_cache
+
+    def first_token(params, h, vision, key):
+        """Vision-conditioned first-token sample from a (1, 1, hidden) last
+        hidden state — the only per-request compute of a shared-prefix
+        admission."""
+        logits = model.apply(
+            params, h, vision,
+            method=lambda m, hh, vv: m._fused_logits(hh, vv))[:, 0]
+        return sample(logits, key)
+
     def prefill(params, ids, mask, vision, lane_cache, key):
         """Prefill AND sample the first token on device — admission never
         forces a host round-trip, so decode chunks queue behind the prefill
         on the device stream instead of stalling on a scalar fetch
         (the reference's flow re-runs the full prefix per token instead,
         model_components.py:232-261)."""
-        _, hidden, lane_cache = model.apply(
-            params, ids, mask, lane_cache,
-            method=lambda m, i, a, c: m.llm(i, a, cache=c))
-        last = jnp.maximum(mask.sum(axis=-1) - 1, 0)
-        h = jnp.take_along_axis(hidden, last[:, None, None], axis=1)
-        logits = model.apply(
-            params, h, vision,
-            method=lambda m, hh, vv: m._fused_logits(hh, vv))[:, 0]
-        first = sample(logits, key)
+        h, lane_cache = prefix_prefill(params, ids, mask, lane_cache)
+        first = first_token(params, h, vision, key)
         return first, lane_cache
 
     def one_step(params, cache, tok, vision, key, done):
@@ -118,7 +134,7 @@ def _decode_fns(model: CTReportGenerator, *, eos_token_id: int,
             body, (cache, tok, done), jnp.arange(steps_per_sync))
         return jnp.concatenate([tok[None], toks], axis=0), cache, tok_out, done
 
-    return prefill, decode_chunk
+    return prefill, decode_chunk, prefix_prefill, first_token
 
 
 def negotiate_param_formats(
@@ -150,7 +166,7 @@ def negotiate_param_formats(
     # Specialize with the SAME eos/pad/sampling constants the batcher will
     # serve with — a differently-specialized program could negotiate layouts
     # that reintroduce the in-program copies this function exists to avoid.
-    _, decode_chunk = _decode_fns(
+    _, decode_chunk, _, _ = _decode_fns(
         model, eos_token_id=eos_token_id, pad_token_id=pad_token_id,
         temperature=temperature, greedy=greedy, steps_per_sync=steps_per_sync,
         top_k=top_k, top_p=top_p)
@@ -233,11 +249,12 @@ class ContinuousBatcher:
         self._t_start: dict[int, float] = {}
 
         self._lane_cache_sh = None
-        prefill, decode_chunk = _decode_fns(
+        self._prefix = None   # set_shared_prefix: (h_last, lane KVCache, Lp)
+        prefill, decode_chunk, prefix_prefill, first_token = _decode_fns(
             model, eos_token_id=self.eos, pad_token_id=self.pad,
             temperature=temperature, greedy=greedy,
             steps_per_sync=self.steps_per_sync, top_k=top_k, top_p=top_p)
-        pre_kw, dec_kw, ins_kw = {}, {}, {}
+        pre_kw, dec_kw, ins_kw, ppre_kw = {}, {}, {}, {}
         if mesh is not None:
             # the pallas serving kernels are single-chip programs: under
             # GSPMD a pallas_call over TP-sharded operands would need a
@@ -268,7 +285,10 @@ class ContinuousBatcher:
             pre_kw = {"out_shardings": (rep, self._lane_cache_sh)}
             dec_kw = {"out_shardings": (rep, cache_sh, rep, rep)}
             ins_kw = {"out_shardings": cache_sh}
+            ppre_kw = {"out_shardings": (rep, self._lane_cache_sh)}
         self._prefill = jax.jit(prefill, **pre_kw)
+        self._prefix_prefill = jax.jit(prefix_prefill, **ppre_kw)
+        self._first_token = jax.jit(first_token)
         self._decode_chunk = jax.jit(decode_chunk, donate_argnums=(1,), **dec_kw)
         self._insert = jax.jit(
             lambda big, lane, idx, clock: insert_lane(
@@ -282,16 +302,39 @@ class ContinuousBatcher:
 
     # -------------------------------------------------------------- public
 
+    def set_shared_prefix(self, input_ids, attention_mask) -> None:
+        """Prefill a shared prompt prefix ONCE; requests submitted with
+        input_ids=None then reuse its KV and last hidden state, so admission
+        costs one tiny fused-logits program instead of a full LLM prefill.
+
+        Exact, not approximate: vision conditions the model only at the
+        fused-logits head (_fused_logits), so the prompt KV and the
+        last-position hidden state are identical across requests that share
+        the prompt — which is every request of the report-generation serving
+        pipeline (the reference uses one fixed prompt per scan too,
+        data_utils.py:40, ct_scan_inference.py:150)."""
+        ids = jnp.asarray(np.asarray(input_ids)[None], jnp.int32)
+        mask = jnp.asarray(np.asarray(attention_mask)[None], jnp.int32)
+        lane_cache = KVCache.create(self.cfg, 1, self.max_len,
+                                    dtype=self.cache.k.dtype)
+        h, lane_cache = self._prefix_prefill(self.params, ids, mask, lane_cache)
+        self._prefix = (h, lane_cache, int(np.asarray(mask).sum()))
+
     def submit(self, req: Request) -> int:
+        if req.input_ids is None and self._prefix is None:
+            raise ValueError("request has input_ids=None but no shared "
+                             "prefix is registered (set_shared_prefix)")
+        prompt_len = (self._prefix[2] if req.input_ids is None
+                      else int(np.size(req.input_ids)))
         # ring-buffer safety: a lane's live slot window is its padded prompt
         # plus its token budget plus up-to-a-chunk of overshoot (a lane
         # finishing mid-chunk keeps writing garbage rows until the chunk
         # ends); the window must fit the cache or the ring would overwrite
         # the lane's own live KV
-        window = int(np.size(req.input_ids)) + req.max_new_tokens + self.steps_per_sync
+        window = prompt_len + req.max_new_tokens + self.steps_per_sync
         if window > self.max_len:
             raise ValueError(
-                f"prompt ({np.size(req.input_ids)}) + max_new_tokens "
+                f"prompt ({prompt_len}) + max_new_tokens "
                 f"({req.max_new_tokens}) + steps_per_sync "
                 f"({self.steps_per_sync}) = {window} exceeds max_len "
                 f"{self.max_len}: the lane's ring window would wrap onto "
@@ -364,14 +407,21 @@ class ContinuousBatcher:
             if self.active[lane] or not self.queue:
                 continue
             req = self.queue.popleft()
-            ids = jnp.asarray(req.input_ids[None], jnp.int32)
-            mask = jnp.asarray(req.attention_mask[None], jnp.int32)
-            lane_cache = KVCache.create(self.cfg, 1, self.max_len,
-                                        dtype=self.cache.k.dtype)
             vis = jnp.asarray(req.vision)[None]
             self.rng, key = jax.random.split(self.rng)
-            first, lane_cache = self._prefill(
-                self.params, ids, mask, vis, lane_cache, key)
+            if req.input_ids is None:
+                # shared-prefix admission: the prompt KV + last hidden were
+                # prefilled once (set_shared_prefix); per-request work is one
+                # fused-logits sample and the lane insert
+                h, lane_cache, _ = self._prefix
+                first = self._first_token(self.params, h, vis, key)
+            else:
+                ids = jnp.asarray(req.input_ids[None], jnp.int32)
+                mask = jnp.asarray(req.attention_mask[None], jnp.int32)
+                lane_cache = KVCache.create(self.cfg, 1, self.max_len,
+                                            dtype=self.cache.k.dtype)
+                first, lane_cache = self._prefill(
+                    self.params, ids, mask, vis, lane_cache, key)
             self.cache = self._insert(self.cache, lane_cache, lane,
                                       jnp.asarray(self.clock, jnp.int32))
             self.vision = self.vision.at[lane].set(vis[0])
@@ -406,6 +456,11 @@ class StreamingReportPipeline:
         self.prompt_mask = toks["attention_mask"][0]
         self.max_new_tokens = max_new_tokens
         self._next_id = 0
+        # one prompt serves every scan → prefill its KV exactly once; each
+        # admission is then a single fused-logits sample instead of a full
+        # LLM prefill (at 7B × 64-token prompts that removes ~all prefill
+        # FLOPs from the serving steady state)
+        batcher.set_shared_prefix(self.prompt_ids, self.prompt_mask)
 
     def run(self, scans: Iterator[dict]) -> dict[int, Result]:
         """scans yield {volume, slope, intercept, spacing}.  Encoding of scan
@@ -420,8 +475,7 @@ class StreamingReportPipeline:
             rid = self._next_id
             self._next_id += 1
             self.batcher.submit(Request(
-                request_id=rid, input_ids=self.prompt_ids,
-                attention_mask=self.prompt_mask, vision=vis,
+                request_id=rid, vision=vis,
                 max_new_tokens=self.max_new_tokens))
             # advance decoding while the next encode is in flight
             self.batcher.step()

@@ -94,6 +94,59 @@ def test_ring_wrap_matches_single_generate(rg):
         assert len(got) == 8
 
 
+def test_shared_prefix_matches_per_request_prefill(rg):
+    """Shared-prefix admission is EXACT: with one prompt across requests the
+    prefix KV + last hidden are vision-independent (_fused_logits is the only
+    vision entry point), so set_shared_prefix + input_ids=None must reproduce
+    the per-request-prefill batcher token-for-token — including through lane
+    reuse and a ring wrap (5 requests x window 15 through 2 lanes of 20)."""
+    model, params, video = rg
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(1, LLM.vocab_size, size=(6,)).astype(np.int32)
+    mask = np.ones(6, np.int32)
+    # distinct vision features → distinct decodes from the SAME prefix
+    visions = []
+    for s in range(5):
+        v = np.asarray(rng.normal(size=(1, 1, VIT.temporal_size,
+                                        VIT.image_size, VIT.image_size)),
+                       np.float32)
+        visions.append(model.apply(params, jnp.asarray(v),
+                                   method=CTReportGenerator.extract_vision)[0])
+
+    def run(shared: bool):
+        batcher = ContinuousBatcher(model, params, num_lanes=2, max_len=20,
+                                    eos_token_id=-1, greedy=True,
+                                    cache_dtype=jnp.float32)
+        if shared:
+            batcher.set_shared_prefix(prompt, mask)
+        for i, vis in enumerate(visions):
+            batcher.submit(Request(
+                request_id=i,
+                input_ids=None if shared else prompt,
+                attention_mask=None if shared else mask,
+                vision=vis, max_new_tokens=8))
+        results = batcher.run_until_done()
+        assert batcher.clock > batcher.max_len      # ring wrapped
+        return [np.asarray(results[i].tokens) for i in range(len(visions))]
+
+    base, shared = run(False), run(True)
+    for b, s in zip(base, shared):
+        np.testing.assert_array_equal(s, b)
+    # different visions must actually produce different reports (the prefix
+    # cache isn't accidentally making lanes identical)
+    assert any(not np.array_equal(shared[0], t) for t in shared[1:])
+
+
+def test_shared_prefix_requires_registration(rg):
+    model, params, _ = rg
+    batcher = ContinuousBatcher(model, params, num_lanes=1, max_len=20,
+                                eos_token_id=-1, greedy=True,
+                                cache_dtype=jnp.float32)
+    with pytest.raises(ValueError, match="shared prefix"):
+        batcher.submit(Request(request_id=0, vision=np.zeros(32, np.float32),
+                               max_new_tokens=4))
+
+
 def test_batcher_kv_int8_matches_single_generate(rg):
     """kv_quant='int8' through the ring batcher: quantization is
     deterministic and the ring roll is lossless on int8 rows, so batched
