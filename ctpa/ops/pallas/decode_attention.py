@@ -14,9 +14,19 @@ but its dense einsum formulation has three costs this kernel removes:
 One pallas launch per layer reads each K/V byte exactly once (int8 or
 float), computes per-head QK -> masked softmax -> PV entirely in VMEM, and
 writes the (b, h, hd) output.  Grid is (batch, kv-head blocks); GQA
-repeats kv heads in-kernel (index j // rep), never materializing the
-repeated cache.  All arithmetic is f32 in VMEM; the only HBM traffic is
-the compulsory cache read plus O(b·h·hd) in/out.
+repeats kv heads in-kernel, never materializing the repeated cache.
+
+Mosaic lowering notes (learned on-chip; dynamic slices with unaligned
+starts crash the Mosaic compiler on both the sublane and lane dims):
+  * the cache is passed as its free (L, b, m, kvh*hd) VIEW so each head's
+    (m, hd) plane is a STATIC lane slice (hd = 128-aligned), with the head
+    loop unrolled (kb, rep are static);
+  * the int8 K/V scale column for a head is selected by a ONE-HOT
+    contraction against the full (m, kvh) scale block — program-id-dependent
+    VALUES are fine where program-id-dependent SLICES are not;
+  * q/out ride a (b, h, 1, hd) view so the block's last two dims (1, hd)
+    equal the array dims (Mosaic requires the last two block dims be
+    (8, 128)-divisible or full).
 """
 
 from __future__ import annotations
@@ -30,37 +40,55 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(q_ref, k_ref, v_ref, valid_ref, ks_ref, vs_ref, o_ref, *,
-            rep: int, kb: int, scale: float, quant: bool):
-    """One (batch row, kv-head block) step: loop q heads with a fori so
-    only one head's (m, hd) temporaries are live at a time (an unrolled
-    python loop keeps every iteration's temporaries live -> VMEM OOM)."""
+            rep: int, kb: int, hd: int, kvh: int, scale: float, quant: bool):
+    """One (batch row, kv-head block) step.  Shapes inside the kernel:
+    q_ref (1, rep*kb, 1, hd); k_ref/v_ref (1, 1, m, kb*hd);
+    valid_ref (1, 1, m); ks_ref/vs_ref (1, 1, m, kvh) (full; quant only).
+
+    Per head: one f32 MXU dot for QK (1, m), lane-wise masked softmax, one
+    f32 MXU dot for PV (1, hd).  All slices static; scale columns one-hot
+    selected.  Temporaries are (1, m)/(m, hd) per head and die at the next
+    iteration — the unroll count is kb*rep <= 32."""
+    ki = pl.program_id(1)
     m = k_ref.shape[2]
+    valid = valid_ref[0, 0, :].reshape(1, m)
+    if quant:
+        ksb = ks_ref[0, 0].astype(jnp.float32)          # (m, kvh)
+        vsb = vs_ref[0, 0].astype(jnp.float32)
+        head_iota = jax.lax.broadcasted_iota(jnp.int32, (1, kvh), 1)
 
-    valid = valid_ref[0, :].reshape(m, 1)                    # (m, 1) bool
-
-    def head(j, _):
-        jj = j // rep                                        # kv head in block
-        qj = q_ref[0, pl.ds(j, 1), :].astype(jnp.float32)    # (1, hd)
-        kj = k_ref[0, 0, :, pl.ds(jj, 1), :].reshape(m, -1)  # (m, hd)
-        s = jnp.sum(kj.astype(jnp.float32) * qj, axis=-1,
-                    keepdims=True)                           # (m, 1)
+    for jj in range(kb):
+        kj = k_ref[0, 0, :, jj * hd:(jj + 1) * hd].astype(jnp.float32)
+        vj = v_ref[0, 0, :, jj * hd:(jj + 1) * hd].astype(jnp.float32)
         if quant:
-            s = s * ks_ref[0, 0, :, pl.ds(jj, 1)].astype(jnp.float32)
-        s = s * scale
-        s = jnp.where(valid, s, -1e30)
-        mx = jnp.max(s)
-        e = jnp.exp(s - mx)
-        e = jnp.where(valid, e, 0.0)
-        den = jnp.maximum(jnp.sum(e), 1e-30)
-        a = e / den                                          # (m, 1)
-        if quant:
-            a = a * vs_ref[0, 0, :, pl.ds(jj, 1)].astype(jnp.float32)
-        vj = v_ref[0, 0, :, pl.ds(jj, 1), :].reshape(m, -1)  # (m, hd)
-        o = jnp.sum(a * vj.astype(jnp.float32), axis=0, keepdims=True)
-        o_ref[0, pl.ds(j, 1), :] = o.astype(o_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, rep * kb, head, 0)
+            oh = (head_iota == ki * kb + jj).astype(jnp.float32)  # (1, kvh)
+            ksj = jax.lax.dot_general(                  # (1, m)
+                oh, ksb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            vsj = jax.lax.dot_general(
+                oh, vsb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        for r in range(rep):
+            h_idx = jj * rep + r
+            qj = q_ref[0, h_idx, 0, :].reshape(1, hd).astype(jnp.float32)
+            s = jax.lax.dot_general(                    # (1, m)
+                qj, kj, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if quant:
+                s = s * ksj
+            s = s * scale
+            s = jnp.where(valid, s, -1e30)
+            mx = jnp.max(s)
+            e = jnp.exp(s - mx)
+            e = jnp.where(valid, e, 0.0)
+            den = jnp.maximum(jnp.sum(e), 1e-30)
+            a = e / den                                 # (1, m)
+            if quant:
+                a = a * vsj
+            o = jax.lax.dot_general(                    # (1, hd)
+                a, vj, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[0, h_idx] = o.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -90,30 +118,35 @@ def decode_attention(
     # else split (kvh is a power of two for every llama geometry)
     bytes_per_head = m * hd * ck.dtype.itemsize
     kb = kvh
-    while kb > 1 and 2 * kb * bytes_per_head > 6 * 1024 * 1024:
+    while kb > 1 and 4 * kb * bytes_per_head > 10 * 1024 * 1024:
         kb //= 2
     grid = (b, kvh // kb)
 
+    ckv = ck.reshape(L, b, m, kvh * hd)       # free view: head = lane block
+    cvv = cv.reshape(L, b, m, kvh * hd)
+    q4 = q.reshape(b, h, 1, hd)
+
     specs = [
-        pl.BlockSpec((1, rep * kb, hd), lambda bi, ki: (bi, ki, 0),
+        pl.BlockSpec((1, rep * kb, 1, hd), lambda bi, ki: (bi, ki, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, m, kb, hd),
-                     lambda bi, ki: (layer_idx, bi, 0, ki, 0),
+        pl.BlockSpec((1, 1, m, kb * hd),
+                     lambda bi, ki: (layer_idx, bi, 0, ki),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, m, kb, hd),
-                     lambda bi, ki: (layer_idx, bi, 0, ki, 0),
+        pl.BlockSpec((1, 1, m, kb * hd),
+                     lambda bi, ki: (layer_idx, bi, 0, ki),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, m), lambda bi, ki: (bi, 0),
+        # (b, 1, m) so the block's last two dims (1, m) are full array dims
+        pl.BlockSpec((1, 1, m), lambda bi, ki: (bi, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    args = [q, ck, cv, valid]
+    args = [q4, ckv, cvv, valid.reshape(b, 1, m)]
     if quant:
         specs += [
-            pl.BlockSpec((1, 1, m, kb),
-                         lambda bi, ki: (layer_idx, bi, 0, ki),
+            pl.BlockSpec((1, 1, m, kvh),
+                         lambda bi, ki: (layer_idx, bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, m, kb),
-                         lambda bi, ki: (layer_idx, bi, 0, ki),
+            pl.BlockSpec((1, 1, m, kvh),
+                         lambda bi, ki: (layer_idx, bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         args += [k_scale, v_scale]
@@ -123,15 +156,17 @@ def decode_attention(
                                memory_space=pltpu.VMEM)] * 2
         args += [jnp.zeros((1, 1), jnp.float32)] * 2
 
-    return pl.pallas_call(
-        functools.partial(_kernel, rep=rep, kb=kb, scale=float(scale),
-                          quant=quant),
+    out = pl.pallas_call(
+        functools.partial(_kernel, rep=rep, kb=kb, hd=hd, kvh=kvh,
+                          scale=float(scale), quant=quant),
         grid=grid,
         in_specs=specs,
-        out_specs=pl.BlockSpec((1, rep * kb, hd), lambda bi, ki: (bi, ki, 0),
+        out_specs=pl.BlockSpec((1, rep * kb, 1, hd),
+                               lambda bi, ki: (bi, ki, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, 1, hd), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(*args)
+    return out.reshape(b, h, hd)

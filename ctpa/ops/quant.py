@@ -92,12 +92,17 @@ def quantize_int4(w: jax.Array, group: int = 128
 
 
 def _unpack_int4(packed: jax.Array, group: int):
-    """(in/2, out) packed int8 -> (n_g, group, out) int8 in natural order."""
+    """(in/2, out) packed int8 -> (n_g, group, out) int8 in natural order.
+
+    Shifts run in int32: Mosaic does not legalize `arith.shli` on int8
+    vectors (found on-chip), and int32 is the native VPU lane width anyway."""
     half = group // 2
     p3 = packed.reshape(-1, half, packed.shape[-1])          # (n_g, G/2, out)
-    lo = jnp.right_shift(jnp.left_shift(p3, 4), 4)           # sign-extended
-    hi = jnp.right_shift(p3, 4)                              # arithmetic
-    return jnp.concatenate([lo, hi], axis=1)                 # (n_g, G, out)
+    p32 = p3.astype(jnp.int32)                               # sign-extended
+    lo = jnp.right_shift(jnp.left_shift(p32, 28), 28)        # signed low nibble
+    hi = jnp.right_shift(p32, 4)                             # arithmetic
+    q = jnp.concatenate([lo, hi], axis=1)                    # (n_g, G, out)
+    return q.astype(jnp.int8)
 
 
 def dequantize_int4(packed: jax.Array, scale: jax.Array, group: int = 128,
@@ -261,11 +266,16 @@ def int8_matmul(
 
 
 def _q4_kernel(x_ref, w_ref, s_ref, o_ref, acc_scr, *, n_in_blocks: int,
-               group: int):
+               group: int, n_gb: int):
     """int4 weight-only step: unpack the packed byte tile (shift/shift/
     concat, ~3 VPU ops per weight element on HALF the HBM bytes of int8),
     apply the per-(group, out-channel) scales, and feed the MXU.  Decode is
-    weight-read bound, so halving the bytes ~halves the stream time."""
+    weight-read bound, so halving the bytes ~halves the stream time.
+
+    s_ref arrives as a (1, n_gb_pad, block_out) 3D block (groups-per-in-block
+    in the SUBLANE dim, zero-padded to a multiple of 8 — Mosaic requires the
+    last two block dims be (8, 128)-divisible or full; a raw (n_gb, block_out)
+    block fails lowering whenever n_gb < 8)."""
     i = pl.program_id(2)
 
     @pl.when(i == 0)
@@ -273,7 +283,8 @@ def _q4_kernel(x_ref, w_ref, s_ref, o_ref, acc_scr, *, n_in_blocks: int,
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     q = _unpack_int4(w_ref[:], group)                    # (n_g, G, block_out)
-    w = (q.astype(jnp.float32) * s_ref[:][:, None, :]).astype(x_ref.dtype)
+    s = s_ref[0][:n_gb]                                  # (n_gb, block_out)
+    w = (q.astype(jnp.float32) * s[:, None, :]).astype(x_ref.dtype)
     w = w.reshape(-1, w.shape[-1])                       # (block_in, block_out)
     acc_scr[:] += jax.lax.dot_general(
         x_ref[:], w, (((1,), (0,)), ((), ())),
@@ -326,17 +337,29 @@ def int4_matmul(
     m_pad = _rup(max(m, 16), block_m)
     block_in = min(_rup(block_in, g), _rup(d_in, g))
     in_pad = _rup(d_in, block_in)
+    # Mosaic block rule: the last two block dims must be (8, 128)-divisible
+    # or equal to the array dims.  A multi-block contraction needs the x lane
+    # block and the packed-weight sublane block to comply; otherwise collapse
+    # to one in-block (full-dim blocks are always legal).
+    if in_pad != block_in and (block_in % 128 != 0 or (block_in // 2) % 8):
+        block_in = in_pad
     out_pad = _rup(d_out, block_out)
     xp = jnp.pad(xm, ((0, m_pad - m), (0, in_pad - d_in)))
     wp = jnp.pad(w4, ((0, (in_pad - d_in) // 2), (0, out_pad - d_out)))
     sp = jnp.pad(scale, ((0, (in_pad - d_in) // g), (0, out_pad - d_out)))
     n_in_blocks = in_pad // block_in
+    # scales as (n_in_blocks, n_gb_pad, out) so the per-step block's last two
+    # dims are (8, 128)-compliant even when groups-per-block < 8
+    n_gb = block_in // g
+    n_gb_pad = _rup(n_gb, 8)
+    sp3 = jnp.pad(sp.reshape(n_in_blocks, n_gb, out_pad),
+                  ((0, 0), (0, n_gb_pad - n_gb), (0, 0)))
 
     if act_quant:
         x8, sx = quantize_act_int8(xp)
         out = pl.pallas_call(
             functools.partial(_q4_kernel_a8, n_in_blocks=n_in_blocks,
-                              group=g, n_gb=block_in // g),
+                              group=g, n_gb=n_gb),
             grid=(m_pad // block_m, out_pad // block_out, n_in_blocks),
             in_specs=[
                 pl.BlockSpec((block_m, block_in), lambda mi, o, i: (mi, i),
@@ -346,8 +369,8 @@ def int4_matmul(
                 pl.BlockSpec((block_in // 2, block_out),
                              lambda mi, o, i: (i, o),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((block_in // g, block_out),
-                             lambda mi, o, i: (i, o),
+                pl.BlockSpec((1, n_gb_pad, block_out),
+                             lambda mi, o, i: (i, 0, o),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((block_m, block_out),
@@ -357,18 +380,19 @@ def int4_matmul(
             scratch_shapes=[pltpu.VMEM((block_m, block_out), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary")),
-        )(x8, sx, wp, sp)
+        )(x8, sx, wp, sp3)
         return out[:m, :d_out].reshape(*lead, d_out)
 
     out = pl.pallas_call(
-        functools.partial(_q4_kernel, n_in_blocks=n_in_blocks, group=g),
+        functools.partial(_q4_kernel, n_in_blocks=n_in_blocks, group=g,
+                          n_gb=n_gb),
         grid=(m_pad // block_m, out_pad // block_out, n_in_blocks),
         in_specs=[
             pl.BlockSpec((block_m, block_in), lambda mi, o, i: (mi, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_in // 2, block_out), lambda mi, o, i: (i, o),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_in // g, block_out), lambda mi, o, i: (i, o),
+            pl.BlockSpec((1, n_gb_pad, block_out), lambda mi, o, i: (i, 0, o),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_m, block_out), lambda mi, o, i: (mi, o),
@@ -377,7 +401,7 @@ def int4_matmul(
         scratch_shapes=[pltpu.VMEM((block_m, block_out), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
-    )(xp, wp, sp)
+    )(xp, wp, sp3)
     return out[:m, :d_out].reshape(*lead, d_out)
 
 
@@ -537,12 +561,17 @@ def int8_ffn(
 
 
 def _ffn_kernel_q4(x_ref, wg_ref, sg_ref, wu_ref, su_ref, wd_ref, sd_ref,
-                   o_ref, acc_scr, *, n_j: int, group_h: int, group_i: int):
+                   o_ref, acc_scr, *, n_j: int, group_h: int, group_i: int,
+                   n_gj: int):
     """int4 SwiGLU FFN in one launch: unpack + dequantize each weight tile
     in VMEM (group scales applied before the dot, so the fusion is exact),
     silu*mul stays in VMEM, down projection accumulates per j-block.  Halves
     the FFN weight HBM of the int8 kernel — the latency-tier (small-batch)
-    decode is weight-read bound."""
+    decode is weight-read bound.
+
+    sd_ref arrives as a (1, n_gj_pad, hidden) 3D block — this j-block's down
+    group scales with the sublane dim zero-padded to a multiple of 8 (Mosaic
+    block rule; a raw (n_gj, hidden) block fails lowering when n_gj < 8)."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -551,20 +580,20 @@ def _ffn_kernel_q4(x_ref, wg_ref, sg_ref, wu_ref, su_ref, wd_ref, sd_ref,
 
     x = x_ref[:]                                        # (block_m, hidden) bf16
 
-    def dq(w_ref, s_ref, group):
+    def dq(w_ref, s, group):
         q = _unpack_int4(w_ref[:], group)               # (n_g, G, cols) int8
-        w = (q.astype(jnp.float32) * s_ref[:][:, None, :]).astype(x.dtype)
+        w = (q.astype(jnp.float32) * s[:, None, :]).astype(x.dtype)
         return w.reshape(-1, w.shape[-1])
 
     g = jax.lax.dot_general(
-        x, dq(wg_ref, sg_ref, group_h), (((1,), (0,)), ((), ())),
+        x, dq(wg_ref, sg_ref[:], group_h), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     u = jax.lax.dot_general(
-        x, dq(wu_ref, su_ref, group_h), (((1,), (0,)), ((), ())),
+        x, dq(wu_ref, su_ref[:], group_h), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     h = (g * jax.lax.logistic(g) * u).astype(x.dtype)   # silu(g) * u
     acc_scr[:] += jax.lax.dot_general(
-        h, dq(wd_ref, sd_ref, group_i), (((1,), (0,)), ((), ())),
+        h, dq(wd_ref, sd_ref[0][:n_gj], group_i), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     @pl.when(j == n_j - 1)
@@ -581,8 +610,11 @@ def _ffn_kernel_q4_a8(x_ref, sx_ref, wg_ref, sg_ref, wu_ref, su_ref, wd_ref,
     (exact int8×int8→int32 MXU dots whose int32 partials are scaled by the
     group's f32 row before accumulation — the `_q4_kernel_a8` scheme); the
     hidden activation h = silu(g)·u is requantized per row per j-block in
-    VMEM (the `_ffn_kernel_a8` scheme) via an int8 scratch, because Mosaic
-    only supports dynamic slicing on refs, not values."""
+    VMEM (the `_ffn_kernel_a8` scheme) via an int8 scratch.  The group loops
+    are UNROLLED (group counts are static) so every ref slice has a static
+    start — the per-group scale rows (stride 1) aren't 8-aligned, which
+    Mosaic's dynamic sublane slices want.  sd_ref is this j-block's
+    (1, n_gj_pad, hidden) 3D scale block (see `_ffn_kernel_q4`)."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -593,26 +625,28 @@ def _ffn_kernel_q4_a8(x_ref, sx_ref, wg_ref, sg_ref, wu_ref, su_ref, wd_ref,
     half_h = group_h // 2
 
     def _unpack(wblk):
-        lo = jnp.right_shift(jnp.left_shift(wblk, 4), 4)
-        hi = jnp.right_shift(wblk, 4)
-        return jnp.concatenate([lo, hi], axis=0)     # (G, cols) natural rows
+        # int32 shifts: Mosaic does not legalize shifts on int8 vectors
+        w32 = wblk.astype(jnp.int32)
+        lo = jnp.right_shift(jnp.left_shift(w32, 28), 28)
+        hi = jnp.right_shift(w32, 4)
+        return jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
 
-    def gu_body(gi, carry):
-        acc_g, acc_u = carry
-        xg = x_ref[:, pl.ds(gi * group_h, group_h)]  # (block_m, G_h) int8
+    z = jnp.zeros((x_ref.shape[0], wg_ref.shape[1]), jnp.float32)
+    acc_g, acc_u = z, z
+    for gi in range(n_gh):
+        xg = x_ref[:, gi * group_h:(gi + 1) * group_h]   # (block_m, G_h) int8
 
-        def dot1(w_ref, s_ref):
-            q = _unpack(w_ref[pl.ds(gi * half_h, half_h), :])
+        def dot1(w_ref, s_ref, gi=gi, xg=xg):
+            q = _unpack(w_ref[gi * half_h:(gi + 1) * half_h, :])
             part = jax.lax.dot_general(
                 xg, q, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
-            return part.astype(jnp.float32) * s_ref[pl.ds(gi, 1), :].astype(
+            return part.astype(jnp.float32) * s_ref[gi:gi + 1, :].astype(
                 jnp.float32)
 
-        return acc_g + dot1(wg_ref, sg_ref), acc_u + dot1(wu_ref, su_ref)
+        acc_g = acc_g + dot1(wg_ref, sg_ref)
+        acc_u = acc_u + dot1(wu_ref, su_ref)
 
-    z = jnp.zeros((x_ref.shape[0], wg_ref.shape[1]), jnp.float32)
-    acc_g, acc_u = jax.lax.fori_loop(0, n_gh, gu_body, (z, z))
     g = acc_g * sx
     u = acc_u * sx
     h = g * jax.lax.logistic(g) * u                  # silu(g)·u, f32
@@ -621,16 +655,16 @@ def _ffn_kernel_q4_a8(x_ref, sx_ref, wg_ref, sg_ref, wu_ref, su_ref, wd_ref,
     h8_scr[:] = jnp.clip(jnp.round(h / sh), -127, 127).astype(jnp.int8)
     half_i = group_i // 2
 
-    def d_body(gj, acc):
-        q = _unpack(wd_ref[pl.ds(gj * half_i, half_i), :])  # (G_i, hidden)
-        hg = h8_scr[:, pl.ds(gj * group_i, group_i)]
+    down = jnp.zeros_like(acc_scr)
+    for gj in range(n_gj):
+        q = _unpack(wd_ref[gj * half_i:(gj + 1) * half_i, :])  # (G_i, hidden)
+        hg = h8_scr[:, gj * group_i:(gj + 1) * group_i]
         part = jax.lax.dot_general(
             hg, q, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
-        return acc + part.astype(jnp.float32) * sd_ref[pl.ds(gj, 1), :].astype(
+        down = down + part.astype(jnp.float32) * sd_ref[0, gj:gj + 1, :].astype(
             jnp.float32)
 
-    down = jax.lax.fori_loop(0, n_gj, d_body, jnp.zeros_like(acc_scr))
     acc_scr[:] += down * sh
 
     @pl.when(j == n_j - 1)
@@ -644,7 +678,12 @@ def _q4_kernel_a8(x_ref, sx_ref, w_ref, s_ref, o_ref, acc_scr, *,
     factor out of the contraction (they vary along it), so the kernel dots
     one scale group at a time — each an exact int8×int8→int32 MXU dot whose
     int32 partial is scaled by its group's f32 row before accumulation.
-    Weight HBM is HALF of w8a8's; the dots stay on the int8 MXU path."""
+    Weight HBM is HALF of w8a8's; the dots stay on the int8 MXU path.
+
+    The group loop is UNROLLED (n_gb is static) so every ref slice has a
+    static start — Mosaic's dynamic sublane slices want 8-aligned starts,
+    and the per-group scale row (stride 1) isn't.  s_ref is the 3D
+    (1, n_gb_pad, block_out) layout (see `_q4_kernel`)."""
     i = pl.program_id(2)
 
     @pl.when(i == 0)
@@ -652,20 +691,22 @@ def _q4_kernel_a8(x_ref, sx_ref, w_ref, s_ref, o_ref, acc_scr, *,
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     half = group // 2
-
-    def body(gi, acc):
-        wblk = w_ref[pl.ds(gi * half, half), :]          # packed (G/2, bo)
-        lo = jnp.right_shift(jnp.left_shift(wblk, 4), 4)
-        hi = jnp.right_shift(wblk, 4)
-        q = jnp.concatenate([lo, hi], axis=0)            # (G, bo) natural rows
-        xg = x_ref[:, pl.ds(gi * group, group)]          # (block_m, G) int8
+    acc = jnp.zeros_like(acc_scr)
+    for gi in range(n_gb):
+        wblk = w_ref[gi * half:(gi + 1) * half, :]       # packed (G/2, bo)
+        # int32 shifts: Mosaic does not legalize shifts on int8 vectors
+        w32 = wblk.astype(jnp.int32)
+        lo = jnp.right_shift(jnp.left_shift(w32, 28), 28)
+        hi = jnp.right_shift(w32, 4)
+        q = jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
+        xg = x_ref[:, gi * group:(gi + 1) * group]       # (block_m, G) int8
         part = jax.lax.dot_general(
             xg, q, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
-        sg = s_ref[pl.ds(gi, 1), :].astype(jnp.float32)  # (1, bo)
-        return acc + part.astype(jnp.float32) * sg
+        sg = s_ref[0, gi:gi + 1, :].astype(jnp.float32)  # (1, bo)
+        acc = acc + part.astype(jnp.float32) * sg
 
-    acc_scr[:] += jax.lax.fori_loop(0, n_gb, body, jnp.zeros_like(acc_scr))
+    acc_scr[:] += acc
 
     @pl.when(i == n_in_blocks - 1)
     def _flush():
@@ -724,6 +765,9 @@ def int4_ffn(
     # the j-block must cover whole scale groups of the down projection
     block_j = max(g_i, (min(block_j, _rup(inter, g_i)) // g_i) * g_i)
     j_pad = _rup(inter, block_j)
+    # Mosaic block rule: lane block dims must be 128-divisible or full
+    if j_pad != block_j and block_j % 128 != 0:
+        block_j = j_pad
     xp = jnp.pad(xm, ((0, m_pad - m), (0, 0)))
     if j_pad != inter:
         wg4 = jnp.pad(wg4, ((0, 0), (0, j_pad - inter)))
@@ -734,6 +778,12 @@ def int4_ffn(
         wd4 = jnp.pad(wd4, ((0, (j_pad - inter) // 2), (0, 0)))
         sd = jnp.pad(sd, ((0, (j_pad - inter) // g_i), (0, 0)))
     n_j = j_pad // block_j
+    # down scales as (n_j, n_gj_pad, hidden): per-step 3D block whose last two
+    # dims are (8, 128)-compliant even when groups-per-j-block < 8
+    n_gj = block_j // g_i
+    n_gj_pad = _rup(n_gj, 8)
+    sd3 = jnp.pad(sd.reshape(n_j, n_gj, hidden),
+                  ((0, 0), (0, n_gj_pad - n_gj), (0, 0)))
 
     w_specs = [
         pl.BlockSpec((hidden // 2, block_j), lambda mi, j: (0, j),
@@ -746,17 +796,17 @@ def int4_ffn(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((block_j // 2, hidden), lambda mi, j: (j, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_j // g_i, hidden), lambda mi, j: (j, 0),
+        pl.BlockSpec((1, n_gj_pad, hidden), lambda mi, j: (j, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    w_args = (wg4, sg, wu4, su, wd4, sd)
+    w_args = (wg4, sg, wu4, su, wd4, sd3)
 
     if act_quant:
         x8, sx = quantize_act_int8(xp)
         out = pl.pallas_call(
             functools.partial(_ffn_kernel_q4_a8, n_j=n_j, group_h=g_h,
                               group_i=g_i, n_gh=hidden // g_h,
-                              n_gj=block_j // g_i),
+                              n_gj=n_gj),
             grid=(m_pad // block_m, n_j),
             in_specs=[
                 pl.BlockSpec((block_m, hidden), lambda mi, j: (mi, 0),
@@ -775,7 +825,8 @@ def int4_ffn(
         return out[:m].reshape(*lead, hidden)
 
     out = pl.pallas_call(
-        functools.partial(_ffn_kernel_q4, n_j=n_j, group_h=g_h, group_i=g_i),
+        functools.partial(_ffn_kernel_q4, n_j=n_j, group_h=g_h, group_i=g_i,
+                          n_gj=n_gj),
         grid=(m_pad // block_m, n_j),
         in_specs=[
             pl.BlockSpec((block_m, hidden), lambda mi, j: (mi, 0),
