@@ -52,5 +52,16 @@ def device_params(shapes, scale: float = 0.02, force_dtype=None, formats=None):
         dt = leaf.dtype
         if force_dtype is not None and jnp.issubdtype(dt, jnp.floating):
             dt = force_dtype
-        out.append(gen(tuple(leaf.shape), dt, fmt)(jax.random.key(i)))
+        arr = gen(tuple(leaf.shape), dt, fmt)(jax.random.key(i))
+        # Some PJRT backends (the axon relay among them) ignore requested
+        # OUTPUT layouts, so a leaf whose negotiated layout is non-default
+        # comes back default and the AOT executable rejects it at call time.
+        # Detect and fix with an explicit on-device relayout copy (transient
+        # cost: one leaf, not the whole tree).
+        if fmt is not None:
+            want = getattr(fmt, "layout", None)
+            have = getattr(getattr(arr, "format", None), "layout", None)
+            if want is not None and have is not None and want != have:
+                arr = jax.device_put(arr, fmt)
+        out.append(arr)
     return jax.tree.unflatten(treedef, out)
