@@ -374,3 +374,27 @@ def test_patchify_rows_matches_chunked(rng):
                                out_dtype=jnp.float32, impl="rows")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_patchify_linear_matches_reference(rng):
+    """'linear' formulation (pt<->h pre-transpose so every slab is one
+    contiguous HBM region) is exact vs the XLA composition."""
+    from ctpa.ops.pallas.patchify import patchify_project
+
+    T, H, W = 20, 80, 80
+    pt, p1, p2, dim = 10, 20, 20, 64
+    vol = jnp.asarray(rng.normal(size=(T, H, W)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(pt * p1 * p2,)), jnp.float32)
+    K = jnp.asarray(rng.normal(size=(pt * p1 * p2, dim)) * 0.02, jnp.float32)
+
+    x = vol.reshape(T // pt, pt, H // p1, p1, W // p2, p2).transpose(
+        0, 2, 4, 1, 3, 5).reshape(T // pt, H // p1, W // p2, -1)
+    mu = x.mean(-1, keepdims=True)
+    var = x.var(-1, keepdims=True)
+    want = (((x - mu) * jax.lax.rsqrt(var + 1e-5)) * g) @ K
+
+    with pltpu.force_tpu_interpret_mode():
+        got = patchify_project(vol, g, K, pt, p1, p2,
+                               out_dtype=jnp.float32, impl="linear")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
