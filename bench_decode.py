@@ -66,6 +66,12 @@ def main():
     ap.add_argument("--flash-decode", action="store_true",
                     help="fused single-token decode attention pallas kernel "
                          "(LLMConfig.flash_decode)")
+    ap.add_argument("--prompt-len", type=int, default=0,
+                    help="override prompt length (0 = per-size default). "
+                         "The KV cache holds prompt+new slots, so this sets "
+                         "the attention context: --prompt-len 512 with 96 "
+                         "new tokens reproduces the reference's 512-token "
+                         "serving prompts (608-slot cache)")
     ap.add_argument("--spec-lookup", type=int, default=0, metavar="K",
                     help="greedy prompt-lookup speculative decoding with K "
                          "draft tokens per verify (generate_speculative). "
@@ -110,6 +116,11 @@ def main():
         REF_RUNS, RUNS = 1, 1
     if args.batch:
         B = args.batch
+    if args.prompt_len:
+        PROMPT = args.prompt_len
+        if PROMPT + NEW > llm_cfg.max_seq_len:
+            import dataclasses as _dc
+            llm_cfg = _dc.replace(llm_cfg, max_seq_len=PROMPT + NEW)
 
     import dataclasses
 

@@ -16,17 +16,27 @@ float), computes per-head QK -> masked softmax -> PV entirely in VMEM, and
 writes the (b, h, hd) output.  Grid is (batch, kv-head blocks); GQA
 repeats kv heads in-kernel, never materializing the repeated cache.
 
-Mosaic lowering notes (learned on-chip; dynamic slices with unaligned
-starts crash the Mosaic compiler on both the sublane and lane dims):
-  * the cache is passed as its free (L, b, m, kvh*hd) VIEW so each head's
-    (m, hd) plane is a STATIC lane slice (hd = 128-aligned), with the head
-    loop unrolled (kb, rep are static);
-  * the int8 K/V scale column for a head is selected by a ONE-HOT
-    contraction against the full (m, kvh) scale block — program-id-dependent
-    VALUES are fine where program-id-dependent SLICES are not;
+Hard-won lowering/performance notes (all measured on chip at 7B b32):
+
+  * The cache MUST be passed in its NATIVE (L, b, m, kvh, hd) shape with a
+    5-D BlockSpec.  A host-side `reshape(L, b, m, kvh*hd)` (to make heads
+    lane-blocks) forces XLA to relayout-copy the ENTIRE stacked cache as a
+    program operand — per layer, per step, because each layer's write
+    invalidates CSE.  Measured: ~4.5 ms/layer of pure copy at 7B b32 int8
+    (the first on-chip run was 12x slower than the XLA einsum path purely
+    from this).  In-kernel, a head is a STATIC index on the middle (kvh)
+    dim — Mosaic only rejects *dynamic* unaligned slices.
+  * Per-head (1, m)/(m, hd) dots are fine: an A/B of per-head dots vs
+    block-diagonal 8-head groups (one (rows, gb*hd) x (m, gb*hd) dot)
+    moved the step time by <7% — MXU macro-op issue latency is NOT the
+    binder at this geometry; the cache DMA is.
+  * The int8 K/V scale column for a head is selected by a ONE-HOT
+    contraction against the full (m, kvh) scale block — program-id-
+    dependent VALUES are fine where program-id-dependent SLICES are not.
   * q/out ride a (b, h, 1, hd) view so the block's last two dims (1, hd)
     equal the array dims (Mosaic requires the last two block dims be
-    (8, 128)-divisible or full).
+    (sublane, 128)-divisible or full); the kv-head block split honours the
+    dtype's sublane tiling (32 int8 / 16 bf16 / 8 f32).
 """
 
 from __future__ import annotations
@@ -42,8 +52,9 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(q_ref, k_ref, v_ref, valid_ref, ks_ref, vs_ref, o_ref, *,
             rep: int, kb: int, hd: int, kvh: int, scale: float, quant: bool):
     """One (batch row, kv-head block) step.  Shapes inside the kernel:
-    q_ref (1, rep*kb, 1, hd); k_ref/v_ref (1, 1, m, kb*hd);
-    valid_ref (1, 1, m); ks_ref/vs_ref (1, 1, m, kvh) (full; quant only).
+    q_ref (1, rep*kb, 1, hd); k_ref/v_ref (1, 1, m, kb, hd) — the cache's
+    native layout; valid_ref (1, 1, m); ks_ref/vs_ref (1, 1, m, kvh)
+    (full; quant only).
 
     Per head: one f32 MXU dot for QK (1, m), lane-wise masked softmax, one
     f32 MXU dot for PV (1, hd).  All slices static; scale columns one-hot
@@ -58,8 +69,8 @@ def _kernel(q_ref, k_ref, v_ref, valid_ref, ks_ref, vs_ref, o_ref, *,
         head_iota = jax.lax.broadcasted_iota(jnp.int32, (1, kvh), 1)
 
     for jj in range(kb):
-        kj = k_ref[0, 0, :, jj * hd:(jj + 1) * hd].astype(jnp.float32)
-        vj = v_ref[0, 0, :, jj * hd:(jj + 1) * hd].astype(jnp.float32)
+        kj = k_ref[0, 0, :, jj, :].astype(jnp.float32)  # (m, hd)
+        vj = v_ref[0, 0, :, jj, :].astype(jnp.float32)
         if quant:
             oh = (head_iota == ki * kb + jj).astype(jnp.float32)  # (1, kvh)
             ksj = jax.lax.dot_general(                  # (1, m)
@@ -107,7 +118,7 @@ def decode_attention(
     """Single-token cached attention for layer `layer_idx`; returns
     (b, h, hd) in q.dtype.  Reads only this layer's cache planes (the
     BlockSpec index pins the layer), so passing the full stacked cache
-    costs nothing extra."""
+    costs nothing extra — and never reshapes it (see module docstring)."""
     b, h, hd = q.shape
     L, _, m, kvh, _ = ck.shape
     assert h % kvh == 0, (h, kvh)
@@ -115,31 +126,34 @@ def decode_attention(
     quant = k_scale is not None
 
     # kv-head block: whole kvh if the K+V blocks fit VMEM double-buffered,
-    # else split (kvh is a power of two for every llama geometry)
+    # else split (kvh is a power of two for every llama geometry).  A split
+    # block indexes the kvh dim, whose sublane tiling depends on dtype —
+    # keep kb a multiple of it (or full).
     bytes_per_head = m * hd * ck.dtype.itemsize
     kb = kvh
     while kb > 1 and 4 * kb * bytes_per_head > 10 * 1024 * 1024:
         kb //= 2
+    sublane = {1: 32, 2: 16, 4: 8}.get(ck.dtype.itemsize, 8)
+    if kb < kvh and kb % sublane:
+        kb = min(kvh, sublane)
     grid = (b, kvh // kb)
 
-    ckv = ck.reshape(L, b, m, kvh * hd)       # free view: head = lane block
-    cvv = cv.reshape(L, b, m, kvh * hd)
     q4 = q.reshape(b, h, 1, hd)
 
     specs = [
         pl.BlockSpec((1, rep * kb, 1, hd), lambda bi, ki: (bi, ki, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, m, kb * hd),
-                     lambda bi, ki: (layer_idx, bi, 0, ki),
+        pl.BlockSpec((1, 1, m, kb, hd),
+                     lambda bi, ki: (layer_idx, bi, 0, ki, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, m, kb * hd),
-                     lambda bi, ki: (layer_idx, bi, 0, ki),
+        pl.BlockSpec((1, 1, m, kb, hd),
+                     lambda bi, ki: (layer_idx, bi, 0, ki, 0),
                      memory_space=pltpu.VMEM),
         # (b, 1, m) so the block's last two dims (1, m) are full array dims
         pl.BlockSpec((1, 1, m), lambda bi, ki: (bi, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    args = [q4, ckv, cvv, valid.reshape(b, 1, m)]
+    args = [q4, ck, cv, valid.reshape(b, 1, m)]
     if quant:
         specs += [
             pl.BlockSpec((1, 1, m, kvh),
