@@ -83,12 +83,21 @@ def main():
 
     host = np.random.default_rng(1)
 
-    def mk(s):
+    # Host-side init (a real model.init would be another ~4-minute remote
+    # compile).  Norm scales must be 1, not ~N(0, 0.02): near-zero LN gains
+    # collapse every tower to a constant and the InfoNCE gradient vanishes,
+    # which makes the bench look like it isn't training (timing itself is
+    # value-independent, but the reported loss/grad_norm should be real).
+    def mk(path, s):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name == "scale":
+            return jnp.ones(s.shape, s.dtype)
         return jnp.asarray(host.normal(0, 0.02, size=s.shape).astype(np.float32),
                            dtype=s.dtype)
 
     t0 = time.time()
-    params = jax.device_put(jax.tree.map(mk, shapes), jax.devices()[0])
+    params = jax.device_put(
+        jax.tree_util.tree_map_with_path(mk, shapes), jax.devices()[0])
     vq_state = jax.device_put(
         vq_init(jax.random.key(0), vit_cfg.codebook_size, vit_cfg.dim))
     jax.block_until_ready(params)
@@ -109,6 +118,7 @@ def main():
     log(f"compile+first step: {time.time()-t0:.1f}s; loss={loss0:.4f} "
         f"grad_norm={float(m['grad_norm']):.3f}")
     assert np.isfinite(loss0)
+    assert float(m["grad_norm"]) > 0, "degenerate init: no gradient signal"
 
     ts = []
     for i in range(args.steps):
