@@ -11,8 +11,10 @@ one token per step, O(n · L), everything on-device.
 
 TPU-native notes:
   * GQA-capable attention (num_kv_heads <= num_heads) as batched MXU matmuls.
-  * KV cache is a pytree of (b, max_len, kv_heads, head_dim) buffers updated
-    with `lax.dynamic_update_slice_in_dim` — static shapes, in-place under XLA.
+  * KV cache is a pytree of head-major (b, kv_heads, max_len, head_dim)
+    buffers (stacked over layers) updated with `lax.dynamic_update_slice` —
+    static shapes, in-place under XLA, and the decode dot reads each layer's
+    slice copy-free (see KVCache docstring for the measured layout effect).
   * Sharding: attention/MLP projections annotated with logical axes so pjit
     can TP-shard them over the 'model' mesh axis (nn.with_partitioning).
   * LoRA overlays on q/k/v/o via LoRADense (ctpa/models/lora.py).
@@ -153,7 +155,17 @@ class RMSNorm(nn.Module):
 
 
 class KVCache(NamedTuple):
-    """Static-shape KV cache.
+    """Static-shape KV cache, stored HEAD-MAJOR: (L, b, kv_heads, max_len,
+    head_dim).
+
+    Why head-major: decode attention contracts q (b, h, d) against each
+    layer's K/V over (m, d) pairs per head, i.e. the dot wants the slice
+    laid out (b, h, m, d).  A token-major cache (b, m, h, d) forces XLA to
+    relayout-copy every layer's slice EVERY step — measured 29.2 vs 8.3
+    ms/step of pure attention at 7B-geometry b16 × m608 int8
+    (docs/ROUND3_NOTES.md, layout experiment).  With the slot axis second
+    -to-last, the decode write is a (b, kvh, 1, hd) dynamic_update_slice
+    and the attention reads are copy-free.
 
     `write_offset` (b,) is each sequence's next free SLOT (prefill fills
     [off, off+n), each decode step one slot); per-sequence offsets make
@@ -162,21 +174,21 @@ class KVCache(NamedTuple):
     right-padded prompts the pad writes land in slots marked invalid and are
     never attended."""
 
-    k: jax.Array            # (layers, b, max_len, kv_heads, head_dim)
+    k: jax.Array            # (layers, b, kv_heads, max_len, head_dim)
     v: jax.Array
     write_offset: jax.Array  # (b,) int32 next free slot per sequence
     true_len: jax.Array      # (b,) real-token count per sequence
     valid: jax.Array         # (b, max_len) slot holds a real token's kv
     # int8 KV (cfg.kv_quant == "int8"): k/v store int8 rows and these hold
-    # the per-(token, kv-head) absmax scales; None for full-precision caches
-    k_scale: Optional[jax.Array] = None   # (layers, b, max_len, kv_heads) f32
+    # the per-(kv-head, token) absmax scales; None for full-precision caches
+    k_scale: Optional[jax.Array] = None   # (layers, b, kv_heads, max_len) f32
     v_scale: Optional[jax.Array] = None
 
     @classmethod
     def create(cls, cfg: LLMConfig, batch: int, max_len: Optional[int] = None,
                dtype=jnp.bfloat16):
         max_len = max_len or cfg.max_seq_len
-        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
         if getattr(cfg, "kv_quant", None) == "int8":
             return cls(
                 k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
@@ -207,20 +219,20 @@ def align_lane_to_clock(lane: KVCache, clock: jax.Array) -> KVCache:
     n == 1 validity-only attention mask (slot order stops being token order
     after a wrap) and on the lane's live window n + max_new + chunk slack
     fitting in m (asserted by ContinuousBatcher.submit)."""
-    m = lane.k.shape[2]
+    m = lane.k.shape[3]
     n = lane.write_offset[0]
     shift = (clock - n) % m
     slot_perm = (jnp.arange(m) - shift) % m      # new[s] = old[(s - shift) % m]
     return KVCache(
-        k=jnp.take(lane.k, slot_perm, axis=2),
-        v=jnp.take(lane.v, slot_perm, axis=2),
+        k=jnp.take(lane.k, slot_perm, axis=3),
+        v=jnp.take(lane.v, slot_perm, axis=3),
         write_offset=jnp.full_like(lane.write_offset, clock),
         true_len=lane.true_len,
         valid=jnp.take(lane.valid, slot_perm, axis=1),
         k_scale=(None if lane.k_scale is None
-                 else jnp.take(lane.k_scale, slot_perm, axis=2)),
+                 else jnp.take(lane.k_scale, slot_perm, axis=3)),
         v_scale=(None if lane.v_scale is None
-                 else jnp.take(lane.v_scale, slot_perm, axis=2)),
+                 else jnp.take(lane.v_scale, slot_perm, axis=3)),
     )
 
 
@@ -260,10 +272,10 @@ class LlamaAttention(nn.Module):
     @nn.compact
     def __call__(self, x, positions, kv_write_index, cache_k=None, cache_v=None,
                  attn_mask=None, key_mask=None):
-        """x: (b, n, d). If cache_k/v given — the FULL stacked cache buffers
-        (num_layers, b, max_len, kvh, hd) — new k/v rows are written at
-        (self.layer_idx, :, kv_write_index) and attention runs over this
-        layer's slice; returns (out, new_cache_k, new_cache_v).
+        """x: (b, n, d). If cache_k/v given — the FULL stacked cache buffers,
+        head-major (num_layers, b, kvh, max_len, hd) — new k/v rows are
+        written at slot kv_write_index of layer self.layer_idx and attention
+        runs over this layer's slice; returns (out, new_cache_k, new_cache_v).
 
         self.use_flash routes the no-cache (training / long-prefill)
         attention through the pallas flash kernel with causal + key_mask
@@ -301,10 +313,14 @@ class LlamaAttention(nn.Module):
         k_sc = v_sc = None
         if cache_k is not None:
             # cache_k/cache_v arrive as (buffer, scale_or_None) pairs.  The
-            # buffers are the FULL stacked caches (L, b, m, kvh, hd); this
-            # layer writes only its new (b, n) rows — never a whole layer
-            # slice — so the while-loop carry stays in place and the
-            # per-step write traffic is O(b·n·kvh·hd), not O(b·m·kvh·hd).
+            # buffers are the FULL stacked caches, HEAD-MAJOR
+            # (L, b, kvh, m, hd) — the decode dot reads each layer's slice
+            # copy-free in this layout (token-major cost a per-layer
+            # relayout copy every step: 29.2 vs 8.3 ms/step of attention at
+            # 7B-geometry b16 x m608, docs/ROUND3_NOTES.md).  This layer
+            # writes only its new (b, n) rows — never a whole layer slice —
+            # so the while-loop carry stays in place and the per-step write
+            # traffic is O(b·n·kvh·hd), not O(b·m·kvh·hd).
             # kv_write_index comes in two forms with very different TPU cost:
             #   * scalar — ALL lanes write at the same slot (generate(): right
             #     -padded prompts prefill at 0 and advance in lockstep; ring
@@ -316,24 +332,31 @@ class LlamaAttention(nn.Module):
             ck, ksc = cache_k
             cv, vsc = cache_v
             quant = ksc is not None
+            # new rows in cache layout: k/v (b, kvh, n, hd), scales (b, kvh, n)
+            k_hm = k.transpose(0, 2, 1, 3)
+            v_hm = v.transpose(0, 2, 1, 3)
 
             def write(cache, new):
-                # offsets wrap modulo the cache length: write_offset may be
-                # an unwrapped global clock (ring-buffer serving) and DUS
-                # would otherwise CLAMP an out-of-range index to m - n,
-                # silently corrupting the newest rows
-                off = kv_write_index % cache.shape[2]
-                zeros = (0,) * (cache.ndim - 3)
+                # the slot axis is second-to-last for k/v (L, b, kvh, m, hd)
+                # and last for scales (L, b, kvh, m).  Offsets wrap modulo
+                # the cache length: write_offset may be an unwrapped global
+                # clock (ring-buffer serving) and DUS would otherwise CLAMP
+                # an out-of-range index to m - n, silently corrupting the
+                # newest rows
+                slot_ax = 3                      # both (L,b,kvh,m,hd) and (L,b,kvh,m)
+                off = kv_write_index % cache.shape[slot_ax]
                 if kv_write_index.ndim == 0:
-                    return jax.lax.dynamic_update_slice(
-                        cache, new[None], (self.layer_idx, 0, off) + zeros)
+                    idx = [self.layer_idx, 0, 0, off] + [0] * (cache.ndim - 4)
+                    return jax.lax.dynamic_update_slice(cache, new[None],
+                                                        tuple(idx))
                 def per_seq(cb, nb, o):
-                    return jax.lax.dynamic_update_slice_in_dim(cb, nb, o, axis=0)
+                    # cb (kvh, m, ...) / nb (kvh, n, ...): slot axis 1
+                    return jax.lax.dynamic_update_slice_in_dim(cb, nb, o, axis=1)
                 sl = jax.vmap(per_seq)(cache[self.layer_idx], new, off)
                 return cache.at[self.layer_idx].set(sl)
 
             if quant:
-                # symmetric absmax per (token, kv-head) over head_dim; the
+                # symmetric absmax per (kv-head, token) over head_dim; the
                 # scales fold EXACTLY into the attention einsums below, so
                 # the cache read halves without a dequantized copy
                 def quant_rows(rows):
@@ -343,13 +366,13 @@ class LlamaAttention(nn.Module):
                                             / sc[..., None]), -127, 127
                                   ).astype(jnp.int8)
                     return r8, sc
-                k8, k_rows_sc = quant_rows(k)
-                v8, v_rows_sc = quant_rows(v)
+                k8, k_rows_sc = quant_rows(k_hm)
+                v8, v_rows_sc = quant_rows(v_hm)
                 ck, cv = write(ck, k8), write(cv, v8)
                 ksc, vsc = write(ksc, k_rows_sc), write(vsc, v_rows_sc)
             else:
-                ck = write(ck, k.astype(ck.dtype))
-                cv = write(cv, v.astype(cv.dtype))
+                ck = write(ck, k_hm.astype(ck.dtype))
+                cv = write(cv, v_hm.astype(cv.dtype))
             cache_k, cache_v = (ck, ksc), (cv, vsc)
 
             if (n == 1 and key_mask is not None
@@ -369,42 +392,45 @@ class LlamaAttention(nn.Module):
                 return out, cache_k, cache_v
 
             if quant:
-                k_sc, v_sc = ksc[self.layer_idx], vsc[self.layer_idx]  # (b,m,kvh)
-            k_full = ck[self.layer_idx].astype(self.dtype)
+                k_sc, v_sc = ksc[self.layer_idx], vsc[self.layer_idx]  # (b,kvh,m)
+            k_full = ck[self.layer_idx].astype(self.dtype)   # (b, kvh, m, hd)
             v_full = cv[self.layer_idx].astype(self.dtype)
         else:
-            k_full, v_full = k, v
+            # head-major to match the cached layout (the dots below want
+            # (b, h, m, d) operands either way)
+            k_full = k.transpose(0, 2, 1, 3)
+            v_full = v.transpose(0, 2, 1, 3)
 
-        # GQA: repeat kv heads
+        # GQA: repeat kv heads (head axis 1 in the head-major layout)
         rep = h // kvh
         if rep > 1:
-            k_full = jnp.repeat(k_full, rep, axis=2)
-            v_full = jnp.repeat(v_full, rep, axis=2)
+            k_full = jnp.repeat(k_full, rep, axis=1)
+            v_full = jnp.repeat(v_full, rep, axis=1)
             if k_sc is not None:
-                k_sc = jnp.repeat(k_sc, rep, axis=2)
-                v_sc = jnp.repeat(v_sc, rep, axis=2)
+                k_sc = jnp.repeat(k_sc, rep, axis=1)
+                v_sc = jnp.repeat(v_sc, rep, axis=1)
 
         if self.use_flash and cache_k is None:
             from ctpa.ops.pallas.flash_attention import flash_attention
 
             out = flash_attention(
-                q.transpose(0, 2, 1, 3), k_full.transpose(0, 2, 1, 3),
-                v_full.transpose(0, 2, 1, 3), causal=True, kv_mask=key_mask,
+                q.transpose(0, 2, 1, 3), k_full, v_full,
+                causal=True, kv_mask=key_mask,
                 scale=float(1.0 / hd ** 0.5),
             ).transpose(0, 2, 1, 3).reshape(b, n, h * hd).astype(x.dtype)
         else:
-            sim = jnp.einsum("bnhd,bmhd->bhnm", q, k_full,
+            sim = jnp.einsum("bnhd,bhmd->bhnm", q, k_full,
                              preferred_element_type=jnp.float32) / jnp.sqrt(hd)
             if k_sc is not None:
-                sim = sim * k_sc.transpose(0, 2, 1)[:, :, None, :]
+                sim = sim * k_sc[:, :, None, :]
             neg = jnp.finfo(jnp.float32).min
             if attn_mask is not None:
                 sim = jnp.where(attn_mask, sim, neg)
             attn = jax.nn.softmax(sim, axis=-1)
             if v_sc is not None:
-                attn = attn * v_sc.transpose(0, 2, 1)[:, :, None, :]
+                attn = attn * v_sc[:, :, None, :]
             attn = attn.astype(v_full.dtype)
-            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v_full).reshape(b, n, h * hd)
+            out = jnp.einsum("bhnm,bhmd->bnhd", attn, v_full).reshape(b, n, h * hd)
         out = _proj(c, c.hidden_size, "o_proj", self.dtype, self.lora,
                     "o_proj")(out)
         return out, cache_k, cache_v
@@ -537,7 +563,7 @@ class LlamaModel(nn.Module):
 
         # attention mask: (b, 1, n, m)
         if cache is not None:
-            m = cache.k.shape[2]
+            m = cache.k.shape[3]
             written_real = (
                 attention_mask.astype(bool) if attention_mask is not None
                 else jnp.ones((b, n), bool)

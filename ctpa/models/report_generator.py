@@ -355,7 +355,7 @@ class CTReportGenerator(nn.Module):
             # roll back the rejected rows: committed history grows by c
             # (pending token + c - 1 accepted drafts stay; emitted g[c-1]
             # becomes the next pending token and is written next step)
-            m_slots = c2.k.shape[2]
+            m_slots = c2.k.shape[3]
             sl = jnp.arange(m_slots)[None, :]
             rolled = ((sl >= (pre_off + c)[:, None])
                       & (sl < (pre_off + K + 1)[:, None]))

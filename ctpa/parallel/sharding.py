@@ -93,11 +93,12 @@ def llm_param_shardings(params: Any, mesh: Mesh) -> Any:
 
 def kv_cache_shardings(cache: Any, mesh: Mesh) -> Any:
     """NamedSharding pytree for a `ctpa.models.llm.KVCache` under tensor
-    parallelism: the kv-head axis (axis 3 of k/v/scales) is sharded over the
-    'model' axis so each TP shard holds only its own heads' cache — with
-    column-parallel k/v projections the per-head KV is computed shard-local,
-    so cache reads/writes never cross ICI.  Falls back to replication when
-    kv_heads does not divide the axis (tiny test configs, heavy GQA).
+    parallelism: the kv-head axis (axis 2 of the head-major k/v/scales,
+    (L, b, kvh, m[, hd])) is sharded over the 'model' axis so each TP shard
+    holds only its own heads' cache — with column-parallel k/v projections
+    the per-head KV is computed shard-local, so cache reads/writes never
+    cross ICI.  Falls back to replication when kv_heads does not divide the
+    axis (tiny test configs, heavy GQA).
 
     `cache` may be a concrete KVCache or an eval_shape of one."""
     tp = mesh.shape[MODEL_AXIS]
@@ -105,9 +106,9 @@ def kv_cache_shardings(cache: Any, mesh: Mesh) -> Any:
     def head_sharded(x):
         if x is None:
             return None
-        if x.ndim >= 4 and x.shape[3] % tp == 0:
+        if x.ndim >= 4 and x.shape[2] % tp == 0:
             spec = [None] * x.ndim
-            spec[3] = MODEL_AXIS
+            spec[2] = MODEL_AXIS
             return NamedSharding(mesh, P(*spec))
         return NamedSharding(mesh, P())
 

@@ -55,7 +55,7 @@ def test_kv_cache_shardings_shard_heads():
     mesh = create_mesh(MeshConfig(data_parallel=4, model_parallel=2))
     cache = jax.eval_shape(lambda: KVCache.create(LLM, 2, 32, dtype=jnp.float32))
     sh = kv_cache_shardings(cache, mesh)
-    assert sh.k.spec == P(None, None, None, MODEL_AXIS, None)
+    assert sh.k.spec == P(None, None, MODEL_AXIS, None, None)
     assert sh.write_offset.spec == P()
     # non-divisible kv_heads falls back to replication
     mesh8 = create_mesh(MeshConfig(data_parallel=1, model_parallel=8))
@@ -78,7 +78,7 @@ def test_tp_batcher_matches_single_device(rg):
     # the TP run must actually be sharded, not a silent replicated fallback
     k_sharding = tp_batcher.cache.k.sharding
     assert isinstance(k_sharding, NamedSharding)
-    assert k_sharding.spec == P(None, None, None, MODEL_AXIS, None)
+    assert k_sharding.spec == P(None, None, MODEL_AXIS, None, None)
     param_specs = {s.spec for s in jax.tree.leaves(
         jax.tree.map(lambda x: x.sharding, tp_batcher.params))}
     assert any(spec != P() for spec in param_specs)
@@ -117,7 +117,7 @@ def test_tp_batcher_int8_kv_matches_single_device(rg):
     _, want = run(None)
     mesh = create_mesh(MeshConfig(data_parallel=4, model_parallel=2))
     tp, got = run(mesh)
-    assert tp.cache.k_scale.sharding.spec == P(None, None, None, MODEL_AXIS)
+    assert tp.cache.k_scale.sharding.spec == P(None, None, MODEL_AXIS, None)
     assert got == want
 
 

@@ -64,32 +64,32 @@ L, b, m, kvh, hd, h = 2, 4, 64, 8, 128, 8
 q = jnp.asarray(rng.normal(size=(b, h, hd)).astype(np.float32), jnp.bfloat16)
 valid = jnp.asarray(rng.random((b, m)) > 0.3).at[:, 0].set(True)
 
-ck = jnp.asarray(rng.normal(size=(L, b, m, kvh, hd)).astype(np.float32), jnp.bfloat16)
-cv = jnp.asarray(rng.normal(size=(L, b, m, kvh, hd)).astype(np.float32), jnp.bfloat16)
+ck = jnp.asarray(rng.normal(size=(L, b, kvh, m, hd)).astype(np.float32), jnp.bfloat16)
+cv = jnp.asarray(rng.normal(size=(L, b, kvh, m, hd)).astype(np.float32), jnp.bfloat16)
 o1 = decode_attention(q, ck, cv, valid, 1, scale=0.088)
 # xla reference
 kf = np.asarray(ck[1], np.float32); vf = np.asarray(cv[1], np.float32)
-sim = np.einsum("bhd,bmhd->bhm", np.asarray(q, np.float32), kf) * 0.088
+sim = np.einsum("bhd,bhmd->bhm", np.asarray(q, np.float32), kf) * 0.088
 sim = np.where(np.asarray(valid)[:, None, :], sim, -1e30)
 e = np.exp(sim - sim.max(-1, keepdims=True)); e = np.where(np.asarray(valid)[:, None, :], e, 0)
 a = e / np.maximum(e.sum(-1, keepdims=True), 1e-30)
-ref = np.einsum("bhm,bmhd->bhd", a, vf)
+ref = np.einsum("bhm,bhmd->bhd", a, vf)
 rel = np.abs(np.asarray(o1, np.float32) - ref).max() / (np.abs(ref).max() + 1e-9)
 log(f"decode_attention fp rel: {rel:.2e}")
 assert rel < 2e-2, rel
 
-ck8 = jnp.asarray(rng.integers(-127, 128, size=(L, b, m, kvh, hd)), jnp.int8)
-cv8 = jnp.asarray(rng.integers(-127, 128, size=(L, b, m, kvh, hd)), jnp.int8)
-ks = jnp.asarray(rng.random((L, b, m, kvh)).astype(np.float32) * 0.01 + 1e-3)
-vs = jnp.asarray(rng.random((L, b, m, kvh)).astype(np.float32) * 0.01 + 1e-3)
+ck8 = jnp.asarray(rng.integers(-127, 128, size=(L, b, kvh, m, hd)), jnp.int8)
+cv8 = jnp.asarray(rng.integers(-127, 128, size=(L, b, kvh, m, hd)), jnp.int8)
+ks = jnp.asarray(rng.random((L, b, kvh, m)).astype(np.float32) * 0.01 + 1e-3)
+vs = jnp.asarray(rng.random((L, b, kvh, m)).astype(np.float32) * 0.01 + 1e-3)
 o2 = decode_attention(q, ck8, cv8, valid, 0, k_scale=ks, v_scale=vs, scale=0.088)
 kf = np.asarray(ck8[0], np.float32) * np.asarray(ks[0])[..., None]
 vf = np.asarray(cv8[0], np.float32) * np.asarray(vs[0])[..., None]
-sim = np.einsum("bhd,bmhd->bhm", np.asarray(q, np.float32), kf) * 0.088
+sim = np.einsum("bhd,bhmd->bhm", np.asarray(q, np.float32), kf) * 0.088
 sim = np.where(np.asarray(valid)[:, None, :], sim, -1e30)
 e = np.exp(sim - sim.max(-1, keepdims=True)); e = np.where(np.asarray(valid)[:, None, :], e, 0)
 a = e / np.maximum(e.sum(-1, keepdims=True), 1e-30)
-ref = np.einsum("bhm,bmhd->bhd", a, vf)
+ref = np.einsum("bhm,bhmd->bhd", a, vf)
 rel = np.abs(np.asarray(o2, np.float32) - ref).max() / (np.abs(ref).max() + 1e-9)
 log(f"decode_attention int8-kv rel: {rel:.2e}")
 assert rel < 2e-2, rel
