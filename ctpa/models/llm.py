@@ -160,12 +160,16 @@ class KVCache(NamedTuple):
 
     Why head-major: decode attention contracts q (b, h, d) against each
     layer's K/V over (m, d) pairs per head, i.e. the dot wants the slice
-    laid out (b, h, m, d).  A token-major cache (b, m, h, d) forces XLA to
-    relayout-copy every layer's slice EVERY step — measured 29.2 vs 8.3
-    ms/step of pure attention at 7B-geometry b16 × m608 int8
-    (docs/ROUND3_NOTES.md, layout experiment).  With the slot axis second
-    -to-last, the decode write is a (b, kvh, 1, hd) dynamic_update_slice
-    and the attention reads are copy-free.
+    laid out (b, h, m, d).  When the cache crosses a program boundary with
+    a pinned layout (serving insert/decode programs, pallas BlockSpecs), a
+    token-major cache (b, m, h, d) forces a relayout copy of every layer's
+    slice EVERY step — measured 29.2 vs 8.3 ms/step of pure attention at
+    7B-geometry b16 × m608 int8 when the cache is a program ARGUMENT
+    (docs/ROUND3_NOTES.md, layout experiment).  Inside a single generate()
+    program XLA may pick an equivalent physical layout for the carry
+    either way (end-to-end A/B was layout-neutral there); head-major makes
+    the good layout the canonical one so kernels and cross-program serving
+    never depend on the compiler's choice.
 
     `write_offset` (b,) is each sequence's next free SLOT (prefill fills
     [off, off+n), each decode step one slot); per-sequence offsets make
@@ -314,10 +318,10 @@ class LlamaAttention(nn.Module):
         if cache_k is not None:
             # cache_k/cache_v arrive as (buffer, scale_or_None) pairs.  The
             # buffers are the FULL stacked caches, HEAD-MAJOR
-            # (L, b, kvh, m, hd) — the decode dot reads each layer's slice
-            # copy-free in this layout (token-major cost a per-layer
-            # relayout copy every step: 29.2 vs 8.3 ms/step of attention at
-            # 7B-geometry b16 x m608, docs/ROUND3_NOTES.md).  This layer
+            # (L, b, kvh, m, hd) — the layout the decode dot wants, so
+            # pinned-layout consumers (serving programs, pallas kernels)
+            # read each layer's slice copy-free (docs/ROUND3_NOTES.md,
+            # layout experiment).  This layer
             # writes only its new (b, n) rows — never a whole layer slice —
             # so the while-loop carry stays in place and the per-step write
             # traffic is O(b·n·kvh·hd), not O(b·m·kvh·hd).
