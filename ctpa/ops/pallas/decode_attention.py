@@ -44,6 +44,22 @@ on-chip A/Bs showed the kernel's serial grid walk LOSES to XLA's fused
 convert+dot pipeline at every geometry tried (docs/benchmarks.md,
 "Fused decode-attention kernel: negative result").  Kept as a correct,
 tested capability for future Mosaic revisions.
+
+Round-3 session-2 rework + WHY the gap cannot close (measured, chip,
+standalone 32-layer chained attention, int8 KV):
+
+  geometry          per-head kernel   head-grouped kernel (this file)
+  b16 m608 h32         14.2 ms/step      10.35 ms/step
+  b32 m128 h32         13.3 ms/step       8.68 ms/step
+
+Fitting both geometries: per-grid-step fixed cost ~3.5 us plus ~45 ns per
+MXU TILE-PASS.  Decode attention is M=1 matmul: every (1,128)x(128,128)
+tile-pass costs the systolic fill latency regardless of having one valid
+row, so the floor at b16xm608xh32 is b*h*(2*m/128) = 5120 tile-passes/layer
+~ 7.4 ms/step — and the in-program XLA einsum path already runs ~8.3
+ms/step (90% of that floor).  Neither bytes (int8 KV) nor dtype (int8 MXU
+dots) move this; only M>1 queries per step do, which is exactly what
+speculative decoding provides (CTReportGenerator.generate_speculative).
 """
 
 from __future__ import annotations
@@ -57,46 +73,50 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(q_ref, k_ref, v_ref, valid_ref, ks_ref, vs_ref, o_ref, *,
-            rep: int, kb: int, hd: int, scale: float, quant: bool):
+            rep: int, kb: int, hd: int, scale: float, quant: bool,
+            dot_dtype):
     """One (batch row, kv-head block) step.  Shapes inside the kernel:
     q_ref (1, rep*kb, 1, hd); k_ref/v_ref (1, 1, kb, m, hd) — the cache's
     native head-major layout; valid_ref (1, 1, m); ks_ref/vs_ref (1, 1, kb, m)
     (quant only).
 
-    Per head: one f32 MXU dot for QK (1, m), lane-wise masked softmax, one
-    f32 MXU dot for PV (1, hd).  All slices static.  Temporaries are
-    (1, m)/(m, hd) per head and die at the next iteration — the unroll
-    count is kb*rep <= 32."""
+    Heads are processed in GROUPS of g<=8: one batched MXU dot for QK
+    ((g, rep, m)), one full-tile vectorized softmax over (g*rep, m) — g*rep
+    sublanes busy instead of 1 — and one batched dot for PV.  The round-3
+    per-head formulation (32 unrolled convert->dot->scalar-softmax->dot
+    chains per grid step) measured 14.2 ms/step at b16xm608x32L int8; this
+    one measures 10.35 ms/step (docs/ROUND3_NOTES.md, decode-attention
+    rework).  Softmax reductions run on 2-D (g*rep, m) shapes — Mosaic
+    rejects last-axis multi_reduction on 3-D (g, rep, m) vectors."""
     m = k_ref.shape[3]
-    valid = valid_ref[0, 0, :].reshape(1, m)
+    valid2 = valid_ref[0, 0, :].reshape(1, m)
+    g = min(8, kb)
 
-    for jj in range(kb):
-        kj = k_ref[0, 0, jj, :, :].astype(jnp.float32)  # (m, hd)
-        vj = v_ref[0, 0, jj, :, :].astype(jnp.float32)
+    for j0 in range(0, kb, g):
+        kg = k_ref[0, 0, j0:j0 + g].astype(dot_dtype)          # (g, m, hd)
+        vg = v_ref[0, 0, j0:j0 + g].astype(dot_dtype)
+        qg = q_ref[0, j0 * rep:(j0 + g) * rep, 0, :]            # (g*rep, hd)
+        qg = qg.reshape(g, rep, hd).astype(dot_dtype)
+        s = jax.lax.dot_general(qg, kg, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)  # (g,rep,m)
         if quant:
-            ksj = ks_ref[0, 0, jj, :].astype(jnp.float32).reshape(1, m)
-            vsj = vs_ref[0, 0, jj, :].astype(jnp.float32).reshape(1, m)
-        for r in range(rep):
-            h_idx = jj * rep + r
-            qj = q_ref[0, h_idx, 0, :].reshape(1, hd).astype(jnp.float32)
-            s = jax.lax.dot_general(                    # (1, m)
-                qj, kj, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            if quant:
-                s = s * ksj
-            s = s * scale
-            s = jnp.where(valid, s, -1e30)
-            mx = jnp.max(s)
-            e = jnp.exp(s - mx)
-            e = jnp.where(valid, e, 0.0)
-            den = jnp.maximum(jnp.sum(e), 1e-30)
-            a = e / den                                 # (1, m)
-            if quant:
-                a = a * vsj
-            o = jax.lax.dot_general(                    # (1, hd)
-                a, vj, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            o_ref[0, h_idx] = o.astype(o_ref.dtype)
+            ksg = ks_ref[0, 0, j0:j0 + g].astype(jnp.float32)   # (g, m)
+            s = s * ksg[:, None, :]
+        s2 = s.reshape(g * rep, m) * scale
+        s2 = jnp.where(valid2, s2, -1e30)
+        mx = jnp.max(s2, axis=-1, keepdims=True)
+        e = jnp.exp(s2 - mx)
+        e = jnp.where(valid2, e, 0.0)
+        den = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+        a = (e / den).reshape(g, rep, m)
+        if quant:
+            vsg = vs_ref[0, 0, j0:j0 + g].astype(jnp.float32)
+            a = a * vsg[:, None, :]
+        o = jax.lax.dot_general(a.astype(dot_dtype), vg,
+                                (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)  # (g,rep,hd)
+        o_ref[0, j0 * rep:(j0 + g) * rep] = (
+            o.reshape(g * rep, 1, hd).astype(o_ref.dtype))
 
 
 @functools.partial(jax.jit,
@@ -122,13 +142,25 @@ def decode_attention(
     rep = h // kvh
     quant = k_scale is not None
 
-    # kv-head block: whole kvh if the K+V blocks fit VMEM double-buffered,
-    # else split (kvh is a power of two for every llama geometry).  A split
-    # block's (kb, m) scale block needs kb to be a multiple of the f32
-    # sublane (8) — or full.
+    # kv-head block: whole kvh if the K+V blocks PLUS their in-kernel
+    # dot-dtype converts fit VMEM double-buffered, else split (kvh is a
+    # power of two for every llama geometry).  A split block's (kb, m)
+    # scale block needs kb to be a multiple of the f32 sublane (8) — or
+    # full.  The convert temporaries live per 8-head GROUP (see _kernel),
+    # so they cost 2 * min(8, kb) * m * hd * dot_itemsize.
+    #
+    # dot dtype: bf16 dots (2-4x MXU rate, exact for int8 cache VALUES)
+    # only when the model itself runs bf16 (q arrives bf16); an f32 model
+    # keeps f32 dots so the kernel matches the dense einsum path exactly.
+    dot_dtype = (jnp.float32
+                 if (q.dtype == jnp.float32 or ck.dtype == jnp.float32)
+                 else jnp.bfloat16)
+    dot_itemsize = jnp.dtype(dot_dtype).itemsize
     bytes_per_head = m * hd * ck.dtype.itemsize
     kb = kvh
-    while kb > 1 and 4 * kb * bytes_per_head > 10 * 1024 * 1024:
+    while kb > 1 and (4 * kb * bytes_per_head
+                      + 2 * min(8, kb) * m * hd * dot_itemsize
+                      ) > 12 * 1024 * 1024:
         kb //= 2
     if kb < kvh and kb % 8:
         kb = min(kvh, 8)
@@ -168,7 +200,8 @@ def decode_attention(
 
     out = pl.pallas_call(
         functools.partial(_kernel, rep=rep, kb=kb, hd=hd,
-                          scale=float(scale), quant=quant),
+                          scale=float(scale), quant=quant,
+                          dot_dtype=dot_dtype),
         grid=grid,
         in_specs=specs,
         out_specs=pl.BlockSpec((1, rep * kb, 1, hd),
