@@ -103,6 +103,12 @@ def main():
     ap.add_argument("--no-shared-prefix", action="store_true",
                     help="disable shared-prefix admission (prefill the "
                          "prompt per request instead of once)")
+    ap.add_argument("--spec-lookup", type=int, default=0,
+                    help="speculative serving: prompt-lookup verify chunks "
+                         "with K drafted tokens per lane per step (implies "
+                         "greedy decoding; amortizes the M=1 decode-"
+                         "attention MXU floor over K+1 positions)")
+    ap.add_argument("--spec-ngram", type=int, default=2)
     args = ap.parse_args()
     if args.quant == "none" and args.act_quant:
         ap.error("--act-quant requires quantized weights (--quant int8 -> "
@@ -117,8 +123,11 @@ def main():
 
     log("devices:", jax.devices())
     import dataclasses
+    # cache slack past prompt+budget: a chunk of ring overshoot (plain) or
+    # the K+1 in-flight verify rows (speculative serving)
+    slack = (args.spec_lookup + 1) if args.spec_lookup else args.steps_per_sync
     if args.size == "7b":
-        llm_cfg = LLMConfig(max_seq_len=args.prompt_len + args.new_tokens + args.steps_per_sync)
+        llm_cfg = LLMConfig(max_seq_len=args.prompt_len + args.new_tokens + slack)
         vit_cfg = dataclasses.replace(CTViTConfig(), pallas_patchify=True,
                                       flash_axial=True)
         pre_cfg = PreprocessConfig.train()
@@ -179,8 +188,11 @@ def main():
             shapes)
         formats = negotiate_param_formats(
             model, shapes, num_lanes=args.lanes,
-            max_len=args.prompt_len + args.new_tokens + args.steps_per_sync,
-            steps_per_sync=args.steps_per_sync)
+            max_len=args.prompt_len + args.new_tokens + slack,
+            steps_per_sync=args.steps_per_sync,
+            greedy=bool(args.spec_lookup),
+            spec_lookup=args.spec_lookup or None,
+            spec_ngram=args.spec_ngram)
         log(f"layout negotiation (AOT): {time.time()-t0:.1f}s")
         t0 = time.time()
     params = device_params(shapes, force_dtype=jnp.bfloat16, formats=formats)
@@ -197,8 +209,10 @@ def main():
 
     batcher = ContinuousBatcher(
         model, params, num_lanes=args.lanes,
-        max_len=args.prompt_len + args.new_tokens + args.steps_per_sync,
+        max_len=args.prompt_len + args.new_tokens + slack,
         eos_token_id=2, temperature=0.7, steps_per_sync=args.steps_per_sync,
+        greedy=bool(args.spec_lookup),
+        spec_lookup=args.spec_lookup or None, spec_ngram=args.spec_ngram,
         cache_dtype=jnp.bfloat16)
 
     loader = NativeLoader(num_threads=4)

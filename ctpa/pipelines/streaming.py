@@ -36,7 +36,7 @@ import numpy as np
 
 from ctpa.core.config import LLMConfig
 from ctpa.models.llm import KVCache, align_lane_to_clock, insert_lane
-from ctpa.models.report_generator import CTReportGenerator
+from ctpa.models.report_generator import CTReportGenerator, _draft_lookup
 from ctpa.ops.sampling import sample_logits
 
 
@@ -137,6 +137,90 @@ def _decode_fns(model: CTReportGenerator, *, eos_token_id: int,
     return prefill, decode_chunk, prefix_prefill, first_token
 
 
+def _spec_fns(model: CTReportGenerator, *, eos_token_id: int, K: int,
+              ngram: int, steps_per_sync: int):
+    """Speculative verify chunk for the serving batcher (spec_lookup mode).
+
+    Each of the `steps_per_sync` steps runs generate_speculative's verify
+    body over ALL lanes: draft K tokens per lane from its token history
+    (prompt-lookup, _draft_lookup), run ONE cached forward over
+    (pending_token, draft) = K+1 positions, accept the greedy-matching
+    prefix, roll back rejected rows.  Decode attention at n=1 is bound by
+    the MXU's M=1 tile-pass fill latency (ops/pallas/decode_attention.py
+    module docstring) and the weight read — both amortize over the K+1
+    verify positions, so every accepted draft token is a nearly-free step.
+
+    Unlike the plain ring path, acceptance lengths diverge across lanes, so
+    write offsets are PER-LANE (the scatter write path, no ring clock) and
+    each lane's window `prompt + max_new + K + 1` must fit max_len without
+    wrapping (slot-order causality is what makes the n>1 verify mask valid,
+    models/llm.py).  Greedy only — exactness of lookup verification is a
+    greedy-decode property."""
+
+    def spec_chunk(params, cache, tok, vision, done, buf, cur_len, remaining):
+        lanes = tok.shape[0]
+        Lbuf = buf.shape[1]
+        rows = jnp.arange(lanes)[:, None]
+        idx = jnp.arange(K + 1)[None, :]
+        entry = tok
+        done = done | (tok == eos_token_id)
+
+        def body(carry, _):
+            cache, tok, done, buf, cur_len, remaining = carry
+            draft = jax.vmap(
+                lambda bf, cl, fb: _draft_lookup(bf, cl, fb, ngram, K)
+            )(buf, cur_len, tok)
+            tokens_in = jnp.concatenate([tok[:, None], draft], axis=1)
+            pre_off, pre_tl = cache.write_offset, cache.true_len
+            _, hidden, c2 = model.apply(
+                params, tokens_in, None, cache,
+                method=lambda m, i, a, c: m.llm(i, a, cache=c))
+            g = jnp.argmax(
+                model.apply(params, hidden, vision,
+                            method=lambda m, hh, vv: m._fused_logits(hh, vv)),
+                axis=-1).astype(jnp.int32)                      # (lanes, K+1)
+            match = (draft == g[:, :K]).astype(jnp.int32)
+            a = jnp.cumprod(match, axis=1).sum(axis=1)          # accepted
+            eos_hit = (g == eos_token_id) & (idx <= a[:, None])
+            has_eos = jnp.any(eos_hit, axis=1)
+            first_eos = jnp.argmax(eos_hit, axis=1)
+            c = jnp.where(has_eos, first_eos + 1, a + 1)        # committed
+            c = jnp.where(done, 0, c)
+            c_emit = jnp.minimum(c, remaining)                  # budget clamp
+            m_slots = c2.k.shape[3]
+            sl = jnp.arange(m_slots)[None, :]
+            rolled = ((sl >= (pre_off + c)[:, None])
+                      & (sl < (pre_off + K + 1)[:, None]))
+            cache = KVCache(
+                k=c2.k, v=c2.v, write_offset=pre_off + c,
+                true_len=pre_tl + c, valid=c2.valid & ~rolled,
+                k_scale=c2.k_scale, v_scale=c2.v_scale)
+            emit_ok = (idx < c_emit[:, None]) & ~done[:, None]
+            buf = buf.at[rows, jnp.where(emit_ok, cur_len[:, None] + idx,
+                                         Lbuf)].set(g, mode="drop")
+            nxt = jnp.take_along_axis(
+                g, jnp.clip(c - 1, 0, K)[:, None], axis=1)[:, 0]
+            tok = jnp.where(done, tok, nxt)
+            remaining = remaining - c_emit
+            done = done | has_eos | (remaining <= 0)
+            packed = jnp.concatenate([c_emit[:, None], g], axis=1)  # (lanes, K+2)
+            return (cache, tok, done, buf, cur_len + c_emit, remaining), packed
+
+        (cache, tok, done, buf, cur_len, remaining), packed = jax.lax.scan(
+            body, (cache, tok, done, buf, cur_len, remaining),
+            None, length=steps_per_sync)
+        # one-fetch wire format (the relay costs ~35 ms/fetch): row 0 is the
+        # entry pending token per lane (consumed by freshly-admitted lanes),
+        # then steps_per_sync blocks of K+2 rows: [emit_count, g_0..g_K]
+        wire = jnp.concatenate(
+            [entry[None, :],
+             packed.transpose(0, 2, 1).reshape(steps_per_sync * (K + 2), lanes)],
+            axis=0)
+        return wire, cache, tok, done, buf, cur_len, remaining
+
+    return spec_chunk
+
+
 def negotiate_param_formats(
     model: CTReportGenerator,
     param_shapes,
@@ -150,6 +234,8 @@ def negotiate_param_formats(
     pad_token_id: int = 0,
     top_k: Optional[int] = None,
     top_p: Optional[float] = None,
+    spec_lookup: Optional[int] = None,
+    spec_ngram: int = 2,
 ):
     """AOT-lower the decode-chunk program with AUTO parameter layouts and
     return the negotiated formats pytree (compile is chipless).
@@ -166,16 +252,35 @@ def negotiate_param_formats(
     # Specialize with the SAME eos/pad/sampling constants the batcher will
     # serve with — a differently-specialized program could negotiate layouts
     # that reintroduce the in-program copies this function exists to avoid.
-    _, decode_chunk, _, _ = _decode_fns(
-        model, eos_token_id=eos_token_id, pad_token_id=pad_token_id,
-        temperature=temperature, greedy=greedy, steps_per_sync=steps_per_sync,
-        top_k=top_k, top_p=top_p)
-
     cache_s = jax.eval_shape(
         lambda: KVCache.create(model.llm_cfg, num_lanes, max_len, dtype=cache_dtype))
     vdim = model.gen_cfg.vision_dim
     sds = jax.ShapeDtypeStruct
     auto = jax.tree.map(lambda _: Format(Layout.AUTO), param_shapes)
+    if spec_lookup:
+        # spec serving's hot program is the verify chunk, not decode_chunk
+        spec_chunk = _spec_fns(model, eos_token_id=eos_token_id,
+                               K=int(spec_lookup), ngram=int(spec_ngram),
+                               steps_per_sync=steps_per_sync)
+        compiled = jax.jit(
+            spec_chunk,
+            in_shardings=(auto,) + (None,) * 7,
+            donate_argnums=(1, 5),
+        ).lower(
+            param_shapes, cache_s,
+            sds((num_lanes,), jnp.int32),
+            sds((num_lanes, vdim), jnp.float32),
+            sds((num_lanes,), jnp.bool_),
+            sds((num_lanes, max_len), jnp.int32),
+            sds((num_lanes,), jnp.int32),
+            sds((num_lanes,), jnp.int32),
+        ).compile()
+        return compiled.input_formats[0][0]
+    _, decode_chunk, _, _ = _decode_fns(
+        model, eos_token_id=eos_token_id, pad_token_id=pad_token_id,
+        temperature=temperature, greedy=greedy, steps_per_sync=steps_per_sync,
+        top_k=top_k, top_p=top_p)
+
     compiled = jax.jit(
         decode_chunk, in_shardings=(auto, None, None, None, None, None),
         donate_argnums=(1,),
@@ -208,6 +313,8 @@ class ContinuousBatcher:
         mesh=None,
         top_k: Optional[int] = None,
         top_p: Optional[float] = None,
+        spec_lookup: Optional[int] = None,
+        spec_ngram: int = 2,
     ):
         """steps_per_sync > 1 enables multi-step scheduling: K decode steps
         run as one compiled lax.scan between host syncs.  Essential on
@@ -221,7 +328,13 @@ class ContinuousBatcher:
         the KV cache over its kv-head axis, so one batcher spans the whole
         slice — the memory/latency path to models that exceed a single chip.
         Output shardings of the decode/insert programs are pinned to the
-        cache's sharding so the donated cache round-trips without resharding."""
+        cache's sharding so the donated cache round-trips without resharding.
+
+        `spec_lookup=K` turns every decode step into a prompt-lookup
+        speculative VERIFY over K drafted tokens per lane (_spec_fns):
+        greedy-exact, per-lane write offsets instead of the ring clock, and
+        each accepted draft token amortizes the step's weight-read + M=1
+        attention cost.  Requires greedy=True."""
         self.model = model
         self.params = params
         self.cfg: LLMConfig = model.llm_cfg
@@ -294,6 +407,48 @@ class ContinuousBatcher:
             lambda big, lane, idx, clock: insert_lane(
                 big, align_lane_to_clock(lane, clock), idx),
             donate_argnums=(0,), **ins_kw)
+
+        self.spec_lookup = spec_lookup
+        self.spec_ngram = spec_ngram
+        if spec_lookup:
+            if not greedy:
+                raise ValueError(
+                    "spec_lookup requires greedy=True: prompt-lookup "
+                    "verification is exact only for greedy decode (sampling "
+                    "would need rejection sampling to stay unbiased)")
+            spec_chunk = _spec_fns(
+                model, eos_token_id=self.eos, K=int(spec_lookup),
+                ngram=int(spec_ngram), steps_per_sync=self.steps_per_sync)
+            spec_kw, pins_kw = {}, {}
+            if mesh is not None:
+                # rep / cache_sh were built in the mesh branch above
+                spec_kw = {"out_shardings": (rep, cache_sh, rep, rep,
+                                             rep, rep, rep)}
+                pins_kw = {"out_shardings": cache_sh}
+            self._spec_chunk = jax.jit(spec_chunk, donate_argnums=(1, 5),
+                                       **spec_kw)
+            # plain insert: spec lanes keep their own slot-ordered offsets
+            # (no ring-clock alignment — the n>1 verify mask needs slot
+            # order == token order, models/llm.py)
+            self._insert_plain = jax.jit(insert_lane, donate_argnums=(0,),
+                                         **pins_kw)
+            # per-lane token history (prompt + emissions, contiguous from 0)
+            # for the draft lookup, and in-program budget mirrors
+            self.buf = jnp.zeros((num_lanes, max_len), jnp.int32)
+            self.cur_len = jnp.zeros((num_lanes,), jnp.int32)
+            self.remaining = jnp.zeros((num_lanes,), jnp.int32)
+
+            def admit_state(buf, cur_len, remaining, cur_tok, lane, row,
+                            plen, first, max_new):
+                buf = jax.lax.dynamic_update_slice(buf, row[None, :], (lane, 0))
+                buf = buf.at[lane, plen].set(first[0])
+                cur_len = cur_len.at[lane].set(plen + 1)
+                # the device-sampled first token consumes one budget unit
+                remaining = remaining.at[lane].set(max_new - 1)
+                cur_tok = cur_tok.at[lane].set(first[0])
+                return buf, cur_len, remaining, cur_tok
+
+            self._admit_state = jax.jit(admit_state)
         # unwrapped global decode clock: every lane's write_offset equals it
         # at all times (initial zeros == clock 0; decode chunks advance all
         # lanes together; admissions stamp the lane with the current clock),
@@ -313,12 +468,17 @@ class ContinuousBatcher:
         the prompt — which is every request of the report-generation serving
         pipeline (the reference uses one fixed prompt per scan too,
         data_utils.py:40, ct_scan_inference.py:150)."""
-        ids = jnp.asarray(np.asarray(input_ids)[None], jnp.int32)
-        mask = jnp.asarray(np.asarray(attention_mask)[None], jnp.int32)
+        ids_np = np.asarray(input_ids, np.int32)
+        mask_np = np.asarray(attention_mask)
+        ids = jnp.asarray(ids_np[None], jnp.int32)
+        mask = jnp.asarray(mask_np[None], jnp.int32)
         lane_cache = KVCache.create(self.cfg, 1, self.max_len,
                                     dtype=self.cache.k.dtype)
         h, lane_cache = self._prefix_prefill(self.params, ids, mask, lane_cache)
-        self._prefix = (h, lane_cache, int(np.asarray(mask).sum()))
+        # (last hidden, prefilled lane cache, PADDED slot count the prefill
+        # consumed, real token count, prompt ids for the spec history buffer)
+        self._prefix = (h, lane_cache, int(ids_np.size),
+                        int(mask_np.sum()), ids_np)
 
     def submit(self, req: Request) -> int:
         if req.input_ids is None and self._prefix is None:
@@ -326,19 +486,31 @@ class ContinuousBatcher:
                              "prefix is registered (set_shared_prefix)")
         prompt_len = (self._prefix[2] if req.input_ids is None
                       else int(np.size(req.input_ids)))
-        # ring-buffer safety: a lane's live slot window is its padded prompt
-        # plus its token budget plus up-to-a-chunk of overshoot (a lane
-        # finishing mid-chunk keeps writing garbage rows until the chunk
-        # ends); the window must fit the cache or the ring would overwrite
-        # the lane's own live KV
-        window = prompt_len + req.max_new_tokens + self.steps_per_sync
-        if window > self.max_len:
-            raise ValueError(
-                f"prompt ({prompt_len}) + max_new_tokens "
-                f"({req.max_new_tokens}) + steps_per_sync "
-                f"({self.steps_per_sync}) = {window} exceeds max_len "
-                f"{self.max_len}: the lane's ring window would wrap onto "
-                f"its own live KV")
+        if self.spec_lookup:
+            # spec lanes never wrap: offsets are per-lane and slot order
+            # must equal token order for the n>1 verify mask.  Window =
+            # padded prompt + committed budget + K+1 in-flight verify rows.
+            window = prompt_len + req.max_new_tokens + self.spec_lookup + 1
+            if window > self.max_len:
+                raise ValueError(
+                    f"prompt ({prompt_len}) + max_new_tokens "
+                    f"({req.max_new_tokens}) + draft window "
+                    f"({self.spec_lookup + 1}) = {window} exceeds max_len "
+                    f"{self.max_len}")
+        else:
+            # ring-buffer safety: a lane's live slot window is its padded
+            # prompt plus its token budget plus up-to-a-chunk of overshoot
+            # (a lane finishing mid-chunk keeps writing garbage rows until
+            # the chunk ends); the window must fit the cache or the ring
+            # would overwrite the lane's own live KV
+            window = prompt_len + req.max_new_tokens + self.steps_per_sync
+            if window > self.max_len:
+                raise ValueError(
+                    f"prompt ({prompt_len}) + max_new_tokens "
+                    f"({req.max_new_tokens}) + steps_per_sync "
+                    f"({self.steps_per_sync}) = {window} exceeds max_len "
+                    f"{self.max_len}: the lane's ring window would wrap onto "
+                    f"its own live KV")
         self.results[req.request_id] = Result(req.request_id)
         self._t_start[req.request_id] = time.time()
         self.queue.append(req)
@@ -350,6 +522,8 @@ class ContinuousBatcher:
         host sync; returns request ids finished during the chunk."""
         if not self.active.any():
             return []
+        if self.spec_lookup:
+            return self._step_spec()
         self.rng, key = jax.random.split(self.rng)
         done0 = jnp.asarray(~self.active)
         toks_dev, self.cache, self.cur_tok, _ = self._decode_chunk(
@@ -385,6 +559,51 @@ class ContinuousBatcher:
             self._fill_lanes()
         return finished
 
+    def _step_spec(self) -> list[int]:
+        """Speculative chunk: up to steps_per_sync verify steps, each
+        emitting 1..K+1 tokens per lane, one host fetch (wire format in
+        _spec_fns)."""
+        done0 = jnp.asarray(~self.active)
+        (wire, self.cache, self.cur_tok, _, self.buf, self.cur_len,
+         self.remaining) = self._spec_chunk(
+            self.params, self.cache, self.cur_tok, self.vision, done0,
+            self.buf, self.cur_len, self.remaining)
+        w = np.asarray(wire)                              # one fetch
+        K, S = self.spec_lookup, self.steps_per_sync
+        entry, rest = w[0], w[1:].reshape(S, K + 2, self.num_lanes)
+        finished = []
+        for lane in range(self.num_lanes):
+            if not self.active[lane]:
+                continue
+            req = self.lane_req[lane]
+            res = self.results[req.request_id]
+
+            def consume(t, lane=lane, req=req, res=res):
+                self.budget[lane] -= 1
+                hit_eos = t == self.eos
+                if not hit_eos:
+                    res.tokens.append(t)
+                if hit_eos or self.budget[lane] <= 0:
+                    res.finished = True
+                    res.latency_s = time.time() - self._t_start[req.request_id]
+                    finished.append(req.request_id)
+                    self.active[lane] = False
+                    self.lane_req[lane] = None
+
+            if self._first_pending[lane]:
+                self._first_pending[lane] = False
+                consume(int(entry[lane]))
+            for s in range(S):
+                if res.finished:
+                    break
+                for k in range(int(rest[s, 0, lane])):
+                    if res.finished:
+                        break
+                    consume(int(rest[s, 1 + k, lane]))
+        if finished:
+            self._fill_lanes()
+        return finished
+
     def run_until_done(self, max_steps: int = 100000) -> dict[int, Result]:
         steps = 0
         while (self.active.any() or self.queue) and steps < max_steps:
@@ -413,19 +632,33 @@ class ContinuousBatcher:
                 # shared-prefix admission: the prompt KV + last hidden were
                 # prefilled once (set_shared_prefix); per-request work is one
                 # fused-logits sample and the lane insert
-                h, lane_cache, _ = self._prefix
+                h, lane_cache, _, plen, ids_np = self._prefix
                 first = self._first_token(self.params, h, vis, key)
             else:
-                ids = jnp.asarray(req.input_ids[None], jnp.int32)
+                ids_np = np.asarray(req.input_ids, np.int32)
+                plen = int(np.asarray(req.attention_mask).sum())
+                ids = jnp.asarray(ids_np[None], jnp.int32)
                 mask = jnp.asarray(req.attention_mask[None], jnp.int32)
                 lane_cache = KVCache.create(self.cfg, 1, self.max_len,
                                             dtype=self.cache.k.dtype)
                 first, lane_cache = self._prefill(
                     self.params, ids, mask, vis, lane_cache, key)
-            self.cache = self._insert(self.cache, lane_cache, lane,
-                                      jnp.asarray(self.clock, jnp.int32))
+            if self.spec_lookup:
+                # per-lane offsets, slot order == token order: plain insert,
+                # and the lane's history buffer seeds the draft lookup
+                self.cache = self._insert_plain(self.cache, lane_cache, lane)
+                row = np.zeros((self.max_len,), np.int32)
+                row[: ids_np.size] = ids_np
+                (self.buf, self.cur_len, self.remaining,
+                 self.cur_tok) = self._admit_state(
+                    self.buf, self.cur_len, self.remaining, self.cur_tok,
+                    lane, jnp.asarray(row), plen, first,
+                    req.max_new_tokens)
+            else:
+                self.cache = self._insert(self.cache, lane_cache, lane,
+                                          jnp.asarray(self.clock, jnp.int32))
+                self.cur_tok = self.cur_tok.at[lane].set(first[0])
             self.vision = self.vision.at[lane].set(vis[0])
-            self.cur_tok = self.cur_tok.at[lane].set(first[0])
             self.active[lane] = True
             self._first_pending[lane] = True
             self.budget[lane] = req.max_new_tokens
