@@ -44,6 +44,7 @@ def generate_responses(
     temperature: float = 0.7,
     greedy: bool = False,
     spec_lookup: int = 0,
+    spec_serve: int = 0,
     visualize_dir: str | None = None,
     top_k: int | None = None,
     top_p: float | None = None,
@@ -54,7 +55,9 @@ def generate_responses(
     ``spec_lookup > 0`` switches to the latency tier: one request at a time
     through greedy prompt-lookup speculative decoding with that many draft
     tokens (CTReportGenerator.generate_speculative — exact greedy outputs in
-    fewer model forwards; formulaic report text accepts often)."""
+    fewer model forwards; formulaic report text accepts often).
+    ``spec_serve > 0`` keeps the batched serving path but speculates INSIDE
+    the batcher (ContinuousBatcher(spec_lookup=...), greedy-exact)."""
     if spec_lookup:
         eos = tokenizer.sep_token_id or 2
 
@@ -93,9 +96,10 @@ def generate_responses(
 
     batcher = ContinuousBatcher(
         model, params, num_lanes=num_lanes,
-        max_len=prompt_len + max_new_tokens + 8,
+        max_len=prompt_len + max_new_tokens + max(8, spec_serve + 1),
         eos_token_id=tokenizer.sep_token_id or 2,
-        temperature=temperature, greedy=greedy, top_k=top_k, top_p=top_p,
+        temperature=temperature, greedy=greedy or bool(spec_serve),
+        top_k=top_k, top_p=top_p, spec_lookup=spec_serve or None,
     )
     records = []
     for i, item in enumerate(items):
@@ -151,6 +155,10 @@ def main(argv=None):
                    help="latency tier: greedy prompt-lookup speculative "
                         "decoding with K draft tokens, one request at a "
                         "time (exact greedy outputs in fewer forwards)")
+    p.add_argument("--spec-serve", type=int, default=0, metavar="K",
+                   help="throughput tier: speculative verify chunks INSIDE "
+                        "the continuous batcher (greedy-exact; implies "
+                        "--greedy)")
     p.add_argument("--visualize", action="store_true")
     p.add_argument("--max-samples", type=int, default=0)
     p.add_argument("--tiny", action="store_true")
@@ -180,6 +188,12 @@ def main(argv=None):
     if args.speculative and (args.top_k or args.top_p):
         p.error("--speculative is greedy-only (draft verification relies on "
                 "argmax identity); drop --top-k/--top-p")
+    if args.spec_serve and (args.top_k or args.top_p):
+        p.error("--spec-serve is greedy-only (draft verification relies on "
+                "argmax identity); drop --top-k/--top-p")
+    if args.spec_serve and args.speculative:
+        p.error("pass at most one of --speculative (latency tier) / "
+                "--spec-serve (throughput tier)")
     if bool(args.serving_bundle) == bool(args.checkpoint_dir):
         p.error("pass exactly one of --checkpoint-dir / --serving-bundle")
     if args.serving_bundle and (args.quant != "none" or args.act_quant):
@@ -250,7 +264,7 @@ def main(argv=None):
         max_new_tokens=args.max_new_tokens, num_lanes=args.num_lanes,
         temperature=args.temperature, greedy=args.greedy,
         top_k=args.top_k or None, top_p=args.top_p or None,
-        spec_lookup=args.speculative,
+        spec_lookup=args.speculative, spec_serve=args.spec_serve,
         visualize_dir=f"{args.out_dir}/viz" if args.visualize else None)
 
     metrics = NLGEvaluator().evaluate(

@@ -199,6 +199,56 @@ def test_spec_batcher_window_check(rg):
                                vision=vision, max_new_tokens=8))
 
 
+def test_generate_report_cli_spec_serve(rg, tmp_path):
+    """CLI drive: --spec-serve must reproduce the plain --greedy batcher's
+    predictions exactly (same checkpoint, same dataset)."""
+    import json
+    import os
+
+    from ctpa.cli.generate_report import main as gen_main
+    from ctpa.core.checkpoint import CheckpointManager
+    from ctpa.core.config import ReportGenConfig as RGC
+
+    # gen_main --tiny builds CTReportGenerator(tiny, tiny, ReportGenConfig())
+    model = CTReportGenerator(LLM, VIT, RGC())
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(rng.normal(
+        size=(1, 1, VIT.temporal_size, VIT.image_size, VIT.image_size)),
+        jnp.float32)
+    ids = jnp.asarray(rng.integers(1, LLM.vocab_size, size=(1, 6)), jnp.int32)
+    params = model.init(jax.random.key(0), video, ids, jnp.ones_like(ids))
+    ckpt_dir = str(tmp_path / "ckpt")
+    mgr = CheckpointManager(ckpt_dir)
+    mgr.save(1, {"params": params, "step": 1})
+    mgr.wait()
+
+    items = []
+    for i in range(3):
+        vol_path = str(tmp_path / f"vol{i}.npz")
+        np.savez(vol_path, arr_0=rng.normal(
+            size=(VIT.temporal_size, VIT.image_size, VIT.image_size)
+        ).astype(np.float32))
+        items.append({"image_path": vol_path, "report": f"clean lungs {i}"})
+    jsonl = str(tmp_path / "data.jsonl")
+    with open(jsonl, "w") as f:
+        for it in items:
+            f.write(json.dumps(it) + "\n")
+
+    def run(extra, out):
+        rc = gen_main(["--jsonl", jsonl, "--checkpoint-dir", ckpt_dir,
+                       "--tiny", "--max-new-tokens", "6", "--num-lanes", "2",
+                       "--lora-rank", "0",
+                       "--out-dir", str(tmp_path / out)] + extra)
+        assert rc == 0
+        res = json.load(open(os.path.join(str(tmp_path / out),
+                                          "evaluation_results.json")))
+        return [s["prediction"] for s in res["samples"]]
+
+    plain = run(["--greedy"], "out_plain")
+    spec = run(["--spec-serve", "3"], "out_spec")
+    assert plain == spec
+
+
 def test_spec_batcher_int8_kv(rg):
     """spec serving composes with the int8 KV cache (scales roll back with
     the rejected rows)."""
