@@ -405,36 +405,43 @@ class LlamaAttention(nn.Module):
             k_full = k.transpose(0, 2, 1, 3)
             v_full = v.transpose(0, 2, 1, 3)
 
-        # GQA: repeat kv heads (head axis 1 in the head-major layout)
         rep = h // kvh
-        if rep > 1:
-            k_full = jnp.repeat(k_full, rep, axis=1)
-            v_full = jnp.repeat(v_full, rep, axis=1)
-            if k_sc is not None:
-                k_sc = jnp.repeat(k_sc, rep, axis=1)
-                v_sc = jnp.repeat(v_sc, rep, axis=1)
-
         if self.use_flash and cache_k is None:
             from ctpa.ops.pallas.flash_attention import flash_attention
 
+            # the flash kernel wants equal q/kv head counts; repeat is cheap
+            # here (fresh per-block K/V, no cache slice behind it)
+            if rep > 1:
+                k_full = jnp.repeat(k_full, rep, axis=1)
+                v_full = jnp.repeat(v_full, rep, axis=1)
             out = flash_attention(
                 q.transpose(0, 2, 1, 3), k_full, v_full,
                 causal=True, kv_mask=key_mask,
                 scale=float(1.0 / hd ** 0.5),
             ).transpose(0, 2, 1, 3).reshape(b, n, h * hd).astype(x.dtype)
         else:
-            sim = jnp.einsum("bnhd,bhmd->bhnm", q, k_full,
+            # grouped-query attention: q heads are folded to (kv-head, rep)
+            # so both dots contract against the UN-repeated K/V.  At serving
+            # context the repeated copies are the dominant per-step HBM
+            # write (rep=4x the cache slice, materialized every layer every
+            # step); the grouped einsum keeps the per-layer K/V operand at
+            # cache size.  q head g*rep + r attends kv head g — the same
+            # pairing as jnp.repeat(kv, rep, axis=1).
+            qg = q.reshape(b, n, kvh, rep, hd)
+            sim = jnp.einsum("bngrd,bgmd->bgrnm", qg, k_full,
                              preferred_element_type=jnp.float32) / jnp.sqrt(hd)
             if k_sc is not None:
-                sim = sim * k_sc[:, :, None, :]
+                sim = sim * k_sc[:, :, None, None, :]
             neg = jnp.finfo(jnp.float32).min
             if attn_mask is not None:
-                sim = jnp.where(attn_mask, sim, neg)
+                # (b, 1, n, m) -> (b, 1, 1, n, m): broadcast over (g, r)
+                sim = jnp.where(attn_mask[:, :, None], sim, neg)
             attn = jax.nn.softmax(sim, axis=-1)
             if v_sc is not None:
-                attn = attn * v_sc[:, :, None, :]
+                attn = attn * v_sc[:, :, None, None, :]
             attn = attn.astype(v_full.dtype)
-            out = jnp.einsum("bhnm,bhmd->bnhd", attn, v_full).reshape(b, n, h * hd)
+            out = jnp.einsum("bgrnm,bgmd->bngrd", attn,
+                             v_full).reshape(b, n, h * hd)
         out = _proj(c, c.hidden_size, "o_proj", self.dtype, self.lora,
                     "o_proj")(out)
         return out, cache_k, cache_v
