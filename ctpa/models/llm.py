@@ -421,12 +421,13 @@ class LlamaAttention(nn.Module):
             ).transpose(0, 2, 1, 3).reshape(b, n, h * hd).astype(x.dtype)
         else:
             # grouped-query attention: q heads are folded to (kv-head, rep)
-            # so both dots contract against the UN-repeated K/V.  At serving
-            # context the repeated copies are the dominant per-step HBM
-            # write (rep=4x the cache slice, materialized every layer every
-            # step); the grouped einsum keeps the per-layer K/V operand at
-            # cache size.  q head g*rep + r attends kv head g — the same
-            # pairing as jnp.repeat(kv, rep, axis=1).
+            # so both dots contract against the UN-repeated K/V.  For GQA
+            # geometries (rep > 1, e.g. llama-3-style kv_heads=8) this keeps
+            # the per-layer K/V operand at cache size instead of
+            # materializing rep× copies per layer per step; at Meditron-7B
+            # (llama-2 geometry) kv_heads == heads so rep == 1 and this path
+            # is identical to the plain einsum.  q head g*rep + r attends kv
+            # head g — the same pairing as jnp.repeat(kv, rep, axis=1).
             qg = q.reshape(b, n, kvh, rep, hd)
             sim = jnp.einsum("bngrd,bgmd->bgrnm", qg, k_full,
                              preferred_element_type=jnp.float32) / jnp.sqrt(hd)
@@ -434,7 +435,10 @@ class LlamaAttention(nn.Module):
                 sim = sim * k_sc[:, :, None, None, :]
             neg = jnp.finfo(jnp.float32).min
             if attn_mask is not None:
-                # (b, 1, n, m) -> (b, 1, 1, n, m): broadcast over (g, r)
+                # insert a singleton axis after the mask's own singleton head
+                # axis so it broadcasts over (g, r); covers both mask shapes
+                # ((b, 1, n, m) full, (b, 1, 1, m) from the n==1 cached-
+                # decode producer — n broadcasts too)
                 sim = jnp.where(attn_mask[:, :, None], sim, neg)
             attn = jax.nn.softmax(sim, axis=-1)
             if v_sc is not None:

@@ -3,8 +3,11 @@
 # jnp.repeat of cached K/V) A/B re-baselines.  Historical pre-change rows:
 #   b32 int4 w4a8 + int4-FFN + kv8 : 3325 tok/s (matrix r3b)
 #   b16 prompt-512 int8+ffn+w8a8+kv8 : 769 (token-major) / 747 (head-major)
-# The grouped einsum removes the rep=4x materialized K/V copies per layer
-# per step, the dominant non-roofline HBM traffic at serving context.
+# NOTE (round-4 correction): --size 7b is Meditron/llama-2 geometry with
+# num_kv_heads == num_heads (rep=1), and the pre-change code already skipped
+# jnp.repeat at rep==1 — so these rows A/B a functional no-op at 7B.  The
+# grouped einsum only removes materialized K/V copies for GQA geometries
+# (rep>1, e.g. llama-3-style kv_heads=8); bench those to see the win.
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 run() {
