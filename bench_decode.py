@@ -60,9 +60,11 @@ def main():
     ap.add_argument("--act-quant", action="store_true",
                     help="with --quant int8: w8a8 — dynamic per-token int8 "
                          "activations, native int8 MXU dots (LLMConfig.quant_act)")
-    ap.add_argument("--kv-quant", choices=["none", "int8"], default="none",
-                    help="int8 KV cache (LLMConfig.kv_quant): halves the "
-                         "per-step KV read and the cache footprint")
+    ap.add_argument("--kv-quant", choices=["none", "int8", "int4"],
+                    default="none",
+                    help="quantized KV cache (LLMConfig.kv_quant): int8 "
+                         "halves the per-step KV read and the cache "
+                         "footprint; int4 (group scales) ~3.3x")
     ap.add_argument("--flash-decode", action="store_true",
                     help="fused single-token decode attention pallas kernel "
                          "(LLMConfig.flash_decode)")
@@ -81,6 +83,10 @@ def main():
     ap.add_argument("--spec-repetitive", action="store_true",
                     help="with --spec-lookup: zero the lm_head so argmax is "
                          "constant — every draft accepts (ceiling measurement)")
+    ap.add_argument("--spec-sample", action="store_true",
+                    help="with --spec-lookup: rejection-sampling acceptance "
+                         "at temperature 0.7 (distribution-exact vs plain "
+                         "sampling) instead of greedy verification")
     args = ap.parse_args()
     if args.quant == "none" and args.act_quant:
         ap.error("--act-quant requires quantized weights (--quant int8 -> "
@@ -132,8 +138,8 @@ def main():
         llm_cfg = dataclasses.replace(llm_cfg, weight_quant="int4",
                                       quant_ffn_kernel=args.ffn_kernel,
                                       quant_act=args.act_quant)
-    if args.kv_quant == "int8":
-        llm_cfg = dataclasses.replace(llm_cfg, kv_quant="int8")
+    if args.kv_quant != "none":
+        llm_cfg = dataclasses.replace(llm_cfg, kv_quant=args.kv_quant)
     if args.flash_decode:
         llm_cfg = dataclasses.replace(llm_cfg, flash_decode=True)
     if args.size == "tiny" and jax.default_backend() == "cpu":
@@ -163,9 +169,12 @@ def main():
         f"quant={args.quant})")
 
     if args.spec_lookup:
-        # key is ignored (greedy) but kept so the AOT plumbing below is shared
+        # greedy verification by default; --spec-sample switches to
+        # rejection-sampling acceptance at temperature 0.7 (the key is
+        # unused in greedy mode but kept so the AOT plumbing is shared)
         gen_fn = lambda p, v, i, m, key: model.apply(
             p, v, i, m, NEW, eos_token_id=-1, draft_len=args.spec_lookup,
+            greedy=not args.spec_sample, temperature=0.7, rng=key,
             method=CTReportGenerator.generate_speculative)
     else:
         gen_fn = lambda p, v, i, m, key: model.apply(

@@ -63,6 +63,27 @@ def make_dataset(data_dir: str, n: int, shape, seed: int = 0) -> list[str]:
     return paths
 
 
+def make_dataset_dicom(data_dir: str, n: int, shape, seed: int = 0
+                       ) -> list[str]:
+    """Synthetic Explicit-VR-LE DICOM series directories (one slice file per
+    z, rescale tags slope/intercept, geometric spacing) — BASELINE config
+    5's named ingest format, decoded by data/ingest.load_scan."""
+    from ctpa.data.dicom import save_series
+
+    data_dir = f"{data_dir}_dcm_{'x'.join(map(str, shape))}"
+    rng = np.random.default_rng(seed)
+    dirs = []
+    for i in range(n):
+        d = os.path.join(data_dir, f"series_{i:03d}")
+        if not (os.path.isdir(d) and os.listdir(d)):
+            # stored values; the device HU rescale applies slope/intercept
+            vol = rng.integers(1000, 4000, size=shape).astype(np.int16)
+            save_series(d, vol, spacing=SPACING, slope=SLOPE,
+                        intercept=INTERCEPT)
+        dirs.append(d)
+    return dirs
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -95,9 +116,11 @@ def main():
     ap.add_argument("--act-quant", action="store_true",
                     help="with --quant int8: w8a8 — per-token int8 "
                          "activations, native int8 MXU dots")
-    ap.add_argument("--kv-quant", choices=["none", "int8"], default="none",
-                    help="int8 KV cache: halves the per-step KV read and "
-                         "doubles lane capacity")
+    ap.add_argument("--kv-quant", choices=["none", "int8", "int4"],
+                    default="none",
+                    help="quantized KV cache: int8 halves the per-step KV "
+                         "read and doubles lane capacity; int4 (group "
+                         "scales) ~3.3x")
     ap.add_argument("--flash-decode", action="store_true",
                     help="fused single-token decode attention pallas kernel")
     ap.add_argument("--no-shared-prefix", action="store_true",
@@ -105,10 +128,27 @@ def main():
                          "prompt per request instead of once)")
     ap.add_argument("--spec-lookup", type=int, default=0,
                     help="speculative serving: prompt-lookup verify chunks "
-                         "with K drafted tokens per lane per step (implies "
-                         "greedy decoding; amortizes the M=1 decode-"
-                         "attention MXU floor over K+1 positions)")
+                         "with K drafted tokens per lane per step (greedy "
+                         "verification unless --spec-sample; amortizes the "
+                         "M=1 decode-attention MXU floor over K+1 positions)")
     ap.add_argument("--spec-ngram", type=int, default=2)
+    ap.add_argument("--spec-sample", action="store_true",
+                    help="with --spec-lookup: rejection-sampling acceptance "
+                         "at temperature 0.7 (distribution-exact vs plain "
+                         "sampling) instead of greedy verification")
+    ap.add_argument("--ingest-format", choices=["npz", "dicom"],
+                    default="npz",
+                    help="scan source format: npz via the native C++ "
+                         "loader, or Explicit-VR DICOM series directories "
+                         "via data/ingest (Python thread pool) — BASELINE "
+                         "config 5's named ingest")
+    ap.add_argument("--device-resident", action="store_true",
+                    help="stage all raw volumes in HBM BEFORE the clock "
+                         "starts: measures the pipeline's true "
+                         "encode/decode overlap ceiling on this chip, "
+                         "separated from host decode + tunnel upload "
+                         "(the transport-bound number the default run "
+                         "reports)")
     args = ap.parse_args()
     if args.quant == "none" and args.act_quant:
         ap.error("--act-quant requires quantized weights (--quant int8 -> "
@@ -117,7 +157,7 @@ def main():
         ap.error("--ffn-kernel requires --quant int8 or int4 (fused "
                  "quantized FFN kernels)")
 
-    if not available():
+    if args.ingest_format == "npz" and not available():
         log("native loader unavailable (no g++/zlib)")
         sys.exit(1)
 
@@ -148,8 +188,8 @@ def main():
         llm_cfg = dataclasses.replace(llm_cfg, weight_quant="int4",
                                       quant_ffn_kernel=args.ffn_kernel,
                                       quant_act=args.act_quant)
-    if args.kv_quant == "int8":
-        llm_cfg = dataclasses.replace(llm_cfg, kv_quant="int8")
+    if args.kv_quant != "none":
+        llm_cfg = dataclasses.replace(llm_cfg, kv_quant=args.kv_quant)
     if args.flash_decode:
         llm_cfg = dataclasses.replace(llm_cfg, flash_decode=True)
     if args.size == "tiny" and jax.default_backend() == "cpu":
@@ -163,7 +203,12 @@ def main():
     gen_cfg = ReportGenConfig(vision_dim=512 if args.size == "7b" else 128)
     model = CTReportGenerator(llm_cfg, vit_cfg, gen_cfg, dtype=jnp.bfloat16)
 
-    paths = make_dataset(args.data_dir, args.volumes, raw_shape)
+    if args.ingest_format == "dicom":
+        t0 = time.time()
+        paths = make_dataset_dicom(args.data_dir, args.volumes, raw_shape)
+        log(f"dicom dataset ready: {time.time()-t0:.1f}s")
+    else:
+        paths = make_dataset(args.data_dir, args.volumes, raw_shape)
 
     # ---- params on device (bf16 storage, as the reference loads Meditron) --
     dummy_video = jnp.zeros((1, 1) + pre_cfg.target_shape, jnp.float32)
@@ -190,7 +235,7 @@ def main():
             model, shapes, num_lanes=args.lanes,
             max_len=args.prompt_len + args.new_tokens + slack,
             steps_per_sync=args.steps_per_sync,
-            greedy=bool(args.spec_lookup),
+            greedy=bool(args.spec_lookup) and not args.spec_sample,
             spec_lookup=args.spec_lookup or None,
             spec_ngram=args.spec_ngram)
         log(f"layout negotiation (AOT): {time.time()-t0:.1f}s")
@@ -211,11 +256,30 @@ def main():
         model, params, num_lanes=args.lanes,
         max_len=args.prompt_len + args.new_tokens + slack,
         eos_token_id=2, temperature=0.7, steps_per_sync=args.steps_per_sync,
-        greedy=bool(args.spec_lookup),
+        greedy=bool(args.spec_lookup) and not args.spec_sample,
         spec_lookup=args.spec_lookup or None, spec_ngram=args.spec_ngram,
         cache_dtype=jnp.bfloat16)
 
-    loader = NativeLoader(num_threads=4)
+    # unified host decode: C++ thread-pool loader for npz, Python thread
+    # pool around data/ingest.load_scan for DICOM series (slope/intercept/
+    # spacing come from the series' own rescale tags there)
+    if args.ingest_format == "dicom":
+        from ctpa.data.ingest import load_scan
+
+        loader = None
+
+        def host_load(p):
+            s = load_scan(p)
+            return (np.ascontiguousarray(s["volume"].astype(np.int16)),
+                    float(s["slope"]), float(s["intercept"]),
+                    tuple(float(x) for x in s["spacing"]))
+    else:
+        loader = NativeLoader(num_threads=4)
+
+        def host_load(p):
+            vol, _meta = loader.load(p)
+            return vol.astype(np.int16), SLOPE, INTERCEPT, SPACING
+
     rng = np.random.default_rng(1)
     prompt_ids = rng.integers(3, llm_cfg.vocab_size, size=(args.prompt_len,)
                               ).astype(np.int32)
@@ -230,10 +294,10 @@ def main():
 
     # ---- warm up every compiled program off the clock ----------------------
     t0 = time.time()
-    vol0, meta0 = loader.load(paths[0])
-    raw0 = jax.device_put(vol0.astype(np.int16))
-    v0 = encode(params, raw0, jnp.float32(SLOPE), jnp.float32(INTERCEPT),
-                jnp.asarray(SPACING, jnp.float32))
+    vol0, sl0, ic0, sp0 = host_load(paths[0])
+    raw0 = jax.device_put(vol0)
+    v0 = encode(params, raw0, jnp.float32(sl0), jnp.float32(ic0),
+                jnp.asarray(sp0, jnp.float32))
     batcher.submit(Request(request_id=-1, input_ids=prompt_ids,
                            attention_mask=prompt_mask, vision=v0,
                            max_new_tokens=8))
@@ -248,22 +312,52 @@ def main():
     import queue as _queue
     import threading
 
+    # --device-resident: decode + upload every volume BEFORE the clock so
+    # the measured pipeline is pure device work (encode/decode overlap
+    # ceiling); the default path measures the full transport-bound reality
+    staged = None
+    if args.device_resident:
+        staged = []
+        for p in paths:
+            vol, sl, ic, sp = host_load(p)
+            staged.append((jax.device_put(vol), sl, ic, sp))
+        jax.block_until_ready([s[0] for s in staged])
+        log(f"device-resident: {len(staged)} raw volumes staged in HBM "
+            "(off the clock)")
+
     t_start = time.time()
-    tickets = [loader.submit(p) for p in paths]       # C++ pool decodes ahead
+    if staged is None:
+        if args.ingest_format == "dicom":
+            from concurrent.futures import ThreadPoolExecutor
+
+            dcm_pool = ThreadPoolExecutor(max_workers=4)
+            futs = [dcm_pool.submit(host_load, p) for p in paths]
+
+            def fetch_scan(rid):
+                return futs[rid].result()
+        else:
+            tickets = [loader.submit(p) for p in paths]  # C++ decode-ahead
+
+            def fetch_scan(rid):
+                vol, _meta = loader.fetch(tickets[rid])
+                return vol.astype(np.int16), SLOPE, INTERCEPT, SPACING
     ready: _queue.Queue = _queue.Queue()
     tl = {"fetch": 0.0, "put": 0.0, "enc": 0.0, "step": 0.0, "n_steps": 0}
 
     def ingest():
-        for rid, t in enumerate(tickets):
+        for rid in range(len(paths)):
             t0 = time.time()
-            vol, _meta = loader.fetch(t)              # blocks on C++ decode
-            t1 = time.time()
-            raw = jax.device_put(vol.astype(np.int16))  # half-width HU upload
-            jax.block_until_ready(raw)
-            t2 = time.time()
-            vis = encode(params, raw, jnp.float32(SLOPE),
-                         jnp.float32(INTERCEPT),
-                         jnp.asarray(SPACING, jnp.float32))
+            if staged is not None:
+                raw, sl, ic, sp = staged[rid]
+                t1 = t2 = time.time()
+            else:
+                vol, sl, ic, sp = fetch_scan(rid)     # blocks on host decode
+                t1 = time.time()
+                raw = jax.device_put(vol)             # half-width HU upload
+                jax.block_until_ready(raw)
+                t2 = time.time()
+            vis = encode(params, raw, jnp.float32(sl), jnp.float32(ic),
+                         jnp.asarray(sp, jnp.float32))
             t3 = time.time()
             tl["fetch"] += t1 - t0
             tl["put"] += t2 - t1
@@ -318,8 +412,8 @@ def main():
     enc_t = []
     for i in range(3):
         t0 = time.time()
-        o = encode(params, raw0 + np.int16(i + 1), jnp.float32(SLOPE),
-                   jnp.float32(INTERCEPT), jnp.asarray(SPACING, jnp.float32))
+        o = encode(params, raw0 + np.int16(i + 1), jnp.float32(sl0),
+                   jnp.float32(ic0), jnp.asarray(sp0, jnp.float32))
         _ = np.asarray(o[:1])
         enc_t.append(time.time() - t0 - roundtrip)
     enc_dev = max(float(np.median(enc_t)), 0.0)
@@ -357,6 +451,8 @@ def main():
         "duty_cycle": round(duty, 2),
         "volumes": args.volumes,
         "size": args.size,
+        "ingest_format": args.ingest_format,
+        "device_resident": bool(args.device_resident),
     }))
 
 

@@ -37,7 +37,8 @@ def main(argv=None) -> int:
     p.add_argument("--act-quant", action="store_true",
                    help="record w8a8/w4a8 serving intent (weights are "
                         "identical; stored so the loader enables quant_act)")
-    p.add_argument("--kv-quant", choices=["none", "int8"], default="none")
+    p.add_argument("--kv-quant", choices=["none", "int8", "int4"],
+                   default="none")
     p.add_argument("--flash-decode", action="store_true")
     p.add_argument("--lora-rank", type=int, default=16,
                    help="LoRA rank the checkpoint was trained with (0 = no "

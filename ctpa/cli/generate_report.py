@@ -53,18 +53,22 @@ def generate_responses(
     generate_responses parity, minus the unused-vision bug).
 
     ``spec_lookup > 0`` switches to the latency tier: one request at a time
-    through greedy prompt-lookup speculative decoding with that many draft
-    tokens (CTReportGenerator.generate_speculative — exact greedy outputs in
-    fewer model forwards; formulaic report text accepts often).
-    ``spec_serve > 0`` keeps the batched serving path but speculates INSIDE
-    the batcher (ContinuousBatcher(spec_lookup=...), greedy-exact)."""
+    through prompt-lookup speculative decoding with that many draft tokens
+    (CTReportGenerator.generate_speculative — exact: token-identical to
+    greedy decode under --greedy, distribution-identical to plain sampling
+    otherwise via rejection-sampling acceptance; formulaic report text
+    accepts often).  ``spec_serve > 0`` keeps the batched serving path but
+    speculates INSIDE the batcher (ContinuousBatcher(spec_lookup=...), same
+    exactness)."""
     if spec_lookup:
         eos = tokenizer.sep_token_id or 2
 
         @jax.jit
-        def spec_gen(p, video, ids, mask):
+        def spec_gen(p, video, ids, mask, key):
             return model.apply(p, video, ids, mask, max_new_tokens,
                                eos_token_id=eos, draft_len=spec_lookup,
+                               greedy=greedy, temperature=temperature,
+                               top_k=top_k, top_p=top_p, rng=key,
                                method=CTReportGenerator.generate_speculative)
 
         records = []
@@ -76,7 +80,8 @@ def generate_responses(
             t0 = time.time()
             r = spec_gen(params, video[None].astype(jnp.float32),
                          jnp.asarray(toks["input_ids"][:1], jnp.int32),
-                         jnp.asarray(toks["attention_mask"][:1], jnp.int32))
+                         jnp.asarray(toks["attention_mask"][:1], jnp.int32),
+                         jax.random.fold_in(jax.random.key(0), i))
             n_tok = int(r.lengths[0])
             records.append({
                 "id": i,
@@ -98,7 +103,7 @@ def generate_responses(
         model, params, num_lanes=num_lanes,
         max_len=prompt_len + max_new_tokens + max(8, spec_serve + 1),
         eos_token_id=tokenizer.sep_token_id or 2,
-        temperature=temperature, greedy=greedy or bool(spec_serve),
+        temperature=temperature, greedy=greedy,
         top_k=top_k, top_p=top_p, spec_lookup=spec_serve or None,
     )
     records = []
@@ -152,13 +157,14 @@ def main(argv=None):
                    help="nucleus sampling: smallest token set with "
                         "cumulative probability >= p (0 = off)")
     p.add_argument("--speculative", type=int, default=0, metavar="K",
-                   help="latency tier: greedy prompt-lookup speculative "
-                        "decoding with K draft tokens, one request at a "
-                        "time (exact greedy outputs in fewer forwards)")
+                   help="latency tier: prompt-lookup speculative decoding "
+                        "with K draft tokens, one request at a time — "
+                        "token-exact under --greedy, distribution-exact "
+                        "under sampling (rejection-sampling acceptance)")
     p.add_argument("--spec-serve", type=int, default=0, metavar="K",
                    help="throughput tier: speculative verify chunks INSIDE "
-                        "the continuous batcher (greedy-exact; implies "
-                        "--greedy)")
+                        "the continuous batcher (same exactness as "
+                        "--speculative)")
     p.add_argument("--visualize", action="store_true")
     p.add_argument("--max-samples", type=int, default=0)
     p.add_argument("--tiny", action="store_true")
@@ -185,12 +191,6 @@ def main(argv=None):
     if args.act_quant and args.quant == "none":
         p.error("--act-quant requires quantized weights (--quant int8 -> "
                 "w8a8, --quant int4 -> w4a8)")
-    if args.speculative and (args.top_k or args.top_p):
-        p.error("--speculative is greedy-only (draft verification relies on "
-                "argmax identity); drop --top-k/--top-p")
-    if args.spec_serve and (args.top_k or args.top_p):
-        p.error("--spec-serve is greedy-only (draft verification relies on "
-                "argmax identity); drop --top-k/--top-p")
     if args.spec_serve and args.speculative:
         p.error("pass at most one of --speculative (latency tier) / "
                 "--spec-serve (throughput tier)")

@@ -225,11 +225,18 @@ class LLMConfig:
     # dequant — the weight-only kernel's binder at large decode batch.
     # Serving-time flag only; weight storage / quantize_tree are unchanged.
     quant_act: bool = False
-    # int8 KV cache: rows are quantized at write time (symmetric absmax per
-    # token per kv-head over head_dim) and the scales fold exactly into the
-    # attention einsums — halves the per-step KV read (the dominant HBM
-    # traffic at long serving contexts) and doubles lane capacity per chip.
-    kv_quant: Optional[str] = None       # None | "int8"
+    # Quantized KV cache: rows are quantized at write time and the scales
+    # fold exactly into the attention einsums — cuts the per-step KV read
+    # (the dominant HBM traffic at long serving contexts) and multiplies
+    # lane capacity per chip.
+    #   "int8": symmetric absmax per (token, kv-head) over head_dim; 2x.
+    #   "int4": nibble-packed pairs with symmetric absmax per contiguous
+    #           kv_quant_group elements of head_dim (ops/quant.
+    #           quantize_kv_int4) — ~3.3x at group 32 incl. scales; group
+    #           (not whole-head) scales keep the 15-level grid usable.
+    kv_quant: Optional[str] = None       # None | "int8" | "int4"
+    # head_dim elements sharing one int4 scale (rounded down to a divisor)
+    kv_quant_group: int = 32
     # fused single-token decode attention (ops/pallas/decode_attention.py):
     # one pallas launch per layer reads each K/V cache byte exactly once
     # (int8 scales folded in-kernel, GQA repeat in-kernel) instead of the

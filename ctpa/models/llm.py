@@ -176,16 +176,22 @@ class KVCache(NamedTuple):
     continuous batching possible (lanes at different depths).  `true_len`
     (b,) counts REAL tokens per sequence and drives RoPE positions; with
     right-padded prompts the pad writes land in slots marked invalid and are
-    never attended."""
+    never attended.
 
-    k: jax.Array            # (layers, b, kv_heads, max_len, head_dim)
+    Quantized caches (cfg.kv_quant): int8 stores int8 rows with
+    per-(kv-head, token) absmax scales (L, b, kvh, m); int4 stores
+    nibble-packed rows (head_dim/2 bytes) with per-(kv-head, token,
+    head_dim-group) scales (L, b, kvh, m, hd/group) — ops/quant.
+    quantize_kv_int4.  Every slot-axis operation below (align, insert,
+    rollback) treats scales by their m axis (3), which both ranks share."""
+
+    k: jax.Array            # (layers, b, kv_heads, max_len, head_dim[/2])
     v: jax.Array
     write_offset: jax.Array  # (b,) int32 next free slot per sequence
     true_len: jax.Array      # (b,) real-token count per sequence
     valid: jax.Array         # (b, max_len) slot holds a real token's kv
-    # int8 KV (cfg.kv_quant == "int8"): k/v store int8 rows and these hold
-    # the per-(kv-head, token) absmax scales; None for full-precision caches
-    k_scale: Optional[jax.Array] = None   # (layers, b, kv_heads, max_len) f32
+    # quantized KV scales (see class docstring); None for fp caches
+    k_scale: Optional[jax.Array] = None   # (L, b, kvh, max_len[, groups]) f32
     v_scale: Optional[jax.Array] = None
 
     @classmethod
@@ -201,6 +207,20 @@ class KVCache(NamedTuple):
                 valid=jnp.zeros((batch, max_len), bool),
                 k_scale=jnp.zeros(shape[:-1], jnp.float32),
                 v_scale=jnp.zeros(shape[:-1], jnp.float32),
+            )
+        if getattr(cfg, "kv_quant", None) == "int4":
+            from ctpa.ops.quant import _int4_group
+
+            gs = _int4_group(cfg.head_dim, getattr(cfg, "kv_quant_group", 32))
+            pshape = shape[:-1] + (cfg.head_dim // 2,)
+            sshape = shape[:-1] + (cfg.head_dim // gs,)
+            return cls(
+                k=jnp.zeros(pshape, jnp.int8), v=jnp.zeros(pshape, jnp.int8),
+                write_offset=jnp.zeros((batch,), jnp.int32),
+                true_len=jnp.zeros((batch,), jnp.int32),
+                valid=jnp.zeros((batch, max_len), bool),
+                k_scale=jnp.zeros(sshape, jnp.float32),
+                v_scale=jnp.zeros(sshape, jnp.float32),
             )
         return cls(
             k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
@@ -359,7 +379,19 @@ class LlamaAttention(nn.Module):
                 sl = jax.vmap(per_seq)(cache[self.layer_idx], new, off)
                 return cache.at[self.layer_idx].set(sl)
 
-            if quant:
+            kvq = getattr(c, "kv_quant", None)
+            if quant and kvq == "int4":
+                # nibble-packed rows + per-(kv-head, token, head_dim-group)
+                # scales; the group scales fold EXACTLY into the grouped
+                # attention einsums below (ops/quant.quantize_kv_int4)
+                from ctpa.ops.quant import quantize_kv_int4
+
+                gq = getattr(c, "kv_quant_group", 32)
+                k4, k_rows_sc = quantize_kv_int4(k_hm, gq)
+                v4, v_rows_sc = quantize_kv_int4(v_hm, gq)
+                ck, cv = write(ck, k4), write(cv, v4)
+                ksc, vsc = write(ksc, k_rows_sc), write(vsc, v_rows_sc)
+            elif quant:
                 # symmetric absmax per (kv-head, token) over head_dim; the
                 # scales fold EXACTLY into the attention einsums below, so
                 # the cache read halves without a dequantized copy
@@ -384,6 +416,11 @@ class LlamaAttention(nn.Module):
                 # fused single-token attention: one pallas launch reads this
                 # layer's cache planes exactly once (int8 scales + GQA
                 # repeat handled in-kernel; ops/pallas/decode_attention.py)
+                if kvq == "int4":
+                    raise ValueError("flash_decode does not support "
+                                     "kv_quant='int4' (the kernel folds "
+                                     "scalar per-row scales, not head_dim "
+                                     "groups); use kv_quant='int8' or None")
                 from ctpa.ops.pallas.decode_attention import decode_attention
 
                 out = decode_attention(
@@ -391,6 +428,40 @@ class LlamaAttention(nn.Module):
                     k_scale=ksc, v_scale=vsc,
                     scale=float(1.0 / hd ** 0.5),
                 ).reshape(b, 1, h * hd).astype(x.dtype)
+                out = _proj(c, c.hidden_size, "o_proj", self.dtype, self.lora,
+                            "o_proj")(out)
+                return out, cache_k, cache_v
+
+            if quant and kvq == "int4":
+                # grouped int4 attention.  The group scales vary ALONG the
+                # contraction axes (head_dim for QK, slots for PV), so they
+                # cannot factor out of single big dots; instead QK runs as
+                # per-group partial dots with the K scales contracted in a
+                # second (tiny) einsum, and the V scales fold into the
+                # attention weights per group before the PV dots.  Exact:
+                # sum_d q_d k_d = sum_G s_G * sum_{d in G} q_d k8_d.
+                from ctpa.ops.quant import _int4_group, unpack_kv_int4
+
+                gq = _int4_group(hd, getattr(c, "kv_quant_group", 32))
+                ng = hd // gq
+                k8 = unpack_kv_int4(ck[self.layer_idx], gq)  # (b,kvh,m,G,gs)
+                v8 = unpack_kv_int4(cv[self.layer_idx], gq)
+                k_sg = ksc[self.layer_idx]                   # (b, kvh, m, G)
+                v_sg = vsc[self.layer_idx]
+                qg4 = q.reshape(b, n, kvh, h // kvh, ng, gq)
+                simg = jnp.einsum("bngrGd,bgmGd->bgrnmG", qg4,
+                                  k8.astype(self.dtype),
+                                  preferred_element_type=jnp.float32)
+                sim = jnp.einsum("bgrnmG,bgmG->bgrnm", simg,
+                                 k_sg) / jnp.sqrt(hd)
+                if attn_mask is not None:
+                    sim = jnp.where(attn_mask[:, :, None], sim,
+                                    jnp.finfo(jnp.float32).min)
+                attn = jax.nn.softmax(sim, axis=-1)
+                attng = (attn[..., None]
+                         * v_sg[:, :, None, None, :, :]).astype(self.dtype)
+                out = jnp.einsum("bgrnmG,bgmGd->bngrGd", attng,
+                                 v8.astype(self.dtype)).reshape(b, n, h * hd)
                 out = _proj(c, c.hidden_size, "o_proj", self.dtype, self.lora,
                             "o_proj")(out)
                 return out, cache_k, cache_v

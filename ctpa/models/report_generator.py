@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ctpa.core.config import CTViTConfig, LLMConfig, LoRAConfig, ReportGenConfig
 from ctpa.models.ctvit import CTViT
 from ctpa.models.llm import KVCache, LlamaForCausalLM
-from ctpa.ops.sampling import sample_logits
+from ctpa.ops.sampling import filter_logits, sample_logits
 
 
 class VisionFeatureExtractor(nn.Module):
@@ -120,6 +120,60 @@ def _draft_lookup(buf: jax.Array, cur_len: jax.Array, fallback: jax.Array,
     d = jax.lax.dynamic_slice(buf, (jnp.where(found, j + ngram, 0),),
                               (draft_len,))
     return jnp.where(found, d, jnp.full((draft_len,), fallback))
+
+
+def _spec_accept(logits_v: jax.Array, draft: jax.Array, key: jax.Array, *,
+                 greedy: bool, temperature: float = 0.7,
+                 top_k: Optional[int] = None, top_p: Optional[float] = None):
+    """Speculative acceptance for point-mass (prompt-lookup) drafts.
+
+    greedy=True: accept while draft == argmax; emissions ARE the argmaxes —
+    token-exact vs greedy decode.
+
+    greedy=False: standard speculative-sampling acceptance specialized to a
+    point-mass draft q = delta(draft_i): accept draft_i with probability
+    min(1, p_i(draft_i)/q) = p_i(draft_i); on the first rejection resample
+    from the residual (p_i - q)_+ — p_i with draft_i masked out,
+    renormalized.  All K accepted -> bonus token from p_K.  Marginal per
+    position: P(emit = t) = p(d)·1[t=d] + (1-p(d)) · p(t)·1[t≠d]/(1-p(d))
+    = p(t), so the emitted prefix has EXACTLY the law of sequential
+    sampling — and `p` is softmax(filter_logits(...)), the same function
+    `sample_logits` draws through, so temperature/top-k/top-p semantics are
+    shared by construction (the reference's production decode is sampled at
+    temperature 0.7, model_components.py:249-252; this makes speculation
+    apply to that mode, not just greedy).
+
+    Returns (e, a): e (b, K+1) emission tokens (positions > a are
+    don't-care), a (b,) accepted-draft counts; committed tokens = a + 1,
+    emissions e[:, :a+1]."""
+    b, k1, vocab = logits_v.shape
+    K = k1 - 1
+    if greedy:
+        g = jnp.argmax(logits_v, axis=-1).astype(jnp.int32)
+        match = (draft == g[:, :K]).astype(jnp.int32)
+        return g, jnp.cumprod(match, axis=1).sum(axis=1)
+    fl = filter_logits(logits_v, temperature=temperature, top_k=top_k,
+                       top_p=top_p)                       # (b, K+1, V)
+    logp = jax.nn.log_softmax(fl, axis=-1)
+    ku, kr = jax.random.split(key)
+    u = jax.random.uniform(ku, (b, K))
+    p_draft = jnp.exp(jnp.take_along_axis(
+        logp[:, :K], draft[..., None], axis=-1)[..., 0])  # (b, K)
+    acc = (u < p_draft).astype(jnp.int32)
+    a = jnp.cumprod(acc, axis=1).sum(axis=1)              # (b,) in [0, K]
+    # resample at position a: residual (draft_a masked) if a < K, full p_K
+    # if a == K.  If the filtered support is exactly {draft_a} then
+    # p_draft == 1 and rejection has probability zero, so the all--inf
+    # residual row is never selected.
+    fl_a = jnp.take_along_axis(fl, a[:, None, None], axis=1)[:, 0]   # (b, V)
+    d_pad = jnp.concatenate([draft, draft[:, :1]], axis=1)           # (b, K+1)
+    d_a = jnp.take_along_axis(d_pad, a[:, None], axis=1)[:, 0]
+    mask_d = (a < K)[:, None] & (jnp.arange(vocab)[None, :] == d_a[:, None])
+    t_r = jax.random.categorical(
+        kr, jnp.where(mask_d, -jnp.inf, fl_a), axis=-1).astype(jnp.int32)
+    e = jnp.where(jnp.arange(K + 1)[None, :] == a[:, None],
+                  t_r[:, None], d_pad)
+    return e, a
 
 
 class CTReportGenerator(nn.Module):
@@ -267,29 +321,35 @@ class CTReportGenerator(nn.Module):
         pad_token_id: int = 0,
         draft_len: int = 8,
         ngram: int = 2,
+        greedy: bool = True,
+        temperature: float = 0.7,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+        rng: Optional[jax.Array] = None,
     ) -> SpecGenerateResult:
-        """Greedy decode with prompt-lookup speculative drafting — exact:
-        emits the SAME tokens as generate(greedy=True), in fewer model
-        forwards (tested in tests/test_speculative.py).
+        """Decode with prompt-lookup speculative drafting — exact: greedy
+        mode emits the SAME tokens as generate(greedy=True); sampling mode
+        (greedy=False) emits tokens with EXACTLY the distribution of
+        generate(temperature/top_k/top_p) via rejection sampling
+        (_spec_accept; tested in tests/test_speculative.py).
 
         Each loop step drafts `draft_len` tokens from the most recent
         `ngram`-gram match in the token history (_draft_lookup; the
         train-free 'prompt lookup decoding' scheme), then runs ONE cached
         forward over (pending_token, draft) — `draft_len + 1` positions.
         Single-token decode at serving batch sizes is weight-read-bound, so
-        that verify costs roughly the HBM traffic of a 1-token step; the
-        argmax at draft position i is exactly the token greedy decode would
-        emit after the accepted prefix, so `a` leading matches let the step
-        emit `a + 1` tokens.  Rejected rows are rolled back by resetting
-        write_offset/true_len and re-invalidating their slots — the next
-        verify simply overwrites them (the cache carries `draft_len + 1`
-        slots of slack for this).
+        that verify costs roughly the HBM traffic of a 1-token step, and
+        `a` accepted drafts let the step emit `a + 1` tokens.  Rejected
+        rows are rolled back by resetting write_offset/true_len and
+        re-invalidating their slots — the next verify simply overwrites
+        them (the cache carries `draft_len + 1` slots of slack for this).
 
-        Latency tier only: greedy (sampling would need rejection-sampling to
-        stay exact), per-lane offsets (acceptance lengths diverge across
-        lanes, so this path never uses the lockstep/ring fast path — the
-        throughput tier in pipelines/streaming.py keeps plain decode).
-        Reference decode loop: model_components.py:193-269."""
+        Per-lane offsets (acceptance lengths diverge across lanes), so this
+        path never uses the lockstep/ring fast path; the serving analog is
+        ContinuousBatcher(spec_lookup=K) in pipelines/streaming.py.
+        Reference decode loop: model_components.py:193-269; its production
+        sampling mode (multinomial at temperature 0.7,
+        model_components.py:249-252) maps to greedy=False here."""
         b, n = input_ids.shape
         K = draft_len
         vision = self.extract_vision(video)
@@ -305,7 +365,10 @@ class CTReportGenerator(nn.Module):
         last_hidden = jnp.take_along_axis(
             hidden, last_idx[:, None, None].astype(jnp.int32), axis=1)
         logits0 = self._fused_logits(last_hidden, vision)[:, 0]
-        tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+        rng = rng if rng is not None else jax.random.key(0)
+        k0, rng = jax.random.split(rng)
+        tok0 = sample_logits(logits0, k0, temperature=temperature,
+                             top_k=top_k, top_p=top_p, greedy=greedy)
         done0 = tok0 == eos_token_id
         out0 = jnp.full((b, max_new_tokens), pad_token_id, jnp.int32)
         out0 = out0.at[:, 0].set(tok0)
@@ -328,7 +391,7 @@ class CTReportGenerator(nn.Module):
             return ~jnp.all(done)
 
         def body(carry):
-            cache, cur_tok, done, out, buf, cur_len, cnt, steps = carry
+            cache, cur_tok, done, out, buf, cur_len, cnt, steps, rng = carry
             draft = jax.vmap(
                 lambda bf, cl, fb: _draft_lookup(bf, cl, fb, ngram, K)
             )(buf, cur_len, cur_tok)
@@ -336,11 +399,12 @@ class CTReportGenerator(nn.Module):
             pre_off, pre_tl = cache.write_offset, cache.true_len
             _, hidden, c2 = self.llm(tokens_in, None, cache=cache,
                                      shared_kv_offset=False)
-            g = jnp.argmax(self._fused_logits(hidden, vision),
-                           axis=-1).astype(jnp.int32)          # (b, K+1)
-            # a = accepted draft prefix; greedy would emit g[:a+1] verbatim
-            match = (draft == g[:, :K]).astype(jnp.int32)
-            a = jnp.cumprod(match, axis=1).sum(axis=1)          # (b,) in [0,K]
+            key, rng = jax.random.split(rng)
+            # e (b, K+1): the emission tokens (accepted drafts then a
+            # resample/bonus); a (b,): accepted-draft count
+            g, a = _spec_accept(self._fused_logits(hidden, vision), draft,
+                                key, greedy=greedy, temperature=temperature,
+                                top_k=top_k, top_p=top_p)
             eos_hit = (g == eos_token_id) & (idx <= a[:, None])
             has_eos = jnp.any(eos_hit, axis=1)
             first_eos = jnp.argmax(eos_hit, axis=1)
@@ -370,11 +434,11 @@ class CTReportGenerator(nn.Module):
             cnt = cnt + c_emit
             done = done | has_eos | (cnt >= max_new_tokens)
             return (cache, cur_tok, done, out, buf, cur_len + c_emit, cnt,
-                    steps + 1)
+                    steps + 1, rng)
 
         carry = (cache, tok0, done0, out0, buf0, cur_len0, cnt0,
-                 jnp.asarray(0, jnp.int32))
-        _, _, _, out, _, _, _, steps = jax.lax.while_loop(cond, body, carry)
+                 jnp.asarray(0, jnp.int32), rng)
+        _, _, _, out, _, _, _, steps, _ = jax.lax.while_loop(cond, body, carry)
         real = (out != pad_token_id) & (out != eos_token_id)
         return SpecGenerateResult(tokens=out, lengths=real.sum(axis=-1),
                                   steps=steps)

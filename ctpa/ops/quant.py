@@ -105,6 +105,44 @@ def _unpack_int4(packed: jax.Array, group: int):
     return q.astype(jnp.int8)
 
 
+def quantize_kv_int4(rows: jax.Array, group: int = 32
+                     ) -> tuple[jax.Array, jax.Array]:
+    """KV-cache row quantization: (..., hd) float rows -> (packed int8
+    (..., hd/2), group scales f32 (..., hd/group)).
+
+    Symmetric absmax per contiguous `group`-element block along the last
+    (head_dim) axis — per-token per-kv-head per-group, the KV analog of the
+    weight path's quantize_int4.  Packing pairs the two HALVES of each group
+    (byte j of group g holds elements g·gs+j and g·gs+gs/2+j) so
+    `unpack_kv_int4` — low nibbles then high nibbles, concatenated inside
+    each group — restores natural element order with no permutation of q.
+    Group (not whole-head) scales because 15 levels over a 128-wide head
+    loses too much: the groups track the within-head dynamic range."""
+    hd = rows.shape[-1]
+    gs = _int4_group(hd, group)
+    rf = rows.astype(jnp.float32).reshape(*rows.shape[:-1], hd // gs, gs)
+    s = jnp.maximum(jnp.max(jnp.abs(rf), axis=-1) / 7.0, 1e-12)  # (..., G)
+    q = jnp.clip(jnp.round(rf / s[..., None]), -7, 7).astype(jnp.int32)
+    lo, hi = q[..., : gs // 2], q[..., gs // 2 :]
+    packed = ((lo & 0xF) | ((hi & 0xF) << 4)).astype(jnp.uint8)
+    packed = jax.lax.bitcast_convert_type(packed, jnp.int8)
+    return packed.reshape(*rows.shape[:-1], hd // 2), s
+
+
+def unpack_kv_int4(packed: jax.Array, group: int) -> jax.Array:
+    """(..., hd/2) packed int8 -> (..., G, gs) int8, natural order inside
+    each group (inverse of quantize_kv_int4's pairing).  Shifts run in
+    int32 (Mosaic does not legalize int8 vector shifts; int32 is the native
+    VPU lane width)."""
+    hd = packed.shape[-1] * 2
+    gs = _int4_group(hd, group)
+    p = packed.reshape(*packed.shape[:-1], hd // gs, gs // 2)
+    p32 = p.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(p32, 28), 28)        # signed low nibble
+    hi = jnp.right_shift(p32, 4)                             # arithmetic
+    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.int8)
+
+
 def dequantize_int4(packed: jax.Array, scale: jax.Array, group: int = 128,
                     dtype=jnp.bfloat16):
     d_in = packed.shape[0] * 2

@@ -36,7 +36,8 @@ import numpy as np
 
 from ctpa.core.config import LLMConfig
 from ctpa.models.llm import KVCache, align_lane_to_clock, insert_lane
-from ctpa.models.report_generator import CTReportGenerator, _draft_lookup
+from ctpa.models.report_generator import (CTReportGenerator, _draft_lookup,
+                                          _spec_accept)
 from ctpa.ops.sampling import sample_logits
 
 
@@ -138,26 +139,34 @@ def _decode_fns(model: CTReportGenerator, *, eos_token_id: int,
 
 
 def _spec_fns(model: CTReportGenerator, *, eos_token_id: int, K: int,
-              ngram: int, steps_per_sync: int):
+              ngram: int, steps_per_sync: int, greedy: bool = True,
+              temperature: float = 0.7, top_k: Optional[int] = None,
+              top_p: Optional[float] = None):
     """Speculative verify chunk for the serving batcher (spec_lookup mode).
 
     Each of the `steps_per_sync` steps runs generate_speculative's verify
     body over ALL lanes: draft K tokens per lane from its token history
     (prompt-lookup, _draft_lookup), run ONE cached forward over
-    (pending_token, draft) = K+1 positions, accept the greedy-matching
-    prefix, roll back rejected rows.  Decode attention at n=1 is bound by
-    the MXU's M=1 tile-pass fill latency (ops/pallas/decode_attention.py
-    module docstring) and the weight read — both amortize over the K+1
-    verify positions, so every accepted draft token is a nearly-free step.
+    (pending_token, draft) = K+1 positions, accept a draft prefix, roll
+    back rejected rows.  Decode attention at n=1 is bound by the MXU's M=1
+    tile-pass fill latency (ops/pallas/decode_attention.py module
+    docstring) and the weight read — both amortize over the K+1 verify
+    positions, so every accepted draft token is a nearly-free step.
+
+    greedy=True accepts the argmax-matching prefix (token-exact vs greedy
+    decode); greedy=False uses rejection-sampling acceptance (_spec_accept)
+    — distribution-exact vs plain sampling at the same
+    temperature/top-k/top-p, which is the reference's production decoding
+    mode (model_components.py:249-252).
 
     Unlike the plain ring path, acceptance lengths diverge across lanes, so
     write offsets are PER-LANE (the scatter write path, no ring clock) and
     each lane's window `prompt + max_new + K + 1` must fit max_len without
     wrapping (slot-order causality is what makes the n>1 verify mask valid,
-    models/llm.py).  Greedy only — exactness of lookup verification is a
-    greedy-decode property."""
+    models/llm.py)."""
 
-    def spec_chunk(params, cache, tok, vision, done, buf, cur_len, remaining):
+    def spec_chunk(params, cache, tok, vision, key, done, buf, cur_len,
+                   remaining):
         lanes = tok.shape[0]
         Lbuf = buf.shape[1]
         rows = jnp.arange(lanes)[:, None]
@@ -165,7 +174,7 @@ def _spec_fns(model: CTReportGenerator, *, eos_token_id: int, K: int,
         entry = tok
         done = done | (tok == eos_token_id)
 
-        def body(carry, _):
+        def body(carry, step_key):
             cache, tok, done, buf, cur_len, remaining = carry
             draft = jax.vmap(
                 lambda bf, cl, fb: _draft_lookup(bf, cl, fb, ngram, K)
@@ -175,12 +184,13 @@ def _spec_fns(model: CTReportGenerator, *, eos_token_id: int, K: int,
             _, hidden, c2 = model.apply(
                 params, tokens_in, None, cache,
                 method=lambda m, i, a, c: m.llm(i, a, cache=c))
-            g = jnp.argmax(
-                model.apply(params, hidden, vision,
-                            method=lambda m, hh, vv: m._fused_logits(hh, vv)),
-                axis=-1).astype(jnp.int32)                      # (lanes, K+1)
-            match = (draft == g[:, :K]).astype(jnp.int32)
-            a = jnp.cumprod(match, axis=1).sum(axis=1)          # accepted
+            logits_v = model.apply(
+                params, hidden, vision,
+                method=lambda m, hh, vv: m._fused_logits(hh, vv))
+            # g (lanes, K+1): emission tokens; a: accepted-draft counts
+            g, a = _spec_accept(logits_v, draft, step_key, greedy=greedy,
+                                temperature=temperature, top_k=top_k,
+                                top_p=top_p)
             eos_hit = (g == eos_token_id) & (idx <= a[:, None])
             has_eos = jnp.any(eos_hit, axis=1)
             first_eos = jnp.argmax(eos_hit, axis=1)
@@ -208,7 +218,7 @@ def _spec_fns(model: CTReportGenerator, *, eos_token_id: int, K: int,
 
         (cache, tok, done, buf, cur_len, remaining), packed = jax.lax.scan(
             body, (cache, tok, done, buf, cur_len, remaining),
-            None, length=steps_per_sync)
+            jax.random.split(key, steps_per_sync))
         # one-fetch wire format (the relay costs ~35 ms/fetch): row 0 is the
         # entry pending token per lane (consumed by freshly-admitted lanes),
         # then steps_per_sync blocks of K+2 rows: [emit_count, g_0..g_K]
@@ -261,15 +271,18 @@ def negotiate_param_formats(
         # spec serving's hot program is the verify chunk, not decode_chunk
         spec_chunk = _spec_fns(model, eos_token_id=eos_token_id,
                                K=int(spec_lookup), ngram=int(spec_ngram),
-                               steps_per_sync=steps_per_sync)
+                               steps_per_sync=steps_per_sync, greedy=greedy,
+                               temperature=temperature, top_k=top_k,
+                               top_p=top_p)
         compiled = jax.jit(
             spec_chunk,
-            in_shardings=(auto,) + (None,) * 7,
-            donate_argnums=(1, 5),
+            in_shardings=(auto,) + (None,) * 8,
+            donate_argnums=(1, 6),
         ).lower(
             param_shapes, cache_s,
             sds((num_lanes,), jnp.int32),
             sds((num_lanes, vdim), jnp.float32),
+            sds((), jax.random.key(0).dtype),
             sds((num_lanes,), jnp.bool_),
             sds((num_lanes, max_len), jnp.int32),
             sds((num_lanes,), jnp.int32),
@@ -332,9 +345,11 @@ class ContinuousBatcher:
 
         `spec_lookup=K` turns every decode step into a prompt-lookup
         speculative VERIFY over K drafted tokens per lane (_spec_fns):
-        greedy-exact, per-lane write offsets instead of the ring clock, and
-        each accepted draft token amortizes the step's weight-read + M=1
-        attention cost.  Requires greedy=True."""
+        per-lane write offsets instead of the ring clock, and each accepted
+        draft token amortizes the step's weight-read + M=1 attention cost.
+        Exact in both modes: token-exact under greedy=True,
+        distribution-exact under sampling (rejection-sampling acceptance at
+        this batcher's temperature/top_k/top_p, _spec_accept)."""
         self.model = model
         self.params = params
         self.cfg: LLMConfig = model.llm_cfg
@@ -411,21 +426,22 @@ class ContinuousBatcher:
         self.spec_lookup = spec_lookup
         self.spec_ngram = spec_ngram
         if spec_lookup:
-            if not greedy:
-                raise ValueError(
-                    "spec_lookup requires greedy=True: prompt-lookup "
-                    "verification is exact only for greedy decode (sampling "
-                    "would need rejection sampling to stay unbiased)")
+            # greedy=False runs rejection-sampling verification
+            # (_spec_accept): distribution-exact vs plain sampling at the
+            # same temperature/top-k/top-p — the reference's production
+            # decode mode (model_components.py:249-252)
             spec_chunk = _spec_fns(
                 model, eos_token_id=self.eos, K=int(spec_lookup),
-                ngram=int(spec_ngram), steps_per_sync=self.steps_per_sync)
+                ngram=int(spec_ngram), steps_per_sync=self.steps_per_sync,
+                greedy=greedy, temperature=temperature, top_k=top_k,
+                top_p=top_p)
             spec_kw, pins_kw = {}, {}
             if mesh is not None:
                 # rep / cache_sh were built in the mesh branch above
                 spec_kw = {"out_shardings": (rep, cache_sh, rep, rep,
                                              rep, rep, rep)}
                 pins_kw = {"out_shardings": cache_sh}
-            self._spec_chunk = jax.jit(spec_chunk, donate_argnums=(1, 5),
+            self._spec_chunk = jax.jit(spec_chunk, donate_argnums=(1, 6),
                                        **spec_kw)
             # plain insert: spec lanes keep their own slot-ordered offsets
             # (no ring-clock alignment — the n>1 verify mask needs slot
@@ -564,9 +580,10 @@ class ContinuousBatcher:
         emitting 1..K+1 tokens per lane, one host fetch (wire format in
         _spec_fns)."""
         done0 = jnp.asarray(~self.active)
+        self.rng, key = jax.random.split(self.rng)
         (wire, self.cache, self.cur_tok, _, self.buf, self.cur_len,
          self.remaining) = self._spec_chunk(
-            self.params, self.cache, self.cur_tok, self.vision, done0,
+            self.params, self.cache, self.cur_tok, self.vision, key, done0,
             self.buf, self.cur_len, self.remaining)
         w = np.asarray(wire)                              # one fetch
         K, S = self.spec_lookup, self.steps_per_sync
@@ -694,6 +711,20 @@ class StreamingReportPipeline:
         # LLM prefill (at 7B × 64-token prompts that removes ~all prefill
         # FLOPs from the serving steady state)
         batcher.set_shared_prefix(self.prompt_ids, self.prompt_mask)
+
+    def run_paths(self, paths, num_threads: int = 4,
+                  **defaults) -> dict[int, Result]:
+        """Serve scans straight from their sources — DICOM series
+        directories, NIfTI files, or npz/npy volumes (data/ingest.load_scan)
+        — with host decode running ahead on a thread pool (scan_stream) so
+        DICOM parsing overlaps device work.  This is BASELINE config 5's
+        'DICOM ingest -> ... -> continuous-batched report serving' end to
+        end; the reference's analog is one inline nibabel load per scan
+        (ct_scan_inference.py:18-29), NIfTI only."""
+        from ctpa.data.ingest import scan_stream
+
+        return self.run(scan_stream(paths, num_threads=num_threads,
+                                    **defaults))
 
     def run(self, scans: Iterator[dict]) -> dict[int, Result]:
         """scans yield {volume, slope, intercept, spacing}.  Encoding of scan

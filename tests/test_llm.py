@@ -264,3 +264,116 @@ def test_vision_feature_extractor_shape():
     params = vfe.init(jax.random.key(0), video)
     out = vfe.apply(params, video)
     assert out.shape == (2, 32)
+
+
+def test_quantize_kv_int4_roundtrip_exact_on_grid():
+    """Values already on the int4 grid survive pack->unpack->dequant
+    bit-exactly (the pairing of group halves is order-preserving)."""
+    from ctpa.ops.quant import _int4_group, quantize_kv_int4, unpack_kv_int4
+
+    rng = np.random.default_rng(0)
+    hd, group = 64, 32
+    gs = _int4_group(hd, group)
+    scales = rng.uniform(0.5, 2.0, size=(3, 2, 5, hd // gs)).astype(np.float32)
+    grid = rng.integers(-7, 8, size=(3, 2, 5, hd)).astype(np.float32)
+    rows = grid * np.repeat(scales, gs, axis=-1)
+    # force each group's absmax onto +-7 so the quant scale equals `scales`
+    rows[..., ::gs] = 7.0 * scales[..., :]
+    grid[..., ::gs] = 7.0
+
+    packed, s = quantize_kv_int4(jnp.asarray(rows), group)
+    assert packed.shape == rows.shape[:-1] + (hd // 2,)
+    assert s.shape == scales.shape
+    np.testing.assert_allclose(np.asarray(s), scales, rtol=1e-6)
+    q = np.asarray(unpack_kv_int4(packed, group))        # (..., G, gs)
+    np.testing.assert_array_equal(q.reshape(grid.shape), grid)
+
+
+def test_kv_int4_attention_folds_are_algebraically_exact():
+    """The grouped int4 attention folds (models/llm.py int4 branch) are
+    algebraic identities: the per-group partial QK dots contracted with K
+    scales equal the dot against the dequantized cache, and the V-scale
+    fold into the attention weights equals the PV dot against the
+    dequantized cache.  Only the row quantization itself loses precision
+    (gated loosely in the e2e test below)."""
+    from ctpa.ops.quant import _int4_group, quantize_kv_int4, unpack_kv_int4
+
+    rng = np.random.default_rng(0)
+    b, kvh, m, hd, n, rep, group = 2, 2, 5, 16, 3, 2, 8
+    gs = _int4_group(hd, group)
+    G = hd // gs
+    rows = jnp.asarray(rng.normal(size=(b, kvh, m, hd)), jnp.float32)
+    packed, s = quantize_kv_int4(rows, group)
+    q8 = unpack_kv_int4(packed, group)                   # (b,kvh,m,G,gs)
+    deq = (np.asarray(q8, np.float32)
+           * np.asarray(s)[..., None]).reshape(b, kvh, m, hd)
+
+    q = jnp.asarray(rng.normal(size=(b, n, kvh, rep, hd)), jnp.float32)
+    simg = jnp.einsum("bngrGd,bgmGd->bgrnmG", q.reshape(b, n, kvh, rep, G, gs),
+                      q8.astype(jnp.float32))
+    sim_fold = jnp.einsum("bgrnmG,bgmG->bgrnm", simg, s)
+    sim_ref = jnp.einsum("bngrd,bgmd->bgrnm", q, jnp.asarray(deq))
+    np.testing.assert_allclose(np.asarray(sim_fold), np.asarray(sim_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    attn = jax.nn.softmax(
+        jnp.asarray(rng.normal(size=(b, kvh, rep, n, m)), jnp.float32), -1)
+    attng = attn[..., None] * s[:, :, None, None, :, :]
+    out_fold = jnp.einsum("bgrnmG,bgmGd->bngrGd", attng,
+                          q8.astype(jnp.float32)).reshape(b, n, -1)
+    out_ref = jnp.einsum("bgrnm,bgmd->bngrd", attn,
+                         jnp.asarray(deq)).reshape(b, n, -1)
+    np.testing.assert_allclose(np.asarray(out_fold), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_kv_int4_cache_tracks_fp_loosely():
+    """kv_quant='int4' vs full precision end-to-end: int4 rows carry ~7% per
+    -element noise (absmax/14 of each 8-element group), which compounds
+    through two random-init layers — this gates only that the decode stays
+    in the fp model's neighborhood (the exactness claims live in the fold
+    test above and the spec/serving token-parity tests)."""
+    import dataclasses
+
+    cfg_q = dataclasses.replace(LLM, kv_quant="int4", kv_quant_group=8)
+    model, params = make_llm()
+    model_q = LlamaForCausalLM(cfg_q)
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(1, LLM.vocab_size, size=(2, 6)), jnp.int32)
+    mask = jnp.ones((2, 6), jnp.int32)
+
+    outs = {}
+    for name, mdl, c in (("fp", model, LLM), ("q", model_q, cfg_q)):
+        cache = KVCache.create(c, 2, max_len=10, dtype=jnp.float32)
+        lg, _, cache = mdl.apply(params, ids, mask, cache)
+        step = jnp.argmax(outs.get("fp", [lg[:, -1]])[0]
+                          if name == "q" else lg[:, -1],
+                          axis=-1).astype(jnp.int32)
+        seq = [np.asarray(lg[:, -1])]
+        for _ in range(4):
+            lg1, _, cache = mdl.apply(params, step[:, None], None, cache)
+            seq.append(np.asarray(lg1[:, 0]))
+            # both trajectories follow the FP argmaxes so the comparison
+            # isolates cache noise from trajectory divergence
+            if name == "fp":
+                step = jnp.argmax(lg1[:, 0], axis=-1).astype(jnp.int32)
+            else:
+                step = jnp.asarray(outs["fp"][len(seq) - 1].argmax(-1),
+                                   jnp.int32)
+        outs[name] = seq
+    for a, b in zip(outs["fp"], outs["q"]):
+        assert np.abs(a - b).max() / (np.abs(a).max() + 1e-9) < 0.5
+        assert np.isfinite(b).all()
+
+
+def test_kv_int4_with_flash_decode_rejected():
+    import dataclasses
+
+    cfg = dataclasses.replace(LLM, kv_quant="int4", flash_decode=True)
+    model, params = make_llm()
+    mdl = LlamaForCausalLM(cfg)
+    cache = KVCache.create(cfg, 1, max_len=8, dtype=jnp.float32)
+    ids = jnp.asarray([[1, 2, 3]])
+    _, _, cache = mdl.apply(params, ids, jnp.ones_like(ids), cache)
+    with pytest.raises(ValueError, match="int4"):
+        mdl.apply(params, jnp.asarray([[4]]), None, cache)

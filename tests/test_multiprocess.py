@@ -77,6 +77,62 @@ np.testing.assert_allclose(
 if is_primary():
     with open(os.path.join(out_dir, "primary_marker"), "w") as f:
         f.write(f"process {pid}")
+
+# --- SHARDED checkpoint round-trip across processes (orbax) -----------------
+# Save a train state whose arrays are sharded over the process-spanning mesh
+# (every process holds only its addressable shards), restore into the SAME
+# sharding, and verify training continues identically — the multi-host
+# failure mode the single-process tests cannot catch.  CheckpointManager's
+# orbax save/restore is collective: ALL processes call it (only array-shard
+# writes are per-process; the manager coordinates via the barrier).
+import optax
+from ctpa.core.checkpoint import CheckpointManager
+
+psh = NamedSharding(mesh, P(DATA_AXIS))        # shard params over data axis
+rep = NamedSharding(mesh, P())
+params = {"w": jax.device_put(np.arange(4 * 8, dtype=np.float32
+                                        ).reshape(4, 8), psh),
+          "b": jax.device_put(np.zeros((4,), np.float32), rep)}
+tx = optax.adam(1e-2)
+opt_state = jax.jit(tx.init, out_shardings=None)(params)
+
+def loss_fn(p, x):
+    return jnp.mean((x @ p["w"].T + p["b"]) ** 2)
+
+@jax.jit
+def train_step(p, o, x):
+    l, g = jax.value_and_grad(loss_fn)(p, x)
+    upd, o = tx.update(g, o, p)
+    return optax.apply_updates(p, upd), o, l
+
+x = jax.device_put(np.ones((4, 8), np.float32), sh)
+params1, opt1, loss1 = train_step(params, opt_state, x)
+
+ckpt_dir = os.path.join(out_dir, "mp_ckpt")       # shared fs, all processes
+mgr = CheckpointManager(ckpt_dir)
+mgr.save(1, {"params": params1, "opt_state": opt1})
+mgr.wait()
+
+# restore INTO the sharded template: every process gets its own shards back
+template = jax.tree.map(
+    lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=a.sharding),
+    {"params": params1, "opt_state": opt1})
+restored = mgr.restore(1, target=template)
+for path_l, (a, b) in zip(
+        jax.tree_util.tree_leaves_with_path(restored),
+        zip(jax.tree.leaves(restored), jax.tree.leaves({"params": params1,
+                                                        "opt_state": opt1}))):
+    assert a.sharding == b.sharding, (path_l[0], a.sharding, b.sharding)
+    for sa, sb in zip(a.addressable_shards, b.addressable_shards):
+        np.testing.assert_array_equal(np.asarray(sa.data), np.asarray(sb.data))
+
+# training continues from the restored state with an identical loss
+_, _, loss2a = train_step(params1, opt1, x)
+_, _, loss2b = train_step(restored["params"], restored["opt_state"], x)
+np.testing.assert_allclose(float(loss2a), float(loss2b), rtol=1e-7)
+mgr.close()
+print(f"CKPT_OK {pid} loss2={float(loss2b):.6f}", flush=True)
+
 print(f"WORKER_OK {pid}", flush=True)
 """
 
@@ -108,8 +164,15 @@ def test_two_process_distributed_smoke(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"WORKER_OK {i}" in out
+        assert f"CKPT_OK {i}" in out
     marker = tmp_path / "primary_marker"
     assert marker.exists() and marker.read_text() == "process 0"
+    # both processes continued from the restored sharded state with the
+    # SAME loss (the state is global; the loss is a global reduction)
+    l0 = [ln for ln in outs[0].splitlines() if ln.startswith("CKPT_OK")][0]
+    l1 = [ln for ln in outs[1].splitlines() if ln.startswith("CKPT_OK")][0]
+    assert l0.split("loss2=")[1] == l1.split("loss2=")[1]
+    assert (tmp_path / "mp_ckpt").is_dir()
 
 
 def _free_port() -> int:

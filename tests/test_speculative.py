@@ -77,8 +77,9 @@ def test_speculative_matches_greedy_generate(draft_len):
     assert int(spec.steps) <= 11
 
 
-def test_speculative_matches_greedy_with_int8_kv_cache():
-    model, params, video, ids, mask = _tiny_model(kv_quant="int8")
+@pytest.mark.parametrize("kv_quant", ["int8", "int4"])
+def test_speculative_matches_greedy_with_quantized_kv_cache(kv_quant):
+    model, params, video, ids, mask = _tiny_model(kv_quant=kv_quant)
     ref = model.apply(params, video, ids, mask, max_new_tokens=10,
                       eos_token_id=EOS, pad_token_id=PAD, greedy=True,
                       method=CTReportGenerator.generate)
@@ -111,3 +112,116 @@ def test_speculative_accepts_on_repetitive_output():
     # 23 post-first tokens at up to K+1=5/verify, constant output: the
     # bigram repeats from the 3rd token on -> far fewer steps than 23
     assert int(spec.steps) <= 10
+
+
+# ---- rejection-sampling speculation (greedy=False) --------------------------
+#
+# Exactness claim: generate_speculative(greedy=False) emits tokens with
+# EXACTLY the distribution of generate() at the same temperature/top-k/top-p
+# (standard speculative sampling specialized to point-mass prompt-lookup
+# drafts, report_generator._spec_accept).  The reference's production decode
+# is sampled at temperature 0.7 (model_components.py:249-252), so this is the
+# mode that serves it.
+
+
+def test_spec_accept_marginals_match_plain_sampling():
+    """Unit-level distribution test: over many keys, _spec_accept's emission
+    at position 0 must be distributed as softmax(filtered logits_0), and its
+    emission at position 1 (when draft 0 accepted) as softmax(filtered
+    logits_1) — the exact sequential-sampling law, draft-independent."""
+    from ctpa.models.report_generator import _spec_accept
+    from ctpa.ops.sampling import filter_logits
+
+    V, K, N = 8, 2, 40000
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.normal(size=(1, K + 1, V)), jnp.float32)
+    # draft position 0 = the mode of p_0 so acceptance happens often enough
+    # to estimate the position-1 conditional; position 1 an arbitrary token
+    d0 = int(np.argmax(np.asarray(logits)[0, 0]))
+    draft = jnp.asarray([[d0, 1]], jnp.int32)
+    kw = dict(greedy=False, temperature=1.1, top_p=0.98)
+
+    keys = jax.random.split(jax.random.key(0), N)
+    e, a = jax.vmap(lambda k: _spec_accept(logits, draft, k, **kw))(keys)
+    e, a = np.asarray(e[:, 0]), np.asarray(a[:, 0])
+
+    p = np.asarray(jax.nn.softmax(filter_logits(
+        logits, temperature=1.1, top_p=0.98), axis=-1))[0]
+
+    # position 0 marginal == p_0 (accept draft w.p. p_0[d]; else residual)
+    emp0 = np.bincount(e[:, 0], minlength=V) / N
+    assert np.abs(emp0 - p[0]).sum() < 0.02
+    # position 1 conditional on draft-0 acceptance == p_1
+    acc0 = e[:, 0] == d0
+    # acceptance rate of a point-mass draft IS p_0[draft_0]
+    assert abs(acc0.mean() - p[0, d0]) < 0.02
+    assert acc0.sum() > 1000  # the conditional below is estimable
+    emp1 = np.bincount(e[acc0, 1], minlength=V) / acc0.sum()
+    assert np.abs(emp1 - p[1]).sum() < 0.04
+    # accepted prefix is always the draft prefix; rejection never re-emits
+    # the rejected draft token
+    rej0 = ~acc0
+    assert (a[acc0] >= 1).all() and (a[rej0] == 0).all()
+    assert (e[rej0, 0] != d0).all()
+
+
+def test_spec_accept_greedy_mode_is_argmax():
+    from ctpa.models.report_generator import _spec_accept
+
+    rng = np.random.default_rng(4)
+    logits = jnp.asarray(rng.normal(size=(2, 4, 16)), jnp.float32)
+    draft = jnp.asarray(rng.integers(0, 16, size=(2, 3)), jnp.int32)
+    e, a = _spec_accept(logits, draft, jax.random.key(0), greedy=True)
+    g = np.asarray(jnp.argmax(logits, axis=-1))
+    np.testing.assert_array_equal(np.asarray(e), g)
+    match = np.cumprod(np.asarray(draft) == g[:, :3], axis=1).sum(axis=1)
+    np.testing.assert_array_equal(np.asarray(a), match)
+
+
+def test_speculative_sampling_near_zero_temperature_matches_greedy():
+    """temperature -> 0 collapses sampling onto the argmax, so the sampled
+    speculative path must reproduce the greedy speculative path (same
+    machinery, acceptance probability ~1 on argmax drafts)."""
+    model, params, video, ids, mask = _tiny_model()
+    ref = model.apply(params, video, ids, mask, max_new_tokens=12,
+                      eos_token_id=EOS, pad_token_id=PAD, greedy=True,
+                      method=CTReportGenerator.generate)
+    spec = model.apply(params, video, ids, mask, max_new_tokens=12,
+                       eos_token_id=EOS, pad_token_id=PAD, draft_len=4,
+                       greedy=False, temperature=1e-4,
+                       rng=jax.random.key(7),
+                       method=CTReportGenerator.generate_speculative)
+    np.testing.assert_array_equal(np.asarray(ref.tokens),
+                                  np.asarray(spec.tokens))
+
+
+@pytest.mark.slow
+def test_speculative_sampling_distribution_matches_plain_generate():
+    """End-to-end distribution equality: per-position marginals of 3 sampled
+    tokens from generate() vs generate_speculative(greedy=False) agree over
+    N independent keys (tiny vocab so empirical TV noise is small)."""
+    model, params, video, ids, mask = _tiny_model(vocab_size=16)
+    N, max_new = 4000, 3
+    kw = dict(max_new_tokens=max_new, eos_token_id=-1, pad_token_id=PAD,
+              temperature=0.8)
+
+    def plain(key):
+        return model.apply(params, video, ids, mask, greedy=False, rng=key,
+                           method=CTReportGenerator.generate, **kw).tokens
+
+    def spec(key):
+        return model.apply(params, video, ids, mask, greedy=False, rng=key,
+                           draft_len=3,
+                           method=CTReportGenerator.generate_speculative,
+                           **kw).tokens
+
+    keys = jax.random.split(jax.random.key(11), N)
+    tp = np.asarray(jax.jit(jax.vmap(plain))(keys))   # (N, b, max_new)
+    ts = np.asarray(jax.jit(jax.vmap(spec))(keys))
+    assert (tp >= 0).all() and (ts >= 0).all()
+    for lane in range(tp.shape[1]):
+        for pos in range(max_new):
+            fp = np.bincount(tp[:, lane, pos], minlength=16) / N
+            fs = np.bincount(ts[:, lane, pos], minlength=16) / N
+            tv = 0.5 * np.abs(fp - fs).sum()
+            assert tv < 0.05, (lane, pos, tv)

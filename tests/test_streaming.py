@@ -147,15 +147,16 @@ def test_shared_prefix_requires_registration(rg):
                                max_new_tokens=4))
 
 
-def test_batcher_kv_int8_matches_single_generate(rg):
-    """kv_quant='int8' through the ring batcher: quantization is
-    deterministic and the ring roll is lossless on int8 rows, so batched
-    decode must still reproduce the (equally-quantized) single-request
-    generate exactly."""
+@pytest.mark.parametrize("kv_quant", ["int8", "int4"])
+def test_batcher_quantized_kv_matches_single_generate(rg, kv_quant):
+    """Quantized KV through the ring batcher: quantization is deterministic
+    and the ring roll is lossless on quantized rows (int8 and packed int4
+    alike), so batched decode must still reproduce the (equally-quantized)
+    single-request generate exactly."""
     import dataclasses
 
     model, params, video = rg
-    cfg_q = dataclasses.replace(LLM, kv_quant="int8")
+    cfg_q = dataclasses.replace(LLM, kv_quant=kv_quant)
     gen_cfg = ReportGenConfig(vision_dim=32)
     model_q = CTReportGenerator(cfg_q, VIT, gen_cfg)
     rng = np.random.default_rng(5)
@@ -263,3 +264,92 @@ def test_multi_step_scheduling_matches_single_step(rg):
         outs[k] = {i: list(res[i].tokens) for i in range(3)}
         assert all(res[i].finished for i in range(3))
     assert outs[1] == outs[4]
+
+
+def test_streaming_pipeline_dicom_ingest_end_to_end(rg, tmp_path):
+    """BASELINE config 5 with its named ingest format: synthetic Explicit-VR
+    DICOM series directories -> threaded decode (data/ingest.scan_stream) ->
+    device preprocess contract ({volume, slope, intercept, spacing}) ->
+    continuous-batched decoding.  The per-series rescale tags must reach the
+    encode_fn (the HU rescale runs on device)."""
+    from ctpa.data.dicom import save_series
+    from ctpa.data.tokenizer import SimpleWordTokenizer
+
+    model, params, video = rg
+    rng = np.random.default_rng(7)
+    dirs, seen = [], []
+    for i in range(3):
+        d = str(tmp_path / f"series_{i}")
+        vol = rng.integers(0, 3000, size=(VIT.temporal_size, VIT.image_size,
+                                          VIT.image_size)).astype(np.int16)
+        save_series(d, vol, spacing=(2.0, 0.7, 0.7), slope=1.0,
+                    intercept=-1024.0, shuffle=(i == 1))
+        dirs.append(d)
+
+    tok = SimpleWordTokenizer(vocab_size=LLM.vocab_size, max_length=8)
+
+    def encode_fn(vol, slope, inter, spacing):
+        # record what ingest handed over; rescale like the device op would
+        seen.append((np.asarray(vol).dtype, float(slope), float(inter),
+                     tuple(np.asarray(spacing).tolist())))
+        hu = vol.astype(jnp.float32) * slope + inter
+        return model.apply(params, hu[None, None],
+                           method=CTReportGenerator.extract_vision)[0]
+
+    batcher = ContinuousBatcher(model, params, num_lanes=2, max_len=32,
+                                eos_token_id=-1, greedy=True,
+                                cache_dtype=jnp.float32)
+    pipe = StreamingReportPipeline(encode_fn, batcher, tok,
+                                   prompt="generate report", max_new_tokens=5,
+                                   prompt_len=8)
+    results = pipe.run_paths(dirs, num_threads=2)
+    assert len(results) == 3
+    assert all(r.finished and len(r.tokens) == 5 for r in results.values())
+    for dtype, slope, inter, spacing in seen:
+        assert dtype == np.int16
+        assert (slope, inter) == (1.0, -1024.0)
+        np.testing.assert_allclose(spacing, (2.0, 0.7, 0.7), rtol=1e-5)
+
+
+def test_load_scan_formats(tmp_path):
+    """data/ingest.load_scan: one contract across npz / npy / NIfTI /
+    DICOM-series sources; kwargs override missing metadata."""
+    from ctpa.data import nifti
+    from ctpa.data.dicom import save_series
+    from ctpa.data.ingest import load_scan
+
+    rng = np.random.default_rng(0)
+    vol = rng.integers(-100, 3000, size=(4, 6, 6)).astype(np.int16)
+
+    d = str(tmp_path / "series")
+    save_series(d, vol, spacing=(1.5, 0.8, 0.8), slope=2.0, intercept=-10.0)
+    s = load_scan(d)
+    np.testing.assert_array_equal(s["volume"], vol)
+    assert (s["slope"], s["intercept"]) == (2.0, -10.0)
+    np.testing.assert_allclose(s["spacing"], (1.5, 0.8, 0.8), rtol=1e-5)
+
+    npz = str(tmp_path / "v.npz")
+    np.savez(npz, arr_0=vol, spacing=np.asarray([2.0, 1.0, 1.0]),
+             slope=np.asarray(3.0), intercept=np.asarray(-5.0))
+    s = load_scan(npz)
+    np.testing.assert_array_equal(s["volume"], vol)
+    assert (s["slope"], s["intercept"]) == (3.0, -5.0)
+    assert s["spacing"] == (2.0, 1.0, 1.0)
+
+    npy = str(tmp_path / "v.npy")
+    np.save(npy, vol)
+    s = load_scan(npy, slope=1.5, spacing=(9.0, 1.0, 1.0))
+    assert s["slope"] == 1.5 and s["spacing"] == (9.0, 1.0, 1.0)
+
+    nii = str(tmp_path / "v.nii")
+    # nifti stores (x, y, z); write the transpose so load_scan's (z, y, x)
+    # round-trips to `vol`
+    nifti.save(nii, np.transpose(vol, (2, 1, 0)).astype(np.float32),
+               spacing=(0.7, 0.7, 1.5), scl_slope=1.0, scl_inter=-1024.0)
+    s = load_scan(nii)
+    np.testing.assert_array_equal(s["volume"].astype(np.int16), vol)
+    assert s["intercept"] == -1024.0
+    np.testing.assert_allclose(s["spacing"], (1.5, 0.7, 0.7), rtol=1e-5)
+
+    with pytest.raises(ValueError, match="unrecognized"):
+        load_scan(str(tmp_path / "v.txt"))

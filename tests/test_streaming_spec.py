@@ -178,11 +178,55 @@ def test_spec_batcher_eos_and_budget_edges(rg):
     assert results[0].tokens == []
 
 
-def test_spec_batcher_requires_greedy(rg):
-    model, params, _ = rg
-    with pytest.raises(ValueError, match="greedy"):
-        ContinuousBatcher(model, params, num_lanes=1, max_len=32,
-                          spec_lookup=4)
+def test_spec_batcher_sampling_near_zero_temperature_matches_greedy(rg):
+    """Sampled speculative serving (rejection-sampling acceptance) at
+    temperature -> 0 must reproduce the greedy spec batcher token-exactly:
+    acceptance probability collapses to 1 on argmax drafts and the residual
+    resample onto the argmax."""
+    model, params, video = rg
+    vision = model.apply(params, video,
+                         method=CTReportGenerator.extract_vision)[0]
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(1, LLM.vocab_size, size=(6,)).astype(np.int32)
+    mask = np.ones(6, np.int32)
+
+    outs = {}
+    for greedy in (True, False):
+        batcher = ContinuousBatcher(
+            model, params, num_lanes=2, max_len=64, eos_token_id=-1,
+            greedy=greedy, temperature=1e-4, cache_dtype=jnp.float32,
+            spec_lookup=3, steps_per_sync=2)
+        for r in range(3):
+            batcher.submit(Request(request_id=r, input_ids=prompt,
+                                   attention_mask=mask, vision=vision,
+                                   max_new_tokens=10))
+        res = batcher.run_until_done()
+        outs[greedy] = [res[r].tokens for r in range(3)]
+    assert outs[True] == outs[False]
+
+
+def test_spec_batcher_sampling_smoke_finishes(rg):
+    """Sampled spec serving at the reference's production temperature 0.7
+    (model_components.py:249-252): every request finishes within budget and
+    the emissions are valid token ids."""
+    model, params, video = rg
+    vision = model.apply(params, video,
+                         method=CTReportGenerator.extract_vision)[0]
+    rng = np.random.default_rng(6)
+    prompt = rng.integers(1, LLM.vocab_size, size=(5,)).astype(np.int32)
+    batcher = ContinuousBatcher(
+        model, params, num_lanes=2, max_len=64, eos_token_id=-1,
+        greedy=False, temperature=0.7, top_p=0.9, cache_dtype=jnp.float32,
+        spec_lookup=3, steps_per_sync=2, rng=jax.random.key(3))
+    for r in range(3):
+        batcher.submit(Request(request_id=r, input_ids=prompt,
+                               attention_mask=np.ones(5, np.int32),
+                               vision=vision, max_new_tokens=8))
+    res = batcher.run_until_done()
+    for r in range(3):
+        assert res[r].finished
+        assert len(res[r].tokens) == 8
+        assert all(0 <= t < LLM.vocab_size for t in res[r].tokens)
 
 
 def test_spec_batcher_window_check(rg):
@@ -245,14 +289,17 @@ def test_generate_report_cli_spec_serve(rg, tmp_path):
         return [s["prediction"] for s in res["samples"]]
 
     plain = run(["--greedy"], "out_plain")
-    spec = run(["--spec-serve", "3"], "out_spec")
+    # --spec-serve no longer implies --greedy (sampling mode uses
+    # rejection-sampling acceptance); exact token parity is a greedy claim
+    spec = run(["--spec-serve", "3", "--greedy"], "out_spec")
     assert plain == spec
 
 
-def test_spec_batcher_int8_kv(rg):
-    """spec serving composes with the int8 KV cache (scales roll back with
-    the rejected rows)."""
-    llm_cfg = dataclasses.replace(LLM, kv_quant="int8")
+@pytest.mark.parametrize("kv_quant", ["int8", "int4"])
+def test_spec_batcher_quantized_kv(rg, kv_quant):
+    """spec serving composes with the quantized KV caches (int8 per-row and
+    int4 group scales both roll back with the rejected rows)."""
+    llm_cfg = dataclasses.replace(LLM, kv_quant=kv_quant)
     gen_cfg = ReportGenConfig(vision_dim=32)
     model = CTReportGenerator(llm_cfg, VIT, gen_cfg)
     rng = np.random.default_rng(0)
