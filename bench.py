@@ -121,26 +121,44 @@ def bench_tpu(iters: int = 5) -> float:
     # params MUST be jit arguments, not closure captures: captured device
     # arrays are baked into the program as constants and the compiler tries to
     # fold hundreds of MB of literals (30+ min compile).
-    @jax.jit
-    def pipeline(params, w_latent, vq_state, raw):
+    def pipeline_fn(params, w_latent, vq_state, raw):
         video = preprocess_volume(raw, jnp.float32(1.0), jnp.float32(-1024.0),
                                   spacing, cfg=pre_cfg)
         tokens, _ = model.apply(params, video[None].astype(jnp.bfloat16), vq_state)
         pooled = tokens.mean(axis=1).reshape(tokens.shape[0], -1)
         return l2norm(pooled @ w_latent)[0]
 
-    @jax.jit
-    def pipeline_clip(params, w_latent, vq_state, raw, bparams, w_text, ids, tmask):
+    def pipeline_clip_fn(params, w_latent, vq_state, raw, bparams, w_text,
+                         ids, tmask):
         """Full CLIP pair step: image path + 512-token text encode + similarity."""
-        img = pipeline(params, w_latent, vq_state, raw)
+        img = pipeline_fn(params, w_latent, vq_state, raw)
         _, cls = bert.apply(bparams, ids, tmask)
         txt = l2norm(cls @ w_text)[0]                   # CLS pooling
         return img @ txt, img
 
+    # serialized-executable cache (core/aot_cache): a warm .jax_aot_cache
+    # skips compilation entirely on standard TPU hosts.  On the axon RELAY
+    # the remote side recompiles at first execution even for a deserialized
+    # executable (docs/ROUND3_NOTES.md aot_probe: 0.1 s load, 81 s first
+    # exec), so the relay's cold start stays remote-compile-bound; the cache
+    # is wired here regardless because bench.py is also the recipe for
+    # non-relay deployments, and the load/compile split below records which
+    # case this run hit.
+    from ctpa.core.aot_cache import load_or_compile
+
+    t0 = time.time()
+    pipeline = load_or_compile("bench_pipeline", pipeline_fn,
+                               params, w_latent, vq_state, raw)
+    t_load = time.time() - t0
+    log(f"pipeline executable ready: {t_load:.1f}s "
+        f"({'cache hit' if t_load < 5 else 'compiled'})")
     t0 = time.time()
     out = pipeline(params, w_latent, vq_state, raw)
     _ = np.asarray(out)
-    log(f"tpu compile+first: {time.time() - t0:.1f}s")
+    t_first = time.time() - t0
+    log(f"tpu compile+first: {t_load + t_first:.1f}s "
+        f"(executable {t_load:.1f}s + first exec {t_first:.1f}s)")
+    compile_first_s = t_load + t_first
 
     # Honest timing on the axon relay backend (see verify skill):
     #  * block_until_ready does NOT wait for remote completion — every timed
@@ -173,6 +191,9 @@ def bench_tpu(iters: int = 5) -> float:
     # vision+text pair step (one volume + one 512-token report through the
     # full-geometry BERT): the honest CLIP-training per-pair cost
     t0 = time.time()
+    pipeline_clip = load_or_compile("bench_pipeline_clip", pipeline_clip_fn,
+                                    params, w_latent, vq_state, raw, bparams,
+                                    w_text, ids, tmask)
     o2 = pipeline_clip(params, w_latent, vq_state, raw, bparams, w_text, ids, tmask)
     _ = np.asarray(o2[0])
     log(f"clip-pair compile+first: {time.time() - t0:.1f}s")
@@ -187,7 +208,7 @@ def bench_tpu(iters: int = 5) -> float:
     dt2 = max(float(np.median(samples2)) - roundtrip, 1e-4)
     log(f"clip pair (vision+text+sim) device {dt2 * 1000:.1f} ms/pair "
         f"(text tower adds {max(dt2 - dt, 0) * 1000:.1f} ms)")
-    return 1.0 / dt, 1.0 / dt2
+    return 1.0 / dt, 1.0 / dt2, compile_first_s
 
 
 def bench_cpu_reference(iters: int = 2) -> float:
@@ -268,20 +289,31 @@ def bench_cpu_reference(iters: int = 2) -> float:
     return 1.0 / dt
 
 
+# Pinned CPU-reference denominator: the live CPU leg varied 10.4-13.2 s/vol
+# across rounds purely with box load (±15% noise on vs_baseline from the
+# denominator alone — VERDICT r3 weak #7), so the headline ratio uses this
+# fixed measured constant; the live leg still runs and is reported alongside
+# for drift detection.  Measured on this box, single core, 2026-08-19
+# (median of rounds 1-3: 10.4 / 11.6 / 11.6 s).
+CPU_REF_S_PER_VOLUME = 11.6
+
+
 def main():
-    tpu_vps, pair_vps = bench_tpu()
+    tpu_vps, pair_vps, compile_first_s = bench_tpu()
     try:
         cpu_vps = bench_cpu_reference()
     except Exception as e:  # never let the baseline kill the bench line
         log("cpu baseline failed:", e)
         cpu_vps = float("nan")
-    vs = tpu_vps / cpu_vps if np.isfinite(cpu_vps) and cpu_vps > 0 else None
+    vs_live = tpu_vps / cpu_vps if np.isfinite(cpu_vps) and cpu_vps > 0 else None
     print(json.dumps({
         "metric": "preproc_encode_volumes_per_sec_per_chip",
         "value": round(tpu_vps, 3),
         "unit": "volumes/sec",
-        "vs_baseline": round(vs, 2) if vs else None,
+        "vs_baseline": round(tpu_vps * CPU_REF_S_PER_VOLUME, 2),
+        "vs_baseline_live_cpu_leg": round(vs_live, 2) if vs_live else None,
         "clip_pairs_per_sec_incl_text": round(pair_vps, 3),
+        "compile_first_s": round(compile_first_s, 1),
     }))
 
 

@@ -88,6 +88,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        # the axon TPU plugin registers even when JAX_PLATFORMS=cpu; forcing
+        # via jax.config is the honored path (verify skill, conftest.py)
+        jax.config.update("jax_platforms", "cpu")
+
     from ctpa.core.config import (CTViTConfig, LLMConfig, PreprocessConfig,
                                   ReportGenConfig)
     from ctpa.core.initutils import device_params

@@ -1,0 +1,226 @@
+"""Zero-shot classification pipeline benchmark — the FULL BASELINE
+"zero-shot classification" config, not just preproc+encode (VERDICT r3 #7):
+
+    raw CT staged in HBM
+      -> fused preprocess + CTViT encode + latent projection   (bench.py leg)
+      -> 18-pathology prompt-pair scoring (eval/zeroshot.py)   [device]
+      -> per-label AUROC / ROC / Youden operating point        [host, sklearn]
+      -> artifact writes: labels/predictions npz, aurocs.xlsx,
+         accessions txt (eval/artifacts.py)                    [host]
+
+Reference cost structure being compared: ctclip_inference.py:261-338 runs
+36 full CTCLIP forwards per volume (18 pathologies x 2 prompts, image
+re-encoded every time) and then the same sklearn/xlsx tail.  Here prompt
+latents are computed ONCE for the whole run (they are input-independent)
+and each volume costs one encode + one (2P, d) dot.
+
+Honest-timing rules per bench.py (fetch-forced samples, perturbed inputs,
+roundtrip subtracted for the per-volume device number; the pipeline total is
+wall clock including the host tail).  Prints ONE JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+if os.environ.get("JAX_PLATFORMS") == "axon":
+    os.environ["JAX_PLATFORMS"] = "axon,cpu"
+
+import numpy as np
+
+from ctpa.core.compilation_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+RAW_SHAPE = (160, 512, 512)
+SPACING = (2.0, 0.75, 0.75)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        # the axon TPU plugin registers even when JAX_PLATFORMS=cpu; forcing
+        # via jax.config is the honored path (verify skill, conftest.py)
+        jax.config.update("jax_platforms", "cpu")
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--volumes", type=int, default=24)
+    ap.add_argument("--size", choices=["tiny", "full"], default="full",
+                    help="tiny = CPU-smokeable script-path check")
+    ap.add_argument("--out-dir", default=None)
+    args = ap.parse_args()
+
+    import dataclasses
+
+    import flax.linen as nn
+
+    from ctpa.core.config import (BertConfig, CTViTConfig, PreprocessConfig)
+    from ctpa.eval.classification import evaluate_classification
+    from ctpa.eval.artifacts import write_zeroshot_artifacts
+    from ctpa.eval.zeroshot import (PATHOLOGIES, prompt_pairs,
+                                    score_prompt_pairs)
+    from ctpa.models.bert import BertEncoder
+    from ctpa.models.ctvit import CTViT
+    from ctpa.ops.attention_ops import l2norm
+    from ctpa.ops.preprocess import preprocess_volume
+    from ctpa.ops.vq import vq_init
+
+    log("devices:", jax.devices())
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if args.size == "full":
+        vit_cfg = dataclasses.replace(CTViTConfig(),
+                                      pallas_patchify=on_tpu,
+                                      flash_axial=on_tpu)
+        bert_cfg = BertConfig()
+        raw_shape, spacing = RAW_SHAPE, SPACING
+        pre_cfg = PreprocessConfig.inference()
+    else:
+        vit_cfg = CTViTConfig.tiny()
+        bert_cfg = BertConfig.tiny()
+        raw_shape, spacing = (40, 80, 80), (2.0, 1.0, 1.0)
+        pre_cfg = dataclasses.replace(
+            PreprocessConfig.inference(),
+            target_shape=(vit_cfg.temporal_size, vit_cfg.image_size,
+                          vit_cfg.image_size))
+    dim_latent = 512 if args.size == "full" else 32
+    grid = vit_cfg.image_size // vit_cfg.patch_size
+
+    model = CTViT(vit_cfg, dtype=jnp.bfloat16)
+    bert = BertEncoder(bert_cfg, dtype=jnp.bfloat16)
+    vq_state = vq_init(jax.random.key(0), vit_cfg.codebook_size, vit_cfg.dim)
+
+    rng = np.random.default_rng(0)
+    raw = jax.device_put(
+        jnp.asarray(rng.integers(-24, 3000, size=raw_shape), jnp.float32))
+    spacing_arr = jnp.asarray(spacing, jnp.float32)
+
+    def materialize(tree_def, seed=0):
+        host_rng = np.random.default_rng(seed)
+
+        def mk(x):
+            return jnp.asarray(
+                host_rng.normal(0, 0.02, size=x.shape).astype(
+                    np.dtype(x.dtype) if x.dtype != jnp.bfloat16 else np.float32
+                ), dtype=x.dtype)
+
+        return jax.tree.map(mk, tree_def)
+
+    video_shape = jax.ShapeDtypeStruct((1, 1) + pre_cfg.target_shape,
+                                       jnp.bfloat16)
+    params = jax.device_put(materialize(jax.eval_shape(
+        lambda k, v: model.init(k, v, None), jax.random.key(0), video_shape)))
+    w_latent = jax.device_put(jnp.asarray(
+        np.random.default_rng(1).normal(
+            0, 0.002, size=(grid * grid * vit_cfg.dim, dim_latent)
+        ).astype(np.float32), dtype=jnp.bfloat16))
+
+    # ---- prompt latents: ONE batched text forward for all 36 prompts ------
+    prompts = prompt_pairs(PATHOLOGIES)
+    # tokenization is irrelevant to throughput (36 short strings); synth ids
+    tok_rng = np.random.default_rng(2)
+    ids = jnp.asarray(tok_rng.integers(1, bert_cfg.vocab_size,
+                                       size=(len(prompts), 32)), jnp.int32)
+    tmask = jnp.ones_like(ids)
+    bparams = jax.device_put(materialize(jax.eval_shape(
+        lambda k: bert.init(k, ids, tmask), jax.random.key(0)), seed=3))
+    w_text = jax.device_put(jnp.asarray(
+        np.random.default_rng(4).normal(
+            0, 0.02, size=(bert_cfg.hidden_size, dim_latent)
+        ).astype(np.float32), dtype=jnp.bfloat16))
+
+    @jax.jit
+    def text_latents(bparams, w_text, ids, tmask):
+        _, cls = bert.apply(bparams, ids, tmask)
+        return l2norm(cls @ w_text)
+
+    t0 = time.time()
+    plat = text_latents(bparams, w_text, ids, tmask)
+    jax.block_until_ready(plat)
+    log(f"prompt latents (36 prompts, one batched forward): "
+        f"{time.time() - t0:.1f}s incl compile")
+
+    # ---- per-volume program: preprocess -> encode -> score 18 pairs -------
+    @jax.jit
+    def score_volume(params, w_latent, vq_state, raw, plat):
+        video = preprocess_volume(raw, jnp.float32(1.0), jnp.float32(-1024.0),
+                                  spacing_arr, cfg=pre_cfg)
+        tokens, _ = model.apply(params, video[None].astype(jnp.bfloat16),
+                                vq_state)
+        pooled = tokens.mean(axis=1).reshape(tokens.shape[0], -1)
+        img = l2norm(pooled @ w_latent)
+        return score_prompt_pairs(img, plat, jnp.float32(1.0))[0]  # (18,)
+
+    t0 = time.time()
+    probs0 = score_volume(params, w_latent, vq_state, raw, plat)
+    _ = np.asarray(probs0)
+    log(f"score_volume compile+first: {time.time() - t0:.1f}s")
+
+    rts = []
+    for _ in range(10):
+        t0 = time.time()
+        _ = np.asarray(probs0[:1])
+        rts.append(time.time() - t0)
+    roundtrip = float(np.median(rts))
+
+    # ---- the measured run: N volumes through score + host AUROC tail ------
+    n = args.volumes
+    labels = rng.integers(0, 2, size=(n, len(PATHOLOGIES))).astype(np.float32)
+    accessions = [f"synth_{i:04d}" for i in range(n)]
+    out_dir = args.out_dir or tempfile.mkdtemp(prefix="ctpa_zeroshot_bench_")
+
+    t_start = time.time()
+    preds = np.zeros((n, len(PATHOLOGIES)), np.float32)
+    per_vol = []
+    for i in range(n):
+        t0 = time.time()
+        p = score_volume(params, w_latent, vq_state,
+                         raw + jnp.float32(1e-3 * (i + 1)), plat)
+        preds[i] = np.asarray(p)                      # forced fetch per volume
+        per_vol.append(time.time() - t0)
+    t_score = time.time() - t_start
+
+    t0 = time.time()
+    df = evaluate_classification(preds, labels, list(PATHOLOGIES),
+                                 plot_dir=None)
+    t_auroc = time.time() - t0
+    t0 = time.time()
+    paths = write_zeroshot_artifacts(out_dir, preds, labels, accessions,
+                                     df)
+    t_artifacts = time.time() - t0
+    wall = time.time() - t_start
+
+    dev_ms = max(float(np.median(per_vol)) - roundtrip, 1e-4) * 1000
+    log(f"device encode+score: {dev_ms:.1f} ms/volume (median, roundtrip "
+        f"{roundtrip * 1000:.0f} ms subtracted)")
+    log(f"host tail: AUROC/ROC {t_auroc:.2f}s, artifacts {t_artifacts:.2f}s "
+        f"({', '.join(os.path.basename(p) for p in paths.values())})")
+    log(f"pipeline wall: {wall:.2f}s for {n} volumes "
+        f"(score loop {t_score:.2f}s)")
+    mean_auc = float(df["mean_auc"].iloc[0])
+    log(f"mean AUROC (random data sanity ~0.5): {mean_auc:.3f}")
+
+    print(json.dumps({
+        "metric": "zeroshot_eval_volumes_per_sec",
+        "value": round(n / wall, 3),
+        "unit": "volumes/sec",
+        "device_ms_per_volume": round(dev_ms, 1),
+        "host_tail_s": round(t_auroc + t_artifacts, 2),
+        "volumes": n,
+        "size": args.size,
+    }))
+
+
+if __name__ == "__main__":
+    main()
