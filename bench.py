@@ -146,9 +146,13 @@ def bench_tpu(iters: int = 5) -> float:
     # case this run hit.
     from ctpa.core.aot_cache import load_or_compile
 
+    # pipeline_fn closes over config values; key them explicitly (the cache's
+    # source-tree hash covers code, not closure values)
+    key_extra = repr((vit_cfg, pre_cfg, SPACING, RAW_SHAPE))
     t0 = time.time()
     pipeline = load_or_compile("bench_pipeline", pipeline_fn,
-                               params, w_latent, vq_state, raw)
+                               params, w_latent, vq_state, raw,
+                               key_extra=key_extra)
     t_load = time.time() - t0
     log(f"pipeline executable ready: {t_load:.1f}s "
         f"({'cache hit' if t_load < 5 else 'compiled'})")
@@ -193,7 +197,7 @@ def bench_tpu(iters: int = 5) -> float:
     t0 = time.time()
     pipeline_clip = load_or_compile("bench_pipeline_clip", pipeline_clip_fn,
                                     params, w_latent, vq_state, raw, bparams,
-                                    w_text, ids, tmask)
+                                    w_text, ids, tmask, key_extra=key_extra)
     o2 = pipeline_clip(params, w_latent, vq_state, raw, bparams, w_text, ids, tmask)
     _ = np.asarray(o2[0])
     log(f"clip-pair compile+first: {time.time() - t0:.1f}s")

@@ -48,12 +48,24 @@ def main():
     ap.add_argument("--batch", type=int, default=2)   # fine_tuning_ctclip.py:27
     ap.add_argument("--seq-len", type=int, default=512)
     ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--no-flash-axial", action="store_true",
+                    help="disable the pallas flash kernel on the axial "
+                         "spatial fold (A/B the XLA attention path)")
     args = ap.parse_args()
 
     log("devices:", jax.devices())
+    on_tpu = jax.default_backend() not in ("cpu",)
     B, L = args.batch, args.seq_len
     if args.size == "full":
-        vit_cfg = CTViTConfig()
+        import dataclasses
+        # flash_axial is now differentiable end-to-end (pallas bias-backward
+        # for the CPB bias, ops/pallas/flash_attention.py _db_kernel), so the
+        # TRAINING step uses the same kernel the inference benches ship.
+        # pallas_patchify stays off here: the patchify kernel is
+        # forward-only (no VJP; the XLA patch embed differentiates).
+        vit_cfg = dataclasses.replace(
+            CTViTConfig(),
+            flash_axial=on_tpu and not args.no_flash_axial)
         bert_cfg = BertConfig()
         clip_cfg = CTCLIPConfig()
     else:

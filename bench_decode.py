@@ -70,6 +70,10 @@ def main():
                     help="quantized KV cache (LLMConfig.kv_quant): int8 "
                          "halves the per-step KV read and the cache "
                          "footprint; int4 (group scales) ~3.3x")
+    ap.add_argument("--kv-dots", action="store_true",
+                    help="with --kv-quant int8: native int8 MXU attention "
+                         "dots reading the cache directly (no bf16 "
+                         "dequantized K/V copies; LLMConfig.kv_int8_dots)")
     ap.add_argument("--flash-decode", action="store_true",
                     help="fused single-token decode attention pallas kernel "
                          "(LLMConfig.flash_decode)")
@@ -145,6 +149,10 @@ def main():
                                       quant_act=args.act_quant)
     if args.kv_quant != "none":
         llm_cfg = dataclasses.replace(llm_cfg, kv_quant=args.kv_quant)
+    if args.kv_dots:
+        if args.kv_quant != "int8":
+            raise SystemExit("--kv-dots requires --kv-quant int8")
+        llm_cfg = dataclasses.replace(llm_cfg, kv_int8_dots=True)
     if args.flash_decode:
         llm_cfg = dataclasses.replace(llm_cfg, flash_decode=True)
     if args.size == "tiny" and jax.default_backend() == "cpu":

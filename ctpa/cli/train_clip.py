@@ -113,7 +113,15 @@ def main(argv=None):
             target_shape=(vit_cfg.temporal_size, vit_cfg.image_size,
                           vit_cfg.image_size))
     else:
-        vit_cfg, bert_cfg, clip_cfg = CTViTConfig(), BertConfig(), CTCLIPConfig()
+        import dataclasses
+
+        # flash_axial: pallas flash attention on the 576-token spatial fold,
+        # differentiable end-to-end (pallas bias-backward for the CPB bias);
+        # TPU only — the CPU path keeps the XLA attention
+        vit_cfg = dataclasses.replace(
+            CTViTConfig(),
+            flash_axial=jax.default_backend() not in ("cpu",))
+        bert_cfg, clip_cfg = BertConfig(), CTCLIPConfig()
         pre_cfg = PreprocessConfig.train()
 
     mesh = create_mesh(MeshConfig())

@@ -237,6 +237,15 @@ class LLMConfig:
     kv_quant: Optional[str] = None       # None | "int8" | "int4"
     # head_dim elements sharing one int4 scale (rounded down to a divisor)
     kv_quant_group: int = 32
+    # with kv_quant='int8': run the decode attention contractions as native
+    # int8 x int8 -> int32 MXU dots — q rows and (v-scale-folded) attention
+    # weights are dynamically quantized per row, and the int8 cache feeds
+    # the dots DIRECTLY, never materializing bf16 K/V copies (the suspected
+    # per-layer convert copies at serving-length contexts,
+    # docs/ROUND3_NOTES.md KV-layout experiment).  Adds ~0.4%-scale dynamic
+    # quantization noise on q and the attention weights (same regime as the
+    # int8 cache rows themselves).
+    kv_int8_dots: bool = False
     # fused single-token decode attention (ops/pallas/decode_attention.py):
     # one pallas launch per layer reads each K/V cache byte exactly once
     # (int8 scales folded in-kernel, GQA repeat in-kernel) instead of the

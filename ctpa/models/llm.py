@@ -466,6 +466,47 @@ class LlamaAttention(nn.Module):
                             "o_proj")(out)
                 return out, cache_k, cache_v
 
+            if quant and getattr(c, "kv_int8_dots", False):
+                # int8 attention dots: the int8 cache slices are the DOT
+                # OPERANDS (int8 x int8 -> int32 on the MXU), so no bf16
+                # dequantized K/V copy ever materializes.  q rows quantize
+                # per (b, n, head) absmax; for PV the per-slot v scales fold
+                # into the f32 attention weights BEFORE their row
+                # quantization, so the int dot's row scale recovers the
+                # exact fold.
+                k8 = ck[self.layer_idx]                       # (b,kvh,m,hd) i8
+                v8 = cv[self.layer_idx]
+                k_sc8 = ksc[self.layer_idx]                   # (b, kvh, m)
+                v_sc8 = vsc[self.layer_idx]
+                rep8 = h // kvh
+                qg8 = q.reshape(b, n, kvh, rep8, hd).astype(jnp.float32)
+                q_sc = jnp.maximum(
+                    jnp.max(jnp.abs(qg8), axis=-1) / 127.0, 1e-12)
+                qq = jnp.clip(jnp.round(qg8 / q_sc[..., None]), -127, 127
+                              ).astype(jnp.int8)
+                sim = jnp.einsum("bngrd,bgmd->bgrnm", qq, k8,
+                                 preferred_element_type=jnp.int32
+                                 ).astype(jnp.float32)
+                sim = (sim * q_sc.transpose(0, 2, 3, 1)[:, :, :, :, None]
+                       * k_sc8[:, :, None, None, :]) / jnp.sqrt(hd)
+                if attn_mask is not None:
+                    sim = jnp.where(attn_mask[:, :, None], sim,
+                                    jnp.finfo(jnp.float32).min)
+                attn = jax.nn.softmax(sim, axis=-1)
+                attn = attn * v_sc8[:, :, None, None, :]      # fold v scales
+                a_sc = jnp.maximum(
+                    jnp.max(attn, axis=-1) / 127.0, 1e-30)    # attn >= 0
+                a8 = jnp.clip(jnp.round(attn / a_sc[..., None]), 0, 127
+                              ).astype(jnp.int8)
+                out = jnp.einsum("bgrnm,bgmd->bngrd", a8, v8,
+                                 preferred_element_type=jnp.int32
+                                 ).astype(jnp.float32)
+                out = (out * a_sc.transpose(0, 3, 1, 2)[..., None]
+                       ).reshape(b, n, h * hd).astype(x.dtype)
+                out = _proj(c, c.hidden_size, "o_proj", self.dtype,
+                            self.lora, "o_proj")(out)
+                return out, cache_k, cache_v
+
             if quant:
                 k_sc, v_sc = ksc[self.layer_idx], vsc[self.layer_idx]  # (b,kvh,m)
             k_full = ck[self.layer_idx].astype(self.dtype)   # (b, kvh, m, hd)

@@ -416,12 +416,15 @@ def _flash_call(q, k, v, bias, kv_mask, q_offset, logit_bound, *, causal,
 
 
 def _bwd_p(q, k, lse_col, *, scale, causal, qi, kj, block_q, block_k,
-           kv_true_len, kv_pad_len, kvm_ref, has_kv_mask, qo_ref=None):
+           kv_true_len, kv_pad_len, kvm_ref, has_kv_mask, qo_ref=None,
+           bias_ref=None):
     """Recompute the (block_q, block_k) probability tile from saved lse.
     Masked cells are zeroed directly (no NEG_INF round trip)."""
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
+    if bias_ref is not None:
+        s = s + bias_ref[:].astype(jnp.float32)
     p = jnp.exp(s - lse_col)
     valid = None
     if causal:
@@ -447,7 +450,8 @@ def _bwd_p(q, k, lse_col, *, scale, causal, qi, kj, block_q, block_k,
 
 def _dkv_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, kvm_ref,
                 qo_ref, dk_ref, dv_ref, dk_scr, dv_scr, *, scale, causal,
-                block_q, block_k, kv_true_len, kv_pad_len, has_kv_mask):
+                block_q, block_k, kv_true_len, kv_pad_len, has_kv_mask,
+                bias_ref=None):
     """grid (b*h, kv_blocks, q_blocks) — q innermost; dk/dv accumulate over
     the q walk for one kv tile."""
     ki = pl.program_id(1)
@@ -476,7 +480,8 @@ def _dkv_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, kvm_ref,
         p = _bwd_p(q, k, lse_ref[:, :1], scale=scale, causal=causal, qi=qj,
                    kj=ki, block_q=block_q, block_k=block_k,
                    kv_true_len=kv_true_len, kv_pad_len=kv_pad_len,
-                   kvm_ref=kvm_ref, has_kv_mask=has_kv_mask, qo_ref=qo_ref)
+                   kvm_ref=kvm_ref, has_kv_mask=has_kv_mask, qo_ref=qo_ref,
+                   bias_ref=bias_ref)
         # dV += P^T dO            (contract the q axis)
         dv_scr[:] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -499,7 +504,7 @@ def _dkv_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, kvm_ref,
 
 def _dq_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, kvm_ref,
                qo_ref, dq_ref, dq_scr, *, scale, causal, block_q, block_k,
-               kv_true_len, kv_pad_len, has_kv_mask):
+               kv_true_len, kv_pad_len, has_kv_mask, bias_ref=None):
     """grid (b*h, q_blocks, kv_blocks) — kv innermost; dq accumulates over
     the kv walk for one q tile."""
     qi = pl.program_id(1)
@@ -526,7 +531,8 @@ def _dq_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, kvm_ref,
         p = _bwd_p(q, k, lse_ref[:, :1], scale=scale, causal=causal, qi=qi,
                    kj=kj, block_q=block_q, block_k=block_k,
                    kv_true_len=kv_true_len, kv_pad_len=kv_pad_len,
-                   kvm_ref=kvm_ref, has_kv_mask=has_kv_mask, qo_ref=qo_ref)
+                   kvm_ref=kvm_ref, has_kv_mask=has_kv_mask, qo_ref=qo_ref,
+                   bias_ref=bias_ref)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         delta = jnp.sum(do.astype(jnp.float32) * o_ref[:].astype(jnp.float32),
@@ -541,11 +547,61 @@ def _dq_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, kvm_ref,
         dq_ref[:] = dq_scr[:].astype(dq_ref.dtype)
 
 
-def _flash_bwd(q, k, v, kv_mask, q_offset, logit_bound, out, lse, do, *,
-               causal, scale):
-    """Pallas backward (no bias): returns (dq, dk, dv).  Reuses the forward's
-    scale-fold and logit-bound augmentation so the saved (bound-relative) lse
-    recovers the exact probabilities."""
+def _db_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, kvm_ref,
+               qo_ref, bias_ref, db_ref, db_scr, *, scale, causal, block_q,
+               block_k, kv_true_len, kv_pad_len, has_kv_mask):
+    """grid (h_bias, q_blocks, kv_blocks, inner) — inner (the broadcast
+    batch walk) innermost; d(bias) accumulates ds = p * (dp - delta) over it
+    for one (head, q, kv) tile.  The bias gradient per cell is ds WITHOUT
+    the attention scale (bias adds to the POST-scale logits), summed over
+    every batch item that broadcast the bias slab — which is why it gets
+    its own pass: the dq/dkv walks revisit a given bias tile at
+    non-consecutive grid steps, where Pallas flushes output blocks."""
+    ii = pl.program_id(3)
+    num_inner = pl.num_programs(3)
+    qi = pl.program_id(1)
+    kj = pl.program_id(2)
+
+    @pl.when(ii == 0)
+    def _init():
+        db_scr[:] = jnp.zeros_like(db_scr)
+
+    if not causal:
+        run = True
+    elif qo_ref is not None:
+        run = kj * block_k <= qo_ref[0, 0] + qi * block_q + block_q - 1
+    else:
+        run = kj * block_k <= qi * block_q + block_q - 1
+
+    @pl.when(run)
+    def _step():
+        q = q_ref[:]
+        do = do_ref[:]
+        p = _bwd_p(q, k_ref[:], lse_ref[:, :1], scale=scale, causal=causal,
+                   qi=qi, kj=kj, block_q=block_q, block_k=block_k,
+                   kv_true_len=kv_true_len, kv_pad_len=kv_pad_len,
+                   kvm_ref=kvm_ref, has_kv_mask=has_kv_mask, qo_ref=qo_ref,
+                   bias_ref=bias_ref)
+        dp = jax.lax.dot_general(
+            do, v_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        delta = jnp.sum(do.astype(jnp.float32) * o_ref[:].astype(jnp.float32),
+                        axis=-1, keepdims=True)
+        db_scr[:] += p * (dp - delta)
+
+    @pl.when(ii == num_inner - 1)
+    def _flush():
+        db_ref[:] = db_scr[:].astype(db_ref.dtype)
+
+
+def _flash_bwd(q, k, v, bias, kv_mask, q_offset, logit_bound, out, lse, do,
+               *, causal, scale):
+    """Pallas backward: returns (dq, dk, dv, dbias-or-None).  Reuses the
+    forward's scale-fold and logit-bound augmentation so the saved
+    (bound-relative) lse recovers the exact probabilities.  `bias` may be
+    None or a broadcast (h, n, m) / (1, n, m) slab (the CPB case): dq/dkv
+    read it per tile, and a third kernel accumulates d(bias) over the
+    batch items that broadcast each slab."""
     b, h, n, d = q.shape
     m = k.shape[2]
     rup = _rup
@@ -591,6 +647,16 @@ def _flash_bwd(q, k, v, kv_mask, q_offset, logit_bound, out, lse, do, *,
     qo_spec = pl.BlockSpec((1, 1), lambda g, i, j: (0, 0),
                            memory_space=pltpu.SMEM)
 
+    has_bias = bias is not None
+    if has_bias:
+        h_bias = bias.shape[0]                      # h or 1
+        bias_shape = bias.shape
+        biasf = _pad_to(_pad_to(bias, n_pad, 1), m_pad, 2)
+        # bias slab for grid step g (= b_idx * h + head): head's slab, or
+        # the single shared slab
+        bh_idx = ((lambda g: g % h) if h_bias == h and h > 1
+                  else (lambda g: 0))
+
     common = dict(scale=scale, causal=causal, block_q=block_q,
                   block_k=block_k, kv_true_len=m, kv_pad_len=m_pad,
                   has_kv_mask=has_kv_mask)
@@ -619,15 +685,24 @@ def _flash_bwd(q, k, v, kv_mask, q_offset, logit_bound, out, lse, do, *,
     if has_q_offset:
         in_specs.append(qo_spec)
         operands.append(qo)
+    if has_bias:
+        # dkv grid is (g, kv_i, q_j): the bias tile is (q rows j, kv cols i)
+        in_specs.append(pl.BlockSpec(
+            (None, block_q, block_k), lambda g, i, j: (bh_idx(g), j, i),
+            memory_space=pltpu.VMEM))
+        operands.append(biasf)
 
     def dkv_entry(*refs):
         refs = list(refs)
+        n_extra = 6 + has_kv_mask + has_q_offset
+        b_ref = refs.pop(n_extra) if has_bias else None
         qo_ref = refs.pop(6 + has_kv_mask) if has_q_offset else None
         kvm_ref = refs.pop(6) if has_kv_mask else None
         (q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref,
          dk_ref, dv_ref, dk_scr, dv_scr) = refs
         _dkv_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, kvm_ref,
-                    qo_ref, dk_ref, dv_ref, dk_scr, dv_scr, **common)
+                    qo_ref, dk_ref, dv_ref, dk_scr, dv_scr, bias_ref=b_ref,
+                    **common)
 
     dk, dv = pl.pallas_call(
         dkv_entry,
@@ -653,14 +728,21 @@ def _flash_bwd(q, k, v, kv_mask, q_offset, logit_bound, out, lse, do, *,
     if has_q_offset:
         in_specs.append(qo_spec)
         operands.append(qo)
+    if has_bias:
+        in_specs.append(pl.BlockSpec(
+            (None, block_q, block_k), lambda g, i, j: (bh_idx(g), i, j),
+            memory_space=pltpu.VMEM))
+        operands.append(biasf)
 
     def dq_entry(*refs):
         refs = list(refs)
+        n_extra = 6 + has_kv_mask + has_q_offset
+        b_ref = refs.pop(n_extra) if has_bias else None
         qo_ref = refs.pop(6 + has_kv_mask) if has_q_offset else None
         kvm_ref = refs.pop(6) if has_kv_mask else None
         q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, dq_ref, dq_scr = refs
         _dq_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, kvm_ref,
-                   qo_ref, dq_ref, dq_scr, **common)
+                   qo_ref, dq_ref, dq_scr, bias_ref=b_ref, **common)
 
     dq = pl.pallas_call(
         dq_entry,
@@ -673,13 +755,85 @@ def _flash_bwd(q, k, v, kv_mask, q_offset, logit_bound, out, lse, do, *,
             dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(*operands)
 
+    # ---- d(bias): grid (h_bias, q_blocks, kv_blocks, inner) ----------------
+    dbias = None
+    if has_bias:
+        inner = (b * h) // h_bias
+        if h_bias == h and h > 1:
+            g_of = lambda hd, ii: ii * h + hd
+        else:
+            g_of = lambda hd, ii: ii
+
+        db_in_specs = [
+            pl.BlockSpec((None, block_q, d_pad),
+                         lambda hd, i, j, ii: (g_of(hd, ii), i, 0),
+                         memory_space=pltpu.VMEM),          # q
+            pl.BlockSpec((None, block_q, d_pad),
+                         lambda hd, i, j, ii: (g_of(hd, ii), i, 0),
+                         memory_space=pltpu.VMEM),          # do
+            pl.BlockSpec((None, block_q, d_pad),
+                         lambda hd, i, j, ii: (g_of(hd, ii), i, 0),
+                         memory_space=pltpu.VMEM),          # o
+            pl.BlockSpec((None, block_q, 128),
+                         lambda hd, i, j, ii: (g_of(hd, ii), i, 0),
+                         memory_space=pltpu.VMEM),          # lse
+            pl.BlockSpec((None, block_k, d_pad),
+                         lambda hd, i, j, ii: (g_of(hd, ii), j, 0),
+                         memory_space=pltpu.VMEM),          # k
+            pl.BlockSpec((None, block_k, d_pad),
+                         lambda hd, i, j, ii: (g_of(hd, ii), j, 0),
+                         memory_space=pltpu.VMEM),          # v
+        ]
+        db_operands = [qf, dof, of, lsef, kf, vf]
+        if has_kv_mask:
+            db_in_specs.append(pl.BlockSpec(
+                (None, 1, block_k),
+                lambda hd, i, j, ii: (g_of(hd, ii) // h, 0, j),
+                memory_space=pltpu.VMEM))
+            db_operands.append(kvm)
+        if has_q_offset:
+            db_in_specs.append(pl.BlockSpec(
+                (1, 1), lambda hd, i, j, ii: (0, 0),
+                memory_space=pltpu.SMEM))
+            db_operands.append(qo)
+        db_in_specs.append(pl.BlockSpec(
+            (None, block_q, block_k), lambda hd, i, j, ii: (hd, i, j),
+            memory_space=pltpu.VMEM))
+        db_operands.append(biasf)
+
+        def db_entry(*refs):
+            refs = list(refs)
+            b_ref = refs.pop(6 + has_kv_mask + has_q_offset)
+            qo_ref = refs.pop(6 + has_kv_mask) if has_q_offset else None
+            kvm_ref = refs.pop(6) if has_kv_mask else None
+            (q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref,
+             db_ref, db_scr) = refs
+            _db_kernel(q_ref, do_ref, o_ref, lse_ref, k_ref, v_ref, kvm_ref,
+                       qo_ref, b_ref, db_ref, db_scr, **common)
+
+        db = pl.pallas_call(
+            db_entry,
+            grid=(h_bias, n_pad // block_q, m_pad // block_k, inner),
+            in_specs=db_in_specs,
+            out_specs=pl.BlockSpec((None, block_q, block_k),
+                                   lambda hd, i, j, ii: (hd, i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((h_bias, n_pad, m_pad),
+                                           jnp.float32),
+            scratch_shapes=[pltpu.VMEM((block_q, block_k), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel",
+                                     "arbitrary")),
+        )(*db_operands)
+        dbias = db[:, :n, :m].reshape(bias_shape).astype(bias.dtype)
+
     dq = dq.reshape(b, h, n_pad, d_pad)[:, :, :n, :d]
     dk = dk.reshape(b, h, m_pad, d_pad)[:, :, :m, :d]
     dv = dv.reshape(b, h, m_pad, d_pad)[:, :, :m, :d]
     if post_scale != 1.0:
         # the kernel differentiated w.r.t. the scale-folded q
         dq = dq * jnp.asarray(post_scale, dq.dtype)
-    return dq, dk, dv
+    return dq, dk, dv, dbias
 
 
 def _dense_bwd(q, k, v, bias, kv_mask, q_offset, do, *, causal, scale):
@@ -739,13 +893,20 @@ def _make_fa(causal: bool, block_q, block_k, scale: float):
 
     def fa_bwd(res, do):
         q, k, v, bias, kv_mask, q_offset, logit_bound, out, lse = res
-        if bias is not None:
+        if bias is not None and bias.ndim == 4:
+            # per-item bias: d(bias) is a full (b, h, n, m) tensor anyway, so
+            # the dense backward allocates nothing extra
             dq, dk, dv, dbias = _dense_bwd(q, k, v, bias, kv_mask, q_offset,
                                            do, causal=causal, scale=scale)
         else:
-            dq, dk, dv = _flash_bwd(q, k, v, kv_mask, q_offset, logit_bound,
-                                    out, lse, do, causal=causal, scale=scale)
-            dbias = None
+            # pallas backward; broadcast (h/1, n, m) bias (the CPB case) gets
+            # its gradient from the _db_kernel pass — no (b*h, n, m) dense
+            # probability/score tensors materialize (the XLA dense backward
+            # of the 576-token axial fold costs ~255 MB of fp32 scores per
+            # layer; this is the flash_axial TRAINING enabler)
+            dq, dk, dv, dbias = _flash_bwd(
+                q, k, v, bias, kv_mask, q_offset, logit_bound, out, lse, do,
+                causal=causal, scale=scale)
         return dq, dk, dv, dbias, None, None, None
 
     fa.defvjp(fa_fwd, fa_bwd)

@@ -398,3 +398,72 @@ def test_patchify_linear_matches_reference(rng):
                                out_dtype=jnp.float32, impl="linear")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_flash_bias_grad_accumulates_over_batch(rng):
+    """(h, n, m) CPB bias broadcast over b > 1: d(bias) must SUM over the
+    batch items — the _db_kernel inner-walk accumulation.  Unpadded-n/m-
+    unfriendly sizes exercise the pad-row masking inside the db pass."""
+    b, h, n, m, d = 3, 2, 160, 130, 32
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, m, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, m, d)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(h, n, m)), jnp.float32) * 0.1
+
+    with pltpu.force_tpu_interpret_mode():
+        (gq, gk, gv, gb), (wq, wk, wv, wb) = _loss_pair(
+            lambda q, k, v, bb: flash_attention(q, k, v, bias=bb),
+            lambda q, k, v, bb: dense_attention(q, k, v, bias=bb),
+            (q, k, v, bias), (q, k, v, bias), wrt=(0, 1, 2, 3))
+    for g, w, name in ((gq, wq, "dq"), (gk, wk, "dk"), (gv, wv, "dv"),
+                       (gb, wb, "dbias")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+def test_flash_bias_grad_single_slab_sums_heads(rng):
+    """(1, n, m) bias with h > 1: d(bias) sums over batch AND heads (the
+    h_bias == 1 inner walk covers all b*h grid items)."""
+    b, h, n, m, d = 2, 3, 128, 128, 32
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, m, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, m, d)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(1, n, m)), jnp.float32) * 0.1
+
+    with pltpu.force_tpu_interpret_mode():
+        (gq, gb), (wq, wb) = _loss_pair(
+            lambda q, bb: flash_attention(q, k, v, bias=bb),
+            lambda q, bb: dense_attention(q, k, v, bias=bb),
+            (q, bias), (q, bias), wrt=(0, 1))
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(wq),
+                               rtol=2e-3, atol=2e-3, err_msg="dq")
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(wb),
+                               rtol=2e-3, atol=2e-3, err_msg="dbias")
+
+
+def test_flash_bias_logit_bound_grads_match_dense(rng):
+    """The flash_axial TRAINING combination: CPB bias + cosine logit_bound
+    (flat softmax) at the axial-fold geometry (576 tokens, d=32, b-fold).
+    Gradients through the augmented-operand flat path must match dense."""
+    b, h, n, d = 2, 2, 576, 32
+    # bounded logits like the cosine path: unit-ish rows + bounded bias
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    k = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = k / jnp.linalg.norm(k, axis=-1, keepdims=True)
+    v = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    bias = jnp.tanh(jnp.asarray(rng.normal(size=(h, n, n)), jnp.float32))
+    scale, bound = 8.0, 8.0 + 1.0          # |cos|<=1 scaled + |bias|<=1
+
+    with pltpu.force_tpu_interpret_mode():
+        (gq, gk, gv, gb), (wq, wk, wv, wb) = _loss_pair(
+            lambda q, k, v, bb: flash_attention(
+                q, k, v, bias=bb, scale=scale,
+                logit_bound=jnp.float32(bound)),
+            lambda q, k, v, bb: dense_attention(q, k, v, bias=bb,
+                                                scale=scale),
+            (q, k, v, bias), (q, k, v, bias), wrt=(0, 1, 2, 3))
+    for g, w, name in ((gq, wq, "dq"), (gk, wk, "dk"), (gv, wv, "dv"),
+                       (gb, wb, "dbias")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=3e-3, atol=3e-3, err_msg=name)

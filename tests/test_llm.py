@@ -377,3 +377,40 @@ def test_kv_int4_with_flash_decode_rejected():
     _, _, cache = mdl.apply(params, ids, jnp.ones_like(ids), cache)
     with pytest.raises(ValueError, match="int4"):
         mdl.apply(params, jnp.asarray([[4]]), None, cache)
+
+
+def test_kv_int8_dots_tracks_dequant_path():
+    """kv_int8_dots: native int8 attention contractions must track the
+    dequantizing int8-KV path closely — the only extra noise is the dynamic
+    per-row quantization of q and of the v-scale-folded attention weights
+    (~0.4% each), on top of the shared int8 cache rows."""
+    import dataclasses
+
+    cfg_q = dataclasses.replace(LLM, kv_quant="int8")
+    cfg_d = dataclasses.replace(LLM, kv_quant="int8", kv_int8_dots=True)
+    _, params = make_llm()
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(1, LLM.vocab_size, size=(2, 6)), jnp.int32)
+    mask = jnp.ones((2, 6), jnp.int32)
+
+    outs = {}
+    for name, c in (("deq", cfg_q), ("dots", cfg_d)):
+        mdl = LlamaForCausalLM(c)
+        cache = KVCache.create(c, 2, max_len=10, dtype=jnp.float32)
+        lg, _, cache = mdl.apply(params, ids, mask, cache)
+        seq = [np.asarray(lg[:, -1])]
+        step = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
+        for _ in range(3):
+            lg1, _, cache = mdl.apply(params, step[:, None], None, cache)
+            seq.append(np.asarray(lg1[:, 0]))
+            # follow the dequant path's argmaxes in both runs so the
+            # comparison isolates the dot-quantization noise
+            if name == "deq":
+                step = jnp.argmax(lg1[:, 0], axis=-1).astype(jnp.int32)
+            else:
+                step = jnp.asarray(outs["deq"][len(seq) - 1].argmax(-1),
+                                   jnp.int32)
+        outs[name] = seq
+    for a, b_ in zip(outs["deq"], outs["dots"]):
+        assert np.abs(a - b_).max() / (np.abs(a).max() + 1e-9) < 0.05
+        assert (a.argmax(-1) == b_.argmax(-1)).mean() >= 0.5

@@ -172,8 +172,10 @@ def test_aot_cache_roundtrip(tmp_path):
 
     c2 = load_or_compile("unit", f, x, cache_dir=d, jit_kwargs=jk)
     assert float(c2(x)) == want
-    # deserialization still traces (lower() runs to build the key) but must
+    # a hit must NOT trace/lower (the key is shape/source-based — lowering
+    # the shipped pipeline costs ~140 s of Mosaic kernel lowering) and must
     # not write a second cache entry
+    assert len(calls) == n_traces
     assert [p for p in __import__("os").listdir(d) if p.endswith(".bin")] == files
 
     # different shape -> different key -> second entry
