@@ -138,12 +138,11 @@ def bench_tpu(iters: int = 5) -> float:
 
     # serialized-executable cache (core/aot_cache): a warm .jax_aot_cache
     # skips compilation entirely on standard TPU hosts.  On the axon RELAY
-    # the remote side recompiles at first execution even for a deserialized
-    # executable (docs/ROUND3_NOTES.md aot_probe: 0.1 s load, 81 s first
-    # exec), so the relay's cold start stays remote-compile-bound; the cache
-    # is wired here regardless because bench.py is also the recipe for
-    # non-relay deployments, and the load/compile split below records which
-    # case this run hit.
+    # load_or_compile falls back to a plain compile: measured round 4, a
+    # local hit (0.9 s deserialize) still paid a 466.9 s remote recompile at
+    # first execution — worse than the 227 s plain-compile path — because
+    # the relay keeps no cross-process executable cache (see
+    # core/aot_cache.py docstring for the full numbers).
     from ctpa.core.aot_cache import load_or_compile
 
     # pipeline_fn closes over config values; key them explicitly (the cache's

@@ -103,8 +103,23 @@ def load_or_compile(
     Failures to serialize/deserialize (backends without executable
     serialization support, stale blobs) degrade silently to a plain
     compile — the cache is an optimization, never a correctness
-    dependency."""
+    dependency.
+
+    On the axon RELAY backend the cache is DISABLED by default (override
+    with CTPA_AOT_CACHE_ON_RELAY=1): measured round 4 on chip, a local
+    cache hit deserializes in 0.9 s but the relay recompiles remotely at
+    first execution — 466.9 s, WORSE than the 227 s plain compile path
+    (whose remote compile happens inside .compile() and apparently
+    through a better-fed path).  The remote side keeps no cross-process
+    executable cache, so the local blob saves only the ~140 s Mosaic
+    lowering and then pays it back double at first exec.  On standard
+    TPU hosts (no relay) deserialize_and_load IS the executable — the
+    cache stays on."""
     cache_dir = cache_dir or _default_dir()
+    if (jax.default_backend() == "axon"
+            and not os.environ.get("CTPA_AOT_CACHE_ON_RELAY")):
+        return jax.jit(fn, **(jit_kwargs or {})).lower(
+            *args, **kwargs).compile()
     path = os.path.join(cache_dir,
                         _key(name, args, kwargs, jit_kwargs, key_extra)
                         + ".bin")
