@@ -130,6 +130,10 @@ def main():
                     help="with --kv-quant int8: native int8 MXU attention "
                          "dots reading the cache directly (no bf16 "
                          "dequantized K/V copies; LLMConfig.kv_int8_dots)")
+    ap.add_argument("--kv-scale-bf16", action="store_true",
+                    help="with --kv-quant int4: bf16 group scales "
+                         "(LLMConfig.kv_scale_dtype) — 1.83x cache bytes "
+                         "vs int8")
     ap.add_argument("--flash-decode", action="store_true",
                     help="fused single-token decode attention pallas kernel")
     ap.add_argument("--no-shared-prefix", action="store_true",
@@ -203,6 +207,10 @@ def main():
         if args.kv_quant != "int8":
             raise SystemExit("--kv-dots requires --kv-quant int8")
         llm_cfg = dataclasses.replace(llm_cfg, kv_int8_dots=True)
+    if args.kv_scale_bf16:
+        if args.kv_quant != "int4":
+            raise SystemExit("--kv-scale-bf16 requires --kv-quant int4")
+        llm_cfg = dataclasses.replace(llm_cfg, kv_scale_dtype="bfloat16")
     if args.flash_decode:
         llm_cfg = dataclasses.replace(llm_cfg, flash_decode=True)
     if args.size == "tiny" and jax.default_backend() == "cpu":

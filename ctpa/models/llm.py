@@ -212,6 +212,7 @@ class KVCache(NamedTuple):
             from ctpa.ops.quant import _int4_group
 
             gs = _int4_group(cfg.head_dim, getattr(cfg, "kv_quant_group", 32))
+            sdt = jnp.dtype(getattr(cfg, "kv_scale_dtype", "float32"))
             pshape = shape[:-1] + (cfg.head_dim // 2,)
             sshape = shape[:-1] + (cfg.head_dim // gs,)
             return cls(
@@ -219,8 +220,8 @@ class KVCache(NamedTuple):
                 write_offset=jnp.zeros((batch,), jnp.int32),
                 true_len=jnp.zeros((batch,), jnp.int32),
                 valid=jnp.zeros((batch, max_len), bool),
-                k_scale=jnp.zeros(sshape, jnp.float32),
-                v_scale=jnp.zeros(sshape, jnp.float32),
+                k_scale=jnp.zeros(sshape, sdt),
+                v_scale=jnp.zeros(sshape, sdt),
             )
         return cls(
             k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
@@ -387,8 +388,9 @@ class LlamaAttention(nn.Module):
                 from ctpa.ops.quant import quantize_kv_int4
 
                 gq = getattr(c, "kv_quant_group", 32)
-                k4, k_rows_sc = quantize_kv_int4(k_hm, gq)
-                v4, v_rows_sc = quantize_kv_int4(v_hm, gq)
+                sdt = jnp.dtype(getattr(c, "kv_scale_dtype", "float32"))
+                k4, k_rows_sc = quantize_kv_int4(k_hm, gq, scale_dtype=sdt)
+                v4, v_rows_sc = quantize_kv_int4(v_hm, gq, scale_dtype=sdt)
                 ck, cv = write(ck, k4), write(cv, v4)
                 ksc, vsc = write(ksc, k_rows_sc), write(vsc, v_rows_sc)
             elif quant:
@@ -446,8 +448,10 @@ class LlamaAttention(nn.Module):
                 ng = hd // gq
                 k8 = unpack_kv_int4(ck[self.layer_idx], gq)  # (b,kvh,m,G,gs)
                 v8 = unpack_kv_int4(cv[self.layer_idx], gq)
-                k_sg = ksc[self.layer_idx]                   # (b, kvh, m, G)
-                v_sg = vsc[self.layer_idx]
+                # scales may be stored bf16 (kv_scale_dtype); the fold math
+                # runs f32 — the convert fuses into the reads
+                k_sg = ksc[self.layer_idx].astype(jnp.float32)  # (b,kvh,m,G)
+                v_sg = vsc[self.layer_idx].astype(jnp.float32)
                 qg4 = q.reshape(b, n, kvh, h // kvh, ng, gq)
                 simg = jnp.einsum("bngrGd,bgmGd->bgrnmG", qg4,
                                   k8.astype(self.dtype),

@@ -105,10 +105,11 @@ def _unpack_int4(packed: jax.Array, group: int):
     return q.astype(jnp.int8)
 
 
-def quantize_kv_int4(rows: jax.Array, group: int = 32
+def quantize_kv_int4(rows: jax.Array, group: int = 32,
+                     scale_dtype=jnp.float32
                      ) -> tuple[jax.Array, jax.Array]:
     """KV-cache row quantization: (..., hd) float rows -> (packed int8
-    (..., hd/2), group scales f32 (..., hd/group)).
+    (..., hd/2), group scales `scale_dtype` (..., hd/group)).
 
     Symmetric absmax per contiguous `group`-element block along the last
     (head_dim) axis — per-token per-kv-head per-group, the KV analog of the
@@ -117,12 +118,20 @@ def quantize_kv_int4(rows: jax.Array, group: int = 32
     `unpack_kv_int4` — low nibbles then high nibbles, concatenated inside
     each group — restores natural element order with no permutation of q.
     Group (not whole-head) scales because 15 levels over a 128-wide head
-    loses too much: the groups track the within-head dynamic range."""
+    loses too much: the groups track the within-head dynamic range.
+
+    scale_dtype=bfloat16 stores the scales at half width (80 -> 72 cache
+    bytes per hd=128 K row, 1.83x vs the int8 cache's 132): the scale is
+    rounded to bf16 FIRST and the nibbles quantized against the rounded
+    value, so the fold identity in the attention einsums stays exact —
+    only the grid spacing shifts by bf16's ~0.4% rounding."""
     hd = rows.shape[-1]
     gs = _int4_group(hd, group)
     rf = rows.astype(jnp.float32).reshape(*rows.shape[:-1], hd // gs, gs)
     s = jnp.maximum(jnp.max(jnp.abs(rf), axis=-1) / 7.0, 1e-12)  # (..., G)
-    q = jnp.clip(jnp.round(rf / s[..., None]), -7, 7).astype(jnp.int32)
+    s = s.astype(scale_dtype)
+    q = jnp.clip(jnp.round(rf / s[..., None].astype(jnp.float32)),
+                 -7, 7).astype(jnp.int32)
     lo, hi = q[..., : gs // 2], q[..., gs // 2 :]
     packed = ((lo & 0xF) | ((hi & 0xF) << 4)).astype(jnp.uint8)
     packed = jax.lax.bitcast_convert_type(packed, jnp.int8)

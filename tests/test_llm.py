@@ -289,13 +289,15 @@ def test_quantize_kv_int4_roundtrip_exact_on_grid():
     np.testing.assert_array_equal(q.reshape(grid.shape), grid)
 
 
-def test_kv_int4_attention_folds_are_algebraically_exact():
+@pytest.mark.parametrize("scale_dtype", [jnp.float32, jnp.bfloat16])
+def test_kv_int4_attention_folds_are_algebraically_exact(scale_dtype):
     """The grouped int4 attention folds (models/llm.py int4 branch) are
     algebraic identities: the per-group partial QK dots contracted with K
     scales equal the dot against the dequantized cache, and the V-scale
     fold into the attention weights equals the PV dot against the
     dequantized cache.  Only the row quantization itself loses precision
-    (gated loosely in the e2e test below)."""
+    (gated loosely in the e2e test below).  Holds for bf16-stored scales
+    too (kv_scale_dtype): the identity is in terms of the STORED scale."""
     from ctpa.ops.quant import _int4_group, quantize_kv_int4, unpack_kv_int4
 
     rng = np.random.default_rng(0)
@@ -303,7 +305,9 @@ def test_kv_int4_attention_folds_are_algebraically_exact():
     gs = _int4_group(hd, group)
     G = hd // gs
     rows = jnp.asarray(rng.normal(size=(b, kvh, m, hd)), jnp.float32)
-    packed, s = quantize_kv_int4(rows, group)
+    packed, s = quantize_kv_int4(rows, group, scale_dtype=scale_dtype)
+    assert s.dtype == scale_dtype
+    s = s.astype(jnp.float32)        # the fold path upcasts stored scales
     q8 = unpack_kv_int4(packed, group)                   # (b,kvh,m,G,gs)
     deq = (np.asarray(q8, np.float32)
            * np.asarray(s)[..., None]).reshape(b, kvh, m, hd)
@@ -327,15 +331,18 @@ def test_kv_int4_attention_folds_are_algebraically_exact():
                                rtol=1e-5, atol=1e-6)
 
 
-def test_kv_int4_cache_tracks_fp_loosely():
+@pytest.mark.parametrize("scale_dtype", ["float32", "bfloat16"])
+def test_kv_int4_cache_tracks_fp_loosely(scale_dtype):
     """kv_quant='int4' vs full precision end-to-end: int4 rows carry ~7% per
     -element noise (absmax/14 of each 8-element group), which compounds
     through two random-init layers — this gates only that the decode stays
     in the fp model's neighborhood (the exactness claims live in the fold
-    test above and the spec/serving token-parity tests)."""
+    test above and the spec/serving token-parity tests).  bf16-stored
+    scales (kv_scale_dtype) add only ~0.4% grid rounding on top."""
     import dataclasses
 
-    cfg_q = dataclasses.replace(LLM, kv_quant="int4", kv_quant_group=8)
+    cfg_q = dataclasses.replace(LLM, kv_quant="int4", kv_quant_group=8,
+                                kv_scale_dtype=scale_dtype)
     model, params = make_llm()
     model_q = LlamaForCausalLM(cfg_q)
     rng = np.random.default_rng(5)
@@ -345,6 +352,8 @@ def test_kv_int4_cache_tracks_fp_loosely():
     outs = {}
     for name, mdl, c in (("fp", model, LLM), ("q", model_q, cfg_q)):
         cache = KVCache.create(c, 2, max_len=10, dtype=jnp.float32)
+        if name == "q":
+            assert cache.k_scale.dtype == jnp.dtype(scale_dtype)
         lg, _, cache = mdl.apply(params, ids, mask, cache)
         step = jnp.argmax(outs.get("fp", [lg[:, -1]])[0]
                           if name == "q" else lg[:, -1],
