@@ -390,11 +390,16 @@ def main():
     th.start()
     n_encodes, ingest_done = 0, False
     while not (ingest_done and not batcher.active.any() and not batcher.queue):
+        # admission priority: drain EVERY ready encode before the next chunk.
+        # (one-admission-per-chunk left a 16-volume burst stepping ~16
+        # underfilled chunks before full admission — measured r4: 17 chunks
+        # for a workload whose full-lane optimum is ⌈tokens/steps_per_sync⌉)
         try:
-            item = ready.get_nowait()
-            if item is None:
-                ingest_done = True
-            else:
+            while True:
+                item = ready.get_nowait()
+                if item is None:
+                    ingest_done = True
+                    break
                 rid, vis = item
                 n_encodes += 1
                 batcher.submit(Request(request_id=rid, input_ids=prompt_ids,

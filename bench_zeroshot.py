@@ -14,9 +14,15 @@ re-encoded every time) and then the same sklearn/xlsx tail.  Here prompt
 latents are computed ONCE for the whole run (they are input-independent)
 and each volume costs one encode + one (2P, d) dot.
 
-Honest-timing rules per bench.py (fetch-forced samples, perturbed inputs,
-roundtrip subtracted for the per-volume device number; the pipeline total is
-wall clock including the host tail).  Prints ONE JSON line on stdout.
+Honest-timing rules per bench.py (perturbed inputs, roundtrip subtracted
+for the per-volume device number measured on SYNCED calibration dispatches;
+the pipeline total is wall clock including the final forced fetch and the
+host tail).  Volumes go through the device --batch at a time (the real CLI,
+cli/zeroshot_infer.py, batches encodes the same way), and dispatches
+pipeline by default — predictions are fetched once at the end, exactly like
+the CLI, which collects all scores before the AUROC pass.
+--sync-per-volume restores the r4b measurement mode (fetch every dispatch)
+for the roundtrip-cost A/B.  Prints ONE JSON line on stdout.
 """
 
 from __future__ import annotations
@@ -60,6 +66,13 @@ def main():
     ap.add_argument("--size", choices=["tiny", "full"], default="full",
                     help="tiny = CPU-smokeable script-path check")
     ap.add_argument("--out-dir", default=None)
+    ap.add_argument("--batch", type=int, default=4,
+                    help="volumes per device dispatch (cli/zeroshot_infer.py "
+                         "batches at 4 too); 1 reproduces the r4b leg shape")
+    ap.add_argument("--sync-per-volume", action="store_true",
+                    help="force-fetch each batch's scores before dispatching "
+                         "the next (the r4b measurement mode); default "
+                         "pipelines dispatches and fetches once at the end")
     args = ap.parse_args()
 
     import dataclasses
@@ -151,21 +164,30 @@ def main():
     log(f"prompt latents (36 prompts, one batched forward): "
         f"{time.time() - t0:.1f}s incl compile")
 
-    # ---- per-volume program: preprocess -> encode -> score 18 pairs -------
+    # ---- batched program: preprocess -> encode -> score 18 pairs ----------
+    # cli/zeroshot_infer.py batches encodes at 4; the bench mirrors that and
+    # additionally perturbs each lane on device so every volume is distinct.
+    B = max(1, args.batch)
+
     @jax.jit
-    def score_volume(params, w_latent, vq_state, raw, plat):
-        video = preprocess_volume(raw, jnp.float32(1.0), jnp.float32(-1024.0),
-                                  spacing_arr, cfg=pre_cfg)
-        tokens, _ = model.apply(params, video[None].astype(jnp.bfloat16),
-                                vq_state)
+    def score_volumes(params, w_latent, vq_state, raw, eps, plat):
+        # (B,) eps broadcast over the staged raw: B distinct volumes, no
+        # host-side restaging between dispatches
+        raws = raw[None] + eps[:, None, None, None]
+        videos = jax.vmap(
+            lambda r: preprocess_volume(r, jnp.float32(1.0),
+                                        jnp.float32(-1024.0), spacing_arr,
+                                        cfg=pre_cfg))(raws)      # (B,1,t,h,w)
+        tokens, _ = model.apply(params, videos.astype(jnp.bfloat16), vq_state)
         pooled = tokens.mean(axis=1).reshape(tokens.shape[0], -1)
         img = l2norm(pooled @ w_latent)
-        return score_prompt_pairs(img, plat, jnp.float32(1.0))[0]  # (18,)
+        return score_prompt_pairs(img, plat, jnp.float32(1.0))   # (B, 18)
 
+    eps0 = jnp.full((B,), 1e-3, jnp.float32)
     t0 = time.time()
-    probs0 = score_volume(params, w_latent, vq_state, raw, plat)
+    probs0 = score_volumes(params, w_latent, vq_state, raw, eps0, plat)
     _ = np.asarray(probs0)
-    log(f"score_volume compile+first: {time.time() - t0:.1f}s")
+    log(f"score_volumes (batch {B}) compile+first: {time.time() - t0:.1f}s")
 
     rts = []
     for _ in range(10):
@@ -174,21 +196,44 @@ def main():
         rts.append(time.time() - t0)
     roundtrip = float(np.median(rts))
 
+    # calibrate device time per volume on synced warm dispatches (the measured
+    # loop below may pipeline dispatches, so its per-call times aren't device
+    # times)
+    cal = []
+    for j in range(3):
+        t0 = time.time()
+        p = score_volumes(params, w_latent, vq_state, raw,
+                          eps0 + jnp.float32(1e-5 * j), plat)
+        jax.block_until_ready(p)
+        cal.append(time.time() - t0)
+    dev_ms = max(float(np.median(cal)) - roundtrip, 1e-4) * 1000 / B
+
     # ---- the measured run: N volumes through score + host AUROC tail ------
     n = args.volumes
+    if n % B:
+        n = (n // B + 1) * B
+        log(f"rounding volumes up to a multiple of the batch: {n}")
     labels = rng.integers(0, 2, size=(n, len(PATHOLOGIES))).astype(np.float32)
     accessions = [f"synth_{i:04d}" for i in range(n)]
     out_dir = args.out_dir or tempfile.mkdtemp(prefix="ctpa_zeroshot_bench_")
 
     t_start = time.time()
-    preds = np.zeros((n, len(PATHOLOGIES)), np.float32)
-    per_vol = []
-    for i in range(n):
+    per_disp = []
+    chunks = []
+    for i in range(n // B):
         t0 = time.time()
-        p = score_volume(params, w_latent, vq_state,
-                         raw + jnp.float32(1e-3 * (i + 1)), plat)
-        preds[i] = np.asarray(p)                      # forced fetch per volume
-        per_vol.append(time.time() - t0)
+        eps = jnp.float32(1e-3) * (
+            jnp.arange(i * B + 1, (i + 1) * B + 1, dtype=jnp.float32))
+        p = score_volumes(params, w_latent, vq_state, raw, eps, plat)
+        if args.sync_per_volume:
+            chunks.append(np.asarray(p))          # forced fetch per dispatch
+        else:
+            chunks.append(p)                       # async: fetch once at end
+        per_disp.append(time.time() - t0)
+    if args.sync_per_volume:
+        preds = np.concatenate(chunks, axis=0)
+    else:
+        preds = np.asarray(jnp.concatenate(chunks, axis=0))  # one sync fetch
     t_score = time.time() - t_start
 
     t0 = time.time()
@@ -201,9 +246,9 @@ def main():
     t_artifacts = time.time() - t0
     wall = time.time() - t_start
 
-    dev_ms = max(float(np.median(per_vol)) - roundtrip, 1e-4) * 1000
-    log(f"device encode+score: {dev_ms:.1f} ms/volume (median, roundtrip "
-        f"{roundtrip * 1000:.0f} ms subtracted)")
+    log(f"device encode+score: {dev_ms:.1f} ms/volume (synced calibration, "
+        f"roundtrip {roundtrip * 1000:.0f} ms subtracted; median dispatch "
+        f"{float(np.median(per_disp)) * 1000:.0f} ms/batch)")
     log(f"host tail: AUROC/ROC {t_auroc:.2f}s, artifacts {t_artifacts:.2f}s "
         f"({', '.join(os.path.basename(p) for p in paths.values())})")
     log(f"pipeline wall: {wall:.2f}s for {n} volumes "
@@ -218,6 +263,8 @@ def main():
         "device_ms_per_volume": round(dev_ms, 1),
         "host_tail_s": round(t_auroc + t_artifacts, 2),
         "volumes": n,
+        "batch": B,
+        "sync_per_volume": bool(args.sync_per_volume),
         "size": args.size,
     }))
 

@@ -64,11 +64,13 @@ def run_zeroshot(
         if len(buf) == batch_size or i == len(dataset) - 1:
             videos = jnp.stack([b[0] for b in buf])
             lat = encode_image(videos)
-            preds.append(clf.predict(lat))
+            # keep scores on device: dispatches pipeline (async) and the
+            # single fetch below pays one host roundtrip for the whole set
+            preds.append(clf.score(lat))
             reals.extend([b[1] for b in buf])
             accs.extend([b[2] for b in buf])
             buf = []
-    predictions = np.concatenate(preds, axis=0)
+    predictions = np.asarray(jnp.concatenate(preds, axis=0))
     labels = np.stack(reals)
 
     aurocs = evaluate_classification(predictions, labels, pathologies,

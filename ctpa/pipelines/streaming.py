@@ -727,11 +727,25 @@ class StreamingReportPipeline:
                                     **defaults))
 
     def run(self, scans: Iterator[dict]) -> dict[int, Result]:
-        """scans yield {volume, slope, intercept, spacing}.  Encoding of scan
-        k+1 overlaps decoding of scan k via JAX async dispatch: encode_fn is
-        dispatched, then decode steps run while the encode executes."""
-        pending_vision = []
-        for scan in scans:
+        """scans yield {volume, slope, intercept, spacing}.
+
+        Admission-priority scheduling: a feeder thread drains the (possibly
+        slow, possibly bursty) scan source into a pollable queue; the main
+        loop ADMITS whenever a scan is ready and only runs a decode chunk
+        when nothing is admissible right now.  On a burst arrival pattern
+        this admits every request before the first chunk, so chunks never
+        run underfilled — the old step-after-every-submit policy paid a
+        full-cost, host-synced chunk per arrival with only the
+        already-admitted lanes live (measured r4: 17 chunks for a 16-volume
+        burst vs the ~⌈tokens/steps_per_sync⌉ optimum).  On a slow (ingest-
+        bound) source the q.get() below blocks exactly while the device has
+        no admitted work, which is the old behavior.  Encode overlap is
+        unchanged: encode_fn dispatches async and decode chunks interleave
+        on the device stream."""
+        import queue as queue_mod
+        import threading
+
+        def _admit(scan):
             vis = self.encode_fn(
                 jnp.asarray(scan["volume"]), jnp.float32(scan.get("slope", 1.0)),
                 jnp.float32(scan.get("intercept", 0.0)),
@@ -741,6 +755,38 @@ class StreamingReportPipeline:
             self.batcher.submit(Request(
                 request_id=rid, vision=vis,
                 max_new_tokens=self.max_new_tokens))
-            # advance decoding while the next encode is in flight
-            self.batcher.step()
+
+        if isinstance(scans, (list, tuple)):
+            # a materialized burst: admit everything before the first chunk
+            # (deterministic — no feeder-thread race)
+            for scan in scans:
+                _admit(scan)
+            return self.batcher.run_until_done()
+
+        q: queue_mod.Queue = queue_mod.Queue()
+        _END = object()
+
+        def _feed():
+            try:
+                for s in scans:
+                    q.put(s)
+            finally:
+                q.put(_END)
+
+        threading.Thread(target=_feed, daemon=True).start()
+        feeding = True
+        while feeding:
+            if self.batcher.active.any():
+                try:
+                    scan = q.get_nowait()
+                except queue_mod.Empty:
+                    # nothing admissible: advance decoding by one chunk
+                    self.batcher.step()
+                    continue
+            else:
+                scan = q.get()     # device idle: block until work arrives
+            if scan is _END:
+                feeding = False
+                continue
+            _admit(scan)
         return self.batcher.run_until_done()

@@ -246,6 +246,45 @@ def test_streaming_pipeline_end_to_end(rg):
     assert all(r.finished and len(r.tokens) == 5 for r in results.values())
 
 
+def test_pipeline_burst_admits_before_stepping(rg):
+    """Admission-priority scheduling: a materialized burst (list source)
+    admits EVERY request before the first decode chunk, so no chunk runs
+    underfilled (the old step-after-every-submit policy paid one host-synced
+    full-cost chunk per arrival with only the already-admitted lanes live)."""
+    model, params, video = rg
+    from ctpa.data.tokenizer import SimpleWordTokenizer
+
+    tok = SimpleWordTokenizer(vocab_size=LLM.vocab_size, max_length=8)
+
+    def encode_fn(vol, slope, inter, spacing):
+        return model.apply(params, vol[None],
+                           method=CTReportGenerator.extract_vision)[0]
+
+    batcher = ContinuousBatcher(model, params, num_lanes=4, max_len=32,
+                                eos_token_id=-1, greedy=True,
+                                cache_dtype=jnp.float32, steps_per_sync=4)
+    pipe = StreamingReportPipeline(encode_fn, batcher, tok,
+                                   prompt="generate report", max_new_tokens=5,
+                                   prompt_len=8)
+    live_at_step = []
+    orig_step = batcher.step
+
+    def counting_step():
+        live_at_step.append(int(batcher.active.sum()))
+        return orig_step()
+
+    batcher.step = counting_step
+    scans = [{"volume": np.asarray(video[0]), "slope": 1.0,
+              "intercept": 0.0, "spacing": (1.0, 1.0, 1.0)}
+             for _ in range(4)]
+    results = pipe.run(scans)
+    assert len(results) == 4
+    assert all(r.finished and len(r.tokens) == 5 for r in results.values())
+    assert live_at_step[0] == 4          # all 4 lanes live at the FIRST chunk
+    # budget 5 + device-sampled first token = 6 rows = 2 chunks of 4+1 rows
+    assert len(live_at_step) <= 2
+
+
 def test_multi_step_scheduling_matches_single_step(rg):
     """steps_per_sync=4 must produce identical greedy tokens to K=1."""
     model, params, video = rg
