@@ -363,7 +363,8 @@ def main():
                 vol, _meta = loader.fetch(tickets[rid])
                 return vol.astype(np.int16), SLOPE, INTERCEPT, SPACING
     ready: _queue.Queue = _queue.Queue()
-    tl = {"fetch": 0.0, "put": 0.0, "enc": 0.0, "step": 0.0, "n_steps": 0}
+    tl = {"fetch": 0.0, "put": 0.0, "enc": 0.0, "step": 0.0, "n_steps": 0,
+          "submit": 0.0, "idle": 0.0}
 
     def ingest():
         for rid in range(len(paths)):
@@ -402,9 +403,11 @@ def main():
                     break
                 rid, vis = item
                 n_encodes += 1
+                t0 = time.time()
                 batcher.submit(Request(request_id=rid, input_ids=prompt_ids,
                                        attention_mask=prompt_mask, vision=vis,
                                        max_new_tokens=args.new_tokens))
+                tl["submit"] += time.time() - t0
         except _queue.Empty:
             pass
         if batcher.active.any():
@@ -413,13 +416,16 @@ def main():
             tl["step"] += time.time() - t0
             tl["n_steps"] += 1
         elif not ingest_done:
+            t0 = time.time()
             time.sleep(0.002)
+            tl["idle"] += time.time() - t0
     th.join()
     results = batcher.results
     wall = time.time() - t_start
     log(f"timeline: fetch {tl['fetch']:.1f}s, upload {tl['put']:.1f}s, "
         f"encode-dispatch {tl['enc']:.1f}s (ingest thread); "
-        f"{tl['n_steps']} decode chunks totalling {tl['step']:.1f}s "
+        f"{tl['n_steps']} decode chunks totalling {tl['step']:.1f}s, "
+        f"submits {tl['submit']:.1f}s, idle-waits {tl['idle']:.1f}s "
         f"(main thread)")
 
     total_tokens = sum(len(r.tokens) for r in results.values() if r.request_id >= 0)

@@ -465,6 +465,16 @@ class ContinuousBatcher:
                 return buf, cur_len, remaining, cur_tok
 
             self._admit_state = jax.jit(admit_state)
+        # lane-state updates with the lane index TRACED (not a Python int):
+        # x.at[py_int].set(...) outside jit bakes the index into the HLO, so
+        # every new lane used to compile (and, over the axon relay,
+        # remote-compile) a fresh tiny executable — measured ~0.65 s per
+        # admission on a cold compile cache, which serialized burst admission
+        # (r4c: 10.6 s of an 11.65 s wall).  One program now serves all lanes.
+        self._set_lane_tok = jax.jit(
+            lambda cur_tok, lane, first: cur_tok.at[lane].set(first[0]))
+        self._set_lane_vision = jax.jit(
+            lambda vision, lane, row: vision.at[lane].set(row))
         # unwrapped global decode clock: every lane's write_offset equals it
         # at all times (initial zeros == clock 0; decode chunks advance all
         # lanes together; admissions stamp the lane with the current clock),
@@ -674,8 +684,10 @@ class ContinuousBatcher:
             else:
                 self.cache = self._insert(self.cache, lane_cache, lane,
                                           jnp.asarray(self.clock, jnp.int32))
-                self.cur_tok = self.cur_tok.at[lane].set(first[0])
-            self.vision = self.vision.at[lane].set(vis[0])
+                self.cur_tok = self._set_lane_tok(
+                    self.cur_tok, jnp.int32(lane), first)
+            self.vision = self._set_lane_vision(
+                self.vision, jnp.int32(lane), vis[0])
             self.active[lane] = True
             self._first_pending[lane] = True
             self.budget[lane] = req.max_new_tokens
