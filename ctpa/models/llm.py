@@ -281,6 +281,35 @@ def insert_lane(big: KVCache, lane: KVCache, idx: jax.Array) -> KVCache:
     )
 
 
+def insert_lanes(big: KVCache, lane: KVCache, idxs: jax.Array) -> KVCache:
+    """Write ONE aligned 1-lane cache into MULTIPLE lanes of a batched cache
+    in a single scatter (batched shared-prefix admission: every request of
+    the serving pipeline shares the same prefilled prompt KV, so admission
+    of a whole burst is one program instead of one insert per request).
+    Duplicate indices in `idxs` are safe — all writes carry identical
+    content, so scatter write-order doesn't matter (the caller pads the
+    index vector to a fixed length by repeating the last real lane, keeping
+    the program shape static)."""
+    q = idxs.shape[0]
+
+    def bc(x, lane_axis):
+        shape = list(x.shape)
+        shape[lane_axis] = q
+        return jnp.broadcast_to(x, shape)
+
+    return KVCache(
+        k=big.k.at[:, idxs].set(bc(lane.k, 1)),
+        v=big.v.at[:, idxs].set(bc(lane.v, 1)),
+        write_offset=big.write_offset.at[idxs].set(bc(lane.write_offset, 0)),
+        true_len=big.true_len.at[idxs].set(bc(lane.true_len, 0)),
+        valid=big.valid.at[idxs].set(bc(lane.valid, 0)),
+        k_scale=(None if big.k_scale is None
+                 else big.k_scale.at[:, idxs].set(bc(lane.k_scale, 1))),
+        v_scale=(None if big.v_scale is None
+                 else big.v_scale.at[:, idxs].set(bc(lane.v_scale, 1))),
+    )
+
+
 def _lora_args(lora: Optional[LoRAConfig], name: str) -> dict:
     if lora is not None and name in lora.target_projections:
         return {"rank": lora.rank, "alpha": lora.alpha}

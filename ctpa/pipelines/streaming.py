@@ -35,7 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ctpa.core.config import LLMConfig
-from ctpa.models.llm import KVCache, align_lane_to_clock, insert_lane
+from ctpa.models.llm import (KVCache, align_lane_to_clock, insert_lane,
+                             insert_lanes)
 from ctpa.models.report_generator import (CTReportGenerator, _draft_lookup,
                                           _spec_accept)
 from ctpa.ops.sampling import sample_logits
@@ -423,6 +424,30 @@ class ContinuousBatcher:
                 big, align_lane_to_clock(lane, clock), idx),
             donate_argnums=(0,), **ins_kw)
 
+        # batched shared-prefix admission: first tokens for a whole burst of
+        # requests + one scatter of the aligned prefix cache into all their
+        # lanes, in ONE program.  Admission cost per burst drops from
+        # ~4 dispatches/request (measured 44 ms each over the axon relay —
+        # 0.7 s of the 1.44 s ceiling-leg wall at 16 requests) to one
+        # dispatch total.  The index/vision/key vectors are PADDED to
+        # num_lanes by repeating the last real entry (identical duplicate
+        # writes), so one compiled variant serves every burst size.
+        def admit_batch(params, cache, cur_tok, vision, h, lane_cache,
+                        clock, lanes, viss, keys):
+            firsts = jax.vmap(
+                lambda v, k: first_token(params, h, v[None], k)[0])(viss, keys)
+            aligned = align_lane_to_clock(lane_cache, clock)
+            cache = insert_lanes(cache, aligned, lanes)
+            cur_tok = cur_tok.at[lanes].set(firsts)
+            vision = vision.at[lanes].set(viss)
+            return cache, cur_tok, vision
+
+        ab_kw = {}
+        if mesh is not None:
+            ab_kw = {"out_shardings": (cache_sh, rep, rep)}
+        self._admit_batch = jax.jit(admit_batch, donate_argnums=(1, 2, 3),
+                                    **ab_kw)
+
         self.spec_lookup = spec_lookup
         self.spec_ngram = spec_ngram
         if spec_lookup:
@@ -648,50 +673,91 @@ class ContinuousBatcher:
         the next chunk fetch.  Admission therefore only serializes on the
         device stream (one prefill program before the next chunk), never on
         a relay round-trip — at 7B over the axon relay that is the
-        difference between ~35 ms and 0 ms of decode stall per admission."""
+        difference between ~35 ms and 0 ms of decode stall per admission.
+
+        Shared-prefix non-spec admissions are additionally BATCHED: every
+        pending request of a burst admits through one _admit_batch program
+        (first tokens vmapped, prefix cache scattered to all lanes at once)
+        instead of ~4 dispatches per request — measured 0.7 s -> one
+        dispatch for a 16-request burst over the axon relay."""
+        batch: list[tuple[int, Request]] = []
         for lane in range(self.num_lanes):
             if self.active[lane] or not self.queue:
                 continue
             req = self.queue.popleft()
-            vis = jnp.asarray(req.vision)[None]
-            self.rng, key = jax.random.split(self.rng)
-            if req.input_ids is None:
-                # shared-prefix admission: the prompt KV + last hidden were
-                # prefilled once (set_shared_prefix); per-request work is one
-                # fused-logits sample and the lane insert
-                h, lane_cache, _, plen, ids_np = self._prefix
-                first = self._first_token(self.params, h, vis, key)
+            if req.input_ids is None and not self.spec_lookup:
+                batch.append((lane, req))
             else:
-                ids_np = np.asarray(req.input_ids, np.int32)
-                plen = int(np.asarray(req.attention_mask).sum())
-                ids = jnp.asarray(ids_np[None], jnp.int32)
-                mask = jnp.asarray(req.attention_mask[None], jnp.int32)
-                lane_cache = KVCache.create(self.cfg, 1, self.max_len,
-                                            dtype=self.cache.k.dtype)
-                first, lane_cache = self._prefill(
-                    self.params, ids, mask, vis, lane_cache, key)
-            if self.spec_lookup:
-                # per-lane offsets, slot order == token order: plain insert,
-                # and the lane's history buffer seeds the draft lookup
-                self.cache = self._insert_plain(self.cache, lane_cache, lane)
-                row = np.zeros((self.max_len,), np.int32)
-                row[: ids_np.size] = ids_np
-                (self.buf, self.cur_len, self.remaining,
-                 self.cur_tok) = self._admit_state(
-                    self.buf, self.cur_len, self.remaining, self.cur_tok,
-                    lane, jnp.asarray(row), plen, first,
-                    req.max_new_tokens)
-            else:
-                self.cache = self._insert(self.cache, lane_cache, lane,
-                                          jnp.asarray(self.clock, jnp.int32))
-                self.cur_tok = self._set_lane_tok(
-                    self.cur_tok, jnp.int32(lane), first)
-            self.vision = self._set_lane_vision(
-                self.vision, jnp.int32(lane), vis[0])
+                self._admit_one(lane, req)
+        if batch:
+            self._admit_shared_batch(batch)
+
+    def _admit_shared_batch(self, batch: list[tuple[int, "Request"]]):
+        """One-program admission of a burst of shared-prefix requests.  The
+        lane/vision/key vectors are padded to num_lanes by repeating the
+        last real entry — duplicate writes of identical content, so one
+        compiled variant serves every burst size."""
+        h, lane_cache, _, _plen, _ids = self._prefix
+        q = len(batch)
+        pad = self.num_lanes - q
+        lanes = np.asarray([ln for ln, _ in batch] + [batch[-1][0]] * pad,
+                           np.int32)
+        viss = jnp.stack([jnp.asarray(r.vision) for _, r in batch]
+                         + [jnp.asarray(batch[-1][1].vision)] * pad)
+        keys = jax.random.split(self.rng, q + 1)
+        self.rng = keys[0]
+        keys = jnp.concatenate([keys[1:], jnp.broadcast_to(keys[q:q + 1],
+                                                           (pad,))], axis=0)
+        self.cache, self.cur_tok, self.vision = self._admit_batch(
+            self.params, self.cache, self.cur_tok, self.vision, h,
+            lane_cache, jnp.asarray(self.clock, jnp.int32),
+            jnp.asarray(lanes), viss, keys)
+        for lane, req in batch:
             self.active[lane] = True
             self._first_pending[lane] = True
             self.budget[lane] = req.max_new_tokens
             self.lane_req[lane] = req
+
+    def _admit_one(self, lane: int, req: "Request"):
+        vis = jnp.asarray(req.vision)[None]
+        self.rng, key = jax.random.split(self.rng)
+        if req.input_ids is None:
+            # shared-prefix admission: the prompt KV + last hidden were
+            # prefilled once (set_shared_prefix); per-request work is one
+            # fused-logits sample and the lane insert
+            h, lane_cache, _, plen, ids_np = self._prefix
+            first = self._first_token(self.params, h, vis, key)
+        else:
+            ids_np = np.asarray(req.input_ids, np.int32)
+            plen = int(np.asarray(req.attention_mask).sum())
+            ids = jnp.asarray(ids_np[None], jnp.int32)
+            mask = jnp.asarray(req.attention_mask[None], jnp.int32)
+            lane_cache = KVCache.create(self.cfg, 1, self.max_len,
+                                        dtype=self.cache.k.dtype)
+            first, lane_cache = self._prefill(
+                self.params, ids, mask, vis, lane_cache, key)
+        if self.spec_lookup:
+            # per-lane offsets, slot order == token order: plain insert,
+            # and the lane's history buffer seeds the draft lookup
+            self.cache = self._insert_plain(self.cache, lane_cache, lane)
+            row = np.zeros((self.max_len,), np.int32)
+            row[: ids_np.size] = ids_np
+            (self.buf, self.cur_len, self.remaining,
+             self.cur_tok) = self._admit_state(
+                self.buf, self.cur_len, self.remaining, self.cur_tok,
+                lane, jnp.asarray(row), plen, first,
+                req.max_new_tokens)
+        else:
+            self.cache = self._insert(self.cache, lane_cache, lane,
+                                      jnp.asarray(self.clock, jnp.int32))
+            self.cur_tok = self._set_lane_tok(
+                self.cur_tok, jnp.int32(lane), first)
+        self.vision = self._set_lane_vision(
+            self.vision, jnp.int32(lane), vis[0])
+        self.active[lane] = True
+        self._first_pending[lane] = True
+        self.budget[lane] = req.max_new_tokens
+        self.lane_req[lane] = req
 
 
 class StreamingReportPipeline:
