@@ -332,47 +332,71 @@ def test_kv_int4_attention_folds_are_algebraically_exact(scale_dtype):
 
 
 @pytest.mark.parametrize("scale_dtype", ["float32", "bfloat16"])
-def test_kv_int4_cache_tracks_fp_loosely(scale_dtype):
-    """kv_quant='int4' vs full precision end-to-end: int4 rows carry ~7% per
-    -element noise (absmax/14 of each 8-element group), which compounds
-    through two random-init layers — this gates only that the decode stays
-    in the fp model's neighborhood (the exactness claims live in the fold
-    test above and the spec/serving token-parity tests).  bf16-stored
-    scales (kv_scale_dtype) add only ~0.4% grid rounding on top."""
+def test_kv_int4_quality_budget(scale_dtype):
+    """QUANTIFIED int4-KV quality budget (the price of the 1.65x/1.83x lane
+    capacity), test_quant-style: at trained-like weight statistics (kernels
+    ~ N(0, 0.02), norms ~ 1 — llama-2 checkpoint layer stds are ~0.01-0.03;
+    flax random-init weights made the old gate meaninglessly loose), decode
+    16 steps teacher-forced on the fp trajectory (isolates cache noise from
+    trajectory divergence) and bound the peak-logit deviation and greedy
+    agreement vs the fp cache.
+
+    Measured round 5 (b=4, prompt 8, 16 steps, group 8 at head_dim 16 —
+    the same absmax-group geometry ratio as the 7B group-32/head_dim-128
+    default): int8 KV dev 0.44% / agreement 100%; int4 KV dev 4.9% /
+    agreement 97.1% for BOTH f32 and bf16 stored scales (the bf16 grid
+    rounding is invisible at this scale because nibbles are quantized
+    against the ROUNDED scale, ops/quant.quantize_kv_int4).  Bounds carry
+    ~2x margin.  docs/benchmarks.md "int4-KV quality budget" row records
+    the numbers."""
     import dataclasses
 
-    cfg_q = dataclasses.replace(LLM, kv_quant="int4", kv_quant_group=8,
-                                kv_scale_dtype=scale_dtype)
     model, params = make_llm()
-    model_q = LlamaForCausalLM(cfg_q)
-    rng = np.random.default_rng(5)
-    ids = jnp.asarray(rng.integers(1, LLM.vocab_size, size=(2, 6)), jnp.int32)
-    mask = jnp.ones((2, 6), jnp.int32)
+    rng = np.random.default_rng(7)
 
-    outs = {}
-    for name, mdl, c in (("fp", model, LLM), ("q", model_q, cfg_q)):
-        cache = KVCache.create(c, 2, max_len=10, dtype=jnp.float32)
-        if name == "q":
-            assert cache.k_scale.dtype == jnp.dtype(scale_dtype)
-        lg, _, cache = mdl.apply(params, ids, mask, cache)
-        step = jnp.argmax(outs.get("fp", [lg[:, -1]])[0]
-                          if name == "q" else lg[:, -1],
-                          axis=-1).astype(jnp.int32)
-        seq = [np.asarray(lg[:, -1])]
-        for _ in range(4):
-            lg1, _, cache = mdl.apply(params, step[:, None], None, cache)
-            seq.append(np.asarray(lg1[:, 0]))
-            # both trajectories follow the FP argmaxes so the comparison
-            # isolates cache noise from trajectory divergence
-            if name == "fp":
-                step = jnp.argmax(lg1[:, 0], axis=-1).astype(jnp.int32)
-            else:
-                step = jnp.asarray(outs["fp"][len(seq) - 1].argmax(-1),
-                                   jnp.int32)
-        outs[name] = seq
-    for a, b in zip(outs["fp"], outs["q"]):
-        assert np.abs(a - b).max() / (np.abs(a).max() + 1e-9) < 0.5
-        assert np.isfinite(b).all()
+    def trained_like(_path, x):
+        if x.ndim >= 2:
+            return jnp.asarray(rng.normal(0, 0.02, x.shape), x.dtype)
+        return jnp.asarray(1.0 + rng.normal(0, 0.02, x.shape), x.dtype)
+
+    params = jax.tree_util.tree_map_with_path(trained_like, params)
+    b, P, T = 4, 8, 16
+    prompt = jnp.asarray(rng.integers(1, LLM.vocab_size, size=(b, P)),
+                         jnp.int32)
+    mask = jnp.ones((b, P), jnp.int32)
+
+    def decode(cfg, teacher=None):
+        mdl = LlamaForCausalLM(cfg)
+        cache = KVCache.create(cfg, b, max_len=P + T + 1, dtype=jnp.float32)
+        lg, _, cache = mdl.apply(params, prompt, mask, cache)
+        seq = [np.asarray(lg[:, -1], np.float32)]
+        for t in range(T):
+            ref = teacher[t] if teacher is not None else seq[-1]
+            step = jnp.asarray(ref.argmax(-1), jnp.int32)
+            lg, _, cache = mdl.apply(params, step[:, None], None, cache)
+            seq.append(np.asarray(lg[:, 0], np.float32))
+        return seq
+
+    fp = decode(LLM)
+
+    def budget(cfg):
+        qs = decode(cfg, teacher=fp)
+        devs = [np.abs(a - q).max() / (np.abs(a).max() + 1e-9)
+                for a, q in zip(fp, qs)]
+        agree = [(a.argmax(-1) == q.argmax(-1)).mean()
+                 for a, q in zip(fp, qs)]
+        assert all(np.isfinite(q).all() for q in qs)
+        return max(devs), float(np.mean(agree))
+
+    dev8, agree8 = budget(dataclasses.replace(LLM, kv_quant="int8"))
+    assert dev8 < 0.02 and agree8 >= 0.99, (dev8, agree8)
+
+    cfg4 = dataclasses.replace(LLM, kv_quant="int4", kv_quant_group=8,
+                               kv_scale_dtype=scale_dtype)
+    assert KVCache.create(cfg4, 1, 4, jnp.float32).k_scale.dtype == \
+        jnp.dtype(scale_dtype)
+    dev4, agree4 = budget(cfg4)
+    assert dev4 < 0.10 and agree4 >= 0.92, (dev4, agree4)
 
 
 def test_kv_int4_with_flash_decode_rejected():
