@@ -410,9 +410,9 @@ def main():
                 tl["submit"] += time.time() - t0
         except _queue.Empty:
             pass
-        if batcher.active.any():
+        if batcher.has_work:
             t0 = time.time()
-            batcher.step()
+            batcher.step()        # admits every queued request, then chunks
             tl["step"] += time.time() - t0
             tl["n_steps"] += 1
         elif not ingest_done:

@@ -329,6 +329,8 @@ class ContinuousBatcher:
         top_p: Optional[float] = None,
         spec_lookup: Optional[int] = None,
         spec_ngram: int = 2,
+        spec_policy: str = "manual",
+        spec_auto_threshold: Optional[int] = None,
     ):
         """steps_per_sync > 1 enables multi-step scheduling: K decode steps
         run as one compiled lax.scan between host syncs.  Essential on
@@ -350,7 +352,22 @@ class ContinuousBatcher:
         draft token amortizes the step's weight-read + M=1 attention cost.
         Exact in both modes: token-exact under greedy=True,
         distribution-exact under sampling (rejection-sampling acceptance at
-        this batcher's temperature/top_k/top_p, _spec_accept)."""
+        this batcher's temperature/top_k/top_p, _spec_accept).
+
+        `spec_policy="auto"` (with spec_lookup=K) picks the chunk program
+        from live occupancy instead of serving one fixed mode: measured
+        round 4c, PLAIN continuous batching wins saturated bursts (a spec
+        verify chunk pays (K+1)x model cost per step, wasted when lanes are
+        full and acceptance amortization can't beat batch width) while
+        SPECULATION wins the low-occupancy/latency regime (it amortizes the
+        M=1 decode-attention MXU floor + weight read over K+1 positions).
+        The mode is chosen per WAVE — whenever all lanes are idle and
+        requests are queued, spec if at most `spec_auto_threshold` requests
+        are waiting (default max(1, num_lanes // 4)), plain otherwise —
+        because the two disciplines index the KV cache differently (ring
+        clock vs per-lane slot-ordered offsets) and can't mix mid-wave.
+        Entering plain mode resets the cache bookkeeping so the shared-clock
+        invariant holds again."""
         self.model = model
         self.params = params
         self.cfg: LLMConfig = model.llm_cfg
@@ -361,7 +378,13 @@ class ContinuousBatcher:
         self.temperature = temperature
         self.greedy = greedy
         self.steps_per_sync = max(1, steps_per_sync)
-        self.rng = rng if rng is not None else jax.random.key(0)
+        rng = rng if rng is not None else jax.random.key(0)
+        if not jnp.issubdtype(rng.dtype, jax.dtypes.prng_key):
+            # legacy uint32 PRNGKey (shape (2,)): batched admission
+            # broadcasts keys per lane, which needs typed keys — normalize
+            # here so the documented rng parameter accepts both styles
+            rng = jax.random.wrap_key_data(jnp.asarray(rng, jnp.uint32))
+        self.rng = rng
 
         self.cache = KVCache.create(self.cfg, num_lanes, max_len, dtype=cache_dtype)
         vdim = model.gen_cfg.vision_dim
@@ -450,6 +473,36 @@ class ContinuousBatcher:
 
         self.spec_lookup = spec_lookup
         self.spec_ngram = spec_ngram
+        if spec_policy not in ("manual", "auto"):
+            raise ValueError(f"spec_policy must be 'manual' or 'auto', got "
+                             f"{spec_policy!r}")
+        if spec_policy == "auto" and not spec_lookup:
+            raise ValueError("spec_policy='auto' needs spec_lookup=K (the "
+                             "draft length of the speculative tier)")
+        self.spec_policy = spec_policy
+        self.spec_auto_threshold = (spec_auto_threshold
+                                    if spec_auto_threshold is not None
+                                    else max(1, num_lanes // 4))
+        # current chunk discipline: under "manual" it is fixed by
+        # spec_lookup; under "auto" _fill_lanes re-decides it whenever all
+        # lanes are idle (per-wave switching — see __init__ docstring)
+        self._mode = ("spec" if spec_lookup and spec_policy == "manual"
+                      else "plain")
+        if spec_policy == "auto":
+            # entering plain mode after a spec wave must restore the
+            # shared-clock invariant (every lane's write_offset == clock):
+            # zero the bookkeeping, keep the big K/V buffers in place
+            def reset_meta(cache):
+                return KVCache(
+                    k=cache.k, v=cache.v,
+                    write_offset=jnp.zeros_like(cache.write_offset),
+                    true_len=jnp.zeros_like(cache.true_len),
+                    valid=jnp.zeros_like(cache.valid),
+                    k_scale=cache.k_scale, v_scale=cache.v_scale)
+
+            rm_kw = {"out_shardings": cache_sh} if mesh is not None else {}
+            self._reset_meta = jax.jit(reset_meta, donate_argnums=(0,),
+                                       **rm_kw)
         if spec_lookup:
             # greedy=False runs rejection-sampling verification
             # (_spec_accept): distribution-exact vs plain sampling at the
@@ -531,49 +584,62 @@ class ContinuousBatcher:
         self._prefix = (h, lane_cache, int(ids_np.size),
                         int(mask_np.sum()), ids_np)
 
+    @property
+    def has_work(self) -> bool:
+        """Requests in lanes or waiting in the queue (submit no longer
+        admits eagerly — see submit)."""
+        return bool(self.active.any() or self.queue)
+
     def submit(self, req: Request) -> int:
+        """Validate and ENQUEUE a request; admission happens at the next
+        step()/run_until_done().  Deferring admission out of submit is what
+        lets a sequentially-submitted burst admit through ONE batched
+        program (_admit_shared_batch) instead of one per request — measured
+        round 4c, per-submit admission cost 0.7 s of a 1.44 s wall for a
+        16-request burst over the axon relay."""
         if req.input_ids is None and self._prefix is None:
             raise ValueError("request has input_ids=None but no shared "
                              "prefix is registered (set_shared_prefix)")
         prompt_len = (self._prefix[2] if req.input_ids is None
                       else int(np.size(req.input_ids)))
-        if self.spec_lookup:
-            # spec lanes never wrap: offsets are per-lane and slot order
-            # must equal token order for the n>1 verify mask.  Window =
-            # padded prompt + committed budget + K+1 in-flight verify rows.
-            window = prompt_len + req.max_new_tokens + self.spec_lookup + 1
-            if window > self.max_len:
-                raise ValueError(
-                    f"prompt ({prompt_len}) + max_new_tokens "
-                    f"({req.max_new_tokens}) + draft window "
-                    f"({self.spec_lookup + 1}) = {window} exceeds max_len "
-                    f"{self.max_len}")
+        # spec lanes never wrap: offsets are per-lane and slot order must
+        # equal token order for the n>1 verify mask.  Window = padded prompt
+        # + committed budget + K+1 in-flight verify rows.
+        spec_window = (prompt_len + req.max_new_tokens
+                       + (self.spec_lookup or 0) + 1)
+        # ring-buffer safety: a lane's live slot window is its padded prompt
+        # plus its token budget plus up-to-a-chunk of overshoot (a lane
+        # finishing mid-chunk keeps writing garbage rows until the chunk
+        # ends); the window must fit the cache or the ring would overwrite
+        # the lane's own live KV
+        ring_window = prompt_len + req.max_new_tokens + self.steps_per_sync
+        if self.spec_lookup and self.spec_policy == "manual":
+            window, kind = spec_window, f"draft window ({self.spec_lookup + 1})"
+        elif self.spec_lookup:        # auto: either discipline may serve it
+            window = max(spec_window, ring_window)
+            kind = (f"max(draft window {self.spec_lookup + 1}, "
+                    f"steps_per_sync {self.steps_per_sync})")
         else:
-            # ring-buffer safety: a lane's live slot window is its padded
-            # prompt plus its token budget plus up-to-a-chunk of overshoot
-            # (a lane finishing mid-chunk keeps writing garbage rows until
-            # the chunk ends); the window must fit the cache or the ring
-            # would overwrite the lane's own live KV
-            window = prompt_len + req.max_new_tokens + self.steps_per_sync
-            if window > self.max_len:
-                raise ValueError(
-                    f"prompt ({prompt_len}) + max_new_tokens "
-                    f"({req.max_new_tokens}) + steps_per_sync "
-                    f"({self.steps_per_sync}) = {window} exceeds max_len "
-                    f"{self.max_len}: the lane's ring window would wrap onto "
-                    f"its own live KV")
+            window, kind = ring_window, f"steps_per_sync ({self.steps_per_sync})"
+        if window > self.max_len:
+            raise ValueError(
+                f"prompt ({prompt_len}) + max_new_tokens "
+                f"({req.max_new_tokens}) + {kind} = {window} exceeds "
+                f"max_len {self.max_len}: the lane's slot window would "
+                f"wrap onto its own live KV")
         self.results[req.request_id] = Result(req.request_id)
         self._t_start[req.request_id] = time.time()
         self.queue.append(req)
-        self._fill_lanes()
         return req.request_id
 
     def step(self) -> list[int]:
-        """Advance all lanes by up to `steps_per_sync` decode steps with ONE
-        host sync; returns request ids finished during the chunk."""
+        """Admit queued requests, then advance all lanes by up to
+        `steps_per_sync` decode steps with ONE host sync; returns request
+        ids finished during the chunk."""
+        self._fill_lanes()
         if not self.active.any():
             return []
-        if self.spec_lookup:
+        if self._mode == "spec":
             return self._step_spec()
         self.rng, key = jax.random.split(self.rng)
         done0 = jnp.asarray(~self.active)
@@ -658,9 +724,8 @@ class ContinuousBatcher:
 
     def run_until_done(self, max_steps: int = 100000) -> dict[int, Result]:
         steps = 0
-        while (self.active.any() or self.queue) and steps < max_steps:
-            self._fill_lanes()
-            self.step()
+        while self.has_work and steps < max_steps:
+            self.step()               # step() admits, then runs one chunk
             steps += 1
         return self.results
 
@@ -680,12 +745,26 @@ class ContinuousBatcher:
         (first tokens vmapped, prefix cache scattered to all lanes at once)
         instead of ~4 dispatches per request — measured 0.7 s -> one
         dispatch for a 16-request burst over the axon relay."""
+        if (self.spec_policy == "auto" and self.queue
+                and not self.active.any()):
+            # per-wave mode decision: all lanes idle, requests waiting.
+            # Small backlog -> latency tier (speculative); saturating
+            # backlog -> throughput tier (plain ring batching).
+            want = ("spec" if len(self.queue) <= self.spec_auto_threshold
+                    else "plain")
+            if want != self._mode:
+                if want == "plain":
+                    # restore the shared-clock invariant the spec wave broke
+                    self.cache = self._reset_meta(self.cache)
+                    self.clock = 0
+                self._mode = want
+        spec_now = self._mode == "spec"
         batch: list[tuple[int, Request]] = []
         for lane in range(self.num_lanes):
             if self.active[lane] or not self.queue:
                 continue
             req = self.queue.popleft()
-            if req.input_ids is None and not self.spec_lookup:
+            if req.input_ids is None and not spec_now:
                 batch.append((lane, req))
             else:
                 self._admit_one(lane, req)
@@ -736,7 +815,7 @@ class ContinuousBatcher:
                                         dtype=self.cache.k.dtype)
             first, lane_cache = self._prefill(
                 self.params, ids, mask, vis, lane_cache, key)
-        if self.spec_lookup:
+        if self._mode == "spec":
             # per-lane offsets, slot order == token order: plain insert,
             # and the lane's history buffer seeds the draft lookup
             self.cache = self._insert_plain(self.cache, lane_cache, lane)
@@ -841,20 +920,31 @@ class StreamingReportPipeline:
                 _admit(scan)
             return self.batcher.run_until_done()
 
-        q: queue_mod.Queue = queue_mod.Queue()
+        # bounded queue = backpressure: an ingest source that outpaces
+        # decode would otherwise buffer every raw volume in host RAM and
+        # eagerly stage its device transfer/encode (the old pull-one-per-
+        # step loop had this bound implicitly); the feeder blocks on put
+        # when the pipeline is ~2 waves behind
+        q: queue_mod.Queue = queue_mod.Queue(
+            maxsize=max(2 * self.batcher.num_lanes, 4))
         _END = object()
 
         def _feed():
+            # ingest errors must reach the caller, not silently truncate
+            # the run: forward the exception through the queue and re-raise
+            # it at the consuming end (fail-loud, SURVEY §7 quirks: fix)
             try:
                 for s in scans:
                     q.put(s)
+            except BaseException as e:      # noqa: BLE001 — relayed, not handled
+                q.put(e)
             finally:
                 q.put(_END)
 
         threading.Thread(target=_feed, daemon=True).start()
         feeding = True
         while feeding:
-            if self.batcher.active.any():
+            if self.batcher.has_work:
                 try:
                     scan = q.get_nowait()
                 except queue_mod.Empty:
@@ -866,5 +956,7 @@ class StreamingReportPipeline:
             if scan is _END:
                 feeding = False
                 continue
+            if isinstance(scan, BaseException):
+                raise scan
             _admit(scan)
         return self.batcher.run_until_done()

@@ -270,6 +270,10 @@ def test_pipeline_burst_admits_before_stepping(rg):
     orig_step = batcher.step
 
     def counting_step():
+        # admission now happens INSIDE step() (deferred batched admission);
+        # fill here first — idempotent — so the count sees what the chunk
+        # will actually run with
+        batcher._fill_lanes()
         live_at_step.append(int(batcher.active.sum()))
         return orig_step()
 

@@ -134,7 +134,7 @@ def test_spec_batcher_full_acceptance_takes_few_chunks(rg):
                            attention_mask=np.ones(6, np.int32),
                            vision=vision, max_new_tokens=24))
     chunks = 0
-    while batcher.active.any() and chunks < 30:
+    while batcher.has_work and chunks < 30:
         batcher.step()
         chunks += 1
     res = batcher.results[0]
