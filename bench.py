@@ -64,7 +64,13 @@ def bench_tpu(iters: int = 5) -> float:
     rng = np.random.default_rng(0)
     raw = jax.device_put(
         jnp.asarray(rng.integers(-24, 3000, size=RAW_SHAPE), jnp.float32))
-    spacing = jnp.asarray(SPACING, jnp.float32)
+    # HOST constant, deliberately: pipeline_fn closes over `spacing`, so
+    # lowering embeds its VALUE as an MLIR constant.  A device (axon) array
+    # here blocks .lower() on a device->host fetch that waits behind the
+    # relay's first eager-op remote compile — measured 151 s for these 12
+    # bytes (round 5; the whole of round 4's misattributed "140 s Mosaic
+    # lowering").  numpy embeds instantly: lower() is 1.1 s.
+    spacing = np.asarray(SPACING, np.float32)
 
     # param VALUES don't matter for a throughput bench: materialize the tree
     # from eval_shape with cheap numpy randoms (a real CPU init at full size

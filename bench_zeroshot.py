@@ -117,7 +117,11 @@ def main():
     rng = np.random.default_rng(0)
     raw = jax.device_put(
         jnp.asarray(rng.integers(-24, 3000, size=raw_shape), jnp.float32))
-    spacing_arr = jnp.asarray(spacing, jnp.float32)
+    # HOST constant: score_volumes closes over spacing_arr, so lowering
+    # embeds its VALUE — a device array here stalls .lower() on the relay's
+    # first eager-op remote compile (151 s measured for bench.py's identical
+    # 12-byte constant, round 5).  numpy embeds instantly.
+    spacing_arr = np.asarray(spacing, np.float32)
 
     def materialize(tree_def, seed=0):
         host_rng = np.random.default_rng(seed)
@@ -183,7 +187,7 @@ def main():
         img = l2norm(pooled @ w_latent)
         return score_prompt_pairs(img, plat, jnp.float32(1.0))   # (B, 18)
 
-    eps0 = jnp.full((B,), 1e-3, jnp.float32)
+    eps0 = np.full((B,), 1e-3, np.float32)   # host: no eager device dispatch
     t0 = time.time()
     probs0 = score_volumes(params, w_latent, vq_state, raw, eps0, plat)
     _ = np.asarray(probs0)
@@ -198,13 +202,16 @@ def main():
 
     # calibrate device time per volume on synced warm dispatches (the measured
     # loop below may pipeline dispatches, so its per-call times aren't device
-    # times)
+    # times).  The sync is a FORCED FETCH, not block_until_ready: on the
+    # relay block_until_ready performs no data fetch, so subtracting the
+    # fetch-measured roundtrip from it would over-subtract ~one RTT and bias
+    # dev_ms low (ADVICE r4).
     cal = []
-    for j in range(3):
+    for j in range(5):
         t0 = time.time()
         p = score_volumes(params, w_latent, vq_state, raw,
-                          eps0 + jnp.float32(1e-5 * j), plat)
-        jax.block_until_ready(p)
+                          eps0 + np.float32(1e-5 * (j + 1)), plat)
+        _ = np.asarray(p[:1])
         cal.append(time.time() - t0)
     dev_ms = max(float(np.median(cal)) - roundtrip, 1e-4) * 1000 / B
 
@@ -222,8 +229,10 @@ def main():
     chunks = []
     for i in range(n // B):
         t0 = time.time()
-        eps = jnp.float32(1e-3) * (
-            jnp.arange(i * B + 1, (i + 1) * B + 1, dtype=jnp.float32))
+        # eps built on the HOST: the old jnp.arange/jnp.float32 arithmetic
+        # was TWO eager device ops per dispatch — each a relay roundtrip
+        # serialized into the measured loop (part of the r4 device->wall gap)
+        eps = (1e-3 * np.arange(i * B + 1, (i + 1) * B + 1)).astype(np.float32)
         p = score_volumes(params, w_latent, vq_state, raw, eps, plat)
         if args.sync_per_volume:
             chunks.append(np.asarray(p))          # forced fetch per dispatch
@@ -233,7 +242,11 @@ def main():
     if args.sync_per_volume:
         preds = np.concatenate(chunks, axis=0)
     else:
-        preds = np.asarray(jnp.concatenate(chunks, axis=0))  # one sync fetch
+        # fetch AFTER all dispatches are in flight.  Per-chunk np.asarray
+        # fetches (n/B relay roundtrips, all on completed arrays) instead of
+        # one jnp.concatenate: the concat is itself an eager device op whose
+        # first call pays a remote compile inside the measured wall.
+        preds = np.concatenate([np.asarray(c) for c in chunks], axis=0)
     t_score = time.time() - t_start
 
     t0 = time.time()

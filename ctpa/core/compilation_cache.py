@@ -23,9 +23,21 @@ DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(
 def enable_compilation_cache(cache_dir: str | None = None) -> str:
     """Point JAX's persistent compilation cache at `cache_dir` (default:
     <repo>/.jax_cache, overridable via $CTPA_XLA_CACHE_DIR).  Returns the
-    directory in use."""
+    directory in use (empty string when disabled).
+
+    DISABLED on the axon relay backend (override: CTPA_XLA_CACHE_ON_RELAY=1)
+    for the same measured reason core/aot_cache.py disables executable blobs
+    there: the relay keeps no cross-process executable cache, so a local
+    cache HIT skips the local compile but pays a full REMOTE recompile at
+    first execution — measured round 5: hit = 30.4 s load + 287.6 s first
+    exec (318 s total) vs plain compile = ~45 s ready + 0.1 s first exec.
+    On standard TPU hosts the deserialized executable IS the program and
+    the cache stays on."""
     import jax
 
+    if ("axon" in os.environ.get("JAX_PLATFORMS", "")
+            and not os.environ.get("CTPA_XLA_CACHE_ON_RELAY")):
+        return ""
     cache_dir = (cache_dir or os.environ.get("CTPA_XLA_CACHE_DIR")
                  or DEFAULT_DIR)
     os.makedirs(cache_dir, exist_ok=True)
