@@ -145,6 +145,14 @@ def main():
                          "verification unless --spec-sample; amortizes the "
                          "M=1 decode-attention MXU floor over K+1 positions)")
     ap.add_argument("--spec-ngram", type=int, default=2)
+    ap.add_argument("--spec-policy", choices=["manual", "auto"],
+                    default="manual",
+                    help="with --spec-lookup: 'auto' picks the chunk "
+                         "discipline per wave from occupancy — spec verify "
+                         "chunks when at most --spec-auto-threshold "
+                         "requests wait (latency tier), plain ring "
+                         "batching at saturation (throughput tier)")
+    ap.add_argument("--spec-auto-threshold", type=int, default=None)
     ap.add_argument("--spec-sample", action="store_true",
                     help="with --spec-lookup: rejection-sampling acceptance "
                          "at temperature 0.7 (distribution-exact vs plain "
@@ -177,8 +185,14 @@ def main():
     log("devices:", jax.devices())
     import dataclasses
     # cache slack past prompt+budget: a chunk of ring overshoot (plain) or
-    # the K+1 in-flight verify rows (speculative serving)
-    slack = (args.spec_lookup + 1) if args.spec_lookup else args.steps_per_sync
+    # the K+1 in-flight verify rows (speculative serving); auto policy may
+    # serve either discipline, so it needs the larger of the two
+    if args.spec_lookup and args.spec_policy == "auto":
+        slack = max(args.spec_lookup + 1, args.steps_per_sync)
+    elif args.spec_lookup:
+        slack = args.spec_lookup + 1
+    else:
+        slack = args.steps_per_sync
     if args.size == "7b":
         llm_cfg = LLMConfig(max_seq_len=args.prompt_len + args.new_tokens + slack)
         vit_cfg = dataclasses.replace(CTViTConfig(), pallas_patchify=True,
@@ -257,7 +271,10 @@ def main():
             max_len=args.prompt_len + args.new_tokens + slack,
             steps_per_sync=args.steps_per_sync,
             greedy=bool(args.spec_lookup) and not args.spec_sample,
-            spec_lookup=args.spec_lookup or None,
+            # auto policy serves saturated bursts on the PLAIN discipline —
+            # negotiate layouts for its hot program, not the spec chunk
+            spec_lookup=(args.spec_lookup or None
+                         ) if args.spec_policy == "manual" else None,
             spec_ngram=args.spec_ngram)
         log(f"layout negotiation (AOT): {time.time()-t0:.1f}s")
         t0 = time.time()
@@ -279,6 +296,8 @@ def main():
         eos_token_id=2, temperature=0.7, steps_per_sync=args.steps_per_sync,
         greedy=bool(args.spec_lookup) and not args.spec_sample,
         spec_lookup=args.spec_lookup or None, spec_ngram=args.spec_ngram,
+        spec_policy=args.spec_policy,
+        spec_auto_threshold=args.spec_auto_threshold,
         cache_dtype=jnp.bfloat16)
 
     # unified host decode: C++ thread-pool loader for npz, Python thread

@@ -325,3 +325,53 @@ def test_spec_batcher_quantized_kv(rg, kv_quant):
     results = batcher.run_until_done()
     for i in range(2):
         np.testing.assert_array_equal(np.asarray(results[i].tokens), single)
+
+
+def test_auto_policy_picks_tier_by_occupancy(rg):
+    """spec_policy='auto' (VERDICT r4 #5): a single queued request serves on
+    the SPECULATIVE tier, a saturating burst on the PLAIN ring tier, the
+    mode switches only at idle boundaries, and BOTH tiers stay greedy-exact
+    vs single-request generate — so the policy changes cost, never
+    output."""
+    model, params, video = rg
+    rng = np.random.default_rng(4)
+    prompt = rng.integers(3, LLM.vocab_size, size=(6,)).astype(np.int32)
+    mask = np.ones(6, np.int32)
+    vision = model.apply(params, video,
+                         method=CTReportGenerator.extract_vision)[0]
+    single = _single_greedy(model, params, video, prompt, mask, 6, -1)
+
+    batcher = ContinuousBatcher(model, params, num_lanes=4, max_len=40,
+                                eos_token_id=-1, greedy=True,
+                                cache_dtype=jnp.float32, steps_per_sync=2,
+                                spec_lookup=3, spec_policy="auto",
+                                spec_auto_threshold=1)
+    # wave 1: one request <= threshold -> spec tier
+    batcher.submit(Request(request_id=0, input_ids=prompt,
+                           attention_mask=mask, vision=vision,
+                           max_new_tokens=6))
+    batcher.step()
+    assert batcher._mode == "spec"
+    batcher.run_until_done()
+
+    # wave 2: saturating burst > threshold -> plain tier (cache bookkeeping
+    # reset restores the shared-clock invariant)
+    for i in range(1, 5):
+        batcher.submit(Request(request_id=i, input_ids=prompt,
+                               attention_mask=mask, vision=vision,
+                               max_new_tokens=6))
+    batcher.step()
+    assert batcher._mode == "plain"
+    batcher.run_until_done()
+
+    # wave 3: back to a single request -> spec again (switch is two-way)
+    batcher.submit(Request(request_id=5, input_ids=prompt,
+                           attention_mask=mask, vision=vision,
+                           max_new_tokens=6))
+    batcher.step()
+    assert batcher._mode == "spec"
+    results = batcher.run_until_done()
+
+    for i in range(6):
+        assert results[i].finished
+        np.testing.assert_array_equal(np.asarray(results[i].tokens), single)
