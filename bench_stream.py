@@ -414,6 +414,7 @@ def main():
         # (one-admission-per-chunk left a 16-volume burst stepping ~16
         # underfilled chunks before full admission — measured r4: 17 chunks
         # for a workload whose full-lane optimum is ⌈tokens/steps_per_sync⌉)
+        drained = 0
         try:
             while True:
                 item = ready.get_nowait()
@@ -422,6 +423,7 @@ def main():
                     break
                 rid, vis = item
                 n_encodes += 1
+                drained += 1
                 t0 = time.time()
                 batcher.submit(Request(request_id=rid, input_ids=prompt_ids,
                                        attention_mask=prompt_mask, vision=vis,
@@ -429,6 +431,18 @@ def main():
                 tl["submit"] += time.time() - t0
         except _queue.Empty:
             pass
+        if drained and not ingest_done:
+            # admission window: submits are now ~free (deferred batched
+            # admission), so without this beat the first chunk races ahead
+            # of the ingest thread's remaining encode dispatches and runs
+            # underfilled — r4c's 0.7 s of per-submit dispatches was
+            # accidentally the burst coalescer.  3 ms per admission wave
+            # bounds the added latency; a full burst coalesces into one
+            # admission program + optimal chunks.
+            t0 = time.time()
+            time.sleep(0.003)
+            tl["idle"] += time.time() - t0
+            continue
         if batcher.has_work:
             t0 = time.time()
             batcher.step()        # admits every queued request, then chunks

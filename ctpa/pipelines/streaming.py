@@ -456,7 +456,17 @@ class ContinuousBatcher:
         # num_lanes by repeating the last real entry (identical duplicate
         # writes), so one compiled variant serves every burst size.
         def admit_batch(params, cache, cur_tok, vision, h, lane_cache,
-                        clock, lanes, viss, keys):
+                        clock, lanes, viss, key):
+            # per-request keys are derived IN-PROGRAM by folding the lane
+            # index into one base key: the host-side
+            # split(q+1)/concatenate/broadcast chain had burst-size-
+            # dependent shapes, so the first burst of each size paid
+            # first-call eager-op compiles inside the measured serving wall
+            # (r5: ~6 s on chunk 1 of the 16-volume ceiling leg).  Padded
+            # duplicate lanes repeat the last real lane INDEX, so fold_in
+            # gives them identical keys — identical duplicate writes, as
+            # insert_lanes requires.
+            keys = jax.vmap(lambda ln: jax.random.fold_in(key, ln))(lanes)
             firsts = jax.vmap(
                 lambda v, k: first_token(params, h, v[None], k)[0])(viss, keys)
             aligned = align_lane_to_clock(lane_cache, clock)
@@ -783,14 +793,14 @@ class ContinuousBatcher:
                            np.int32)
         viss = jnp.stack([jnp.asarray(r.vision) for _, r in batch]
                          + [jnp.asarray(batch[-1][1].vision)] * pad)
-        keys = jax.random.split(self.rng, q + 1)
-        self.rng = keys[0]
-        keys = jnp.concatenate([keys[1:], jnp.broadcast_to(keys[q:q + 1],
-                                                           (pad,))], axis=0)
+        # ONE base key; per-lane keys fold in-program (shape-static — see
+        # admit_batch).  split() here is always shape (2,): warm after the
+        # first admission of any size.
+        self.rng, key = jax.random.split(self.rng)
         self.cache, self.cur_tok, self.vision = self._admit_batch(
             self.params, self.cache, self.cur_tok, self.vision, h,
             lane_cache, jnp.asarray(self.clock, jnp.int32),
-            jnp.asarray(lanes), viss, keys)
+            jnp.asarray(lanes), viss, key)
         for lane, req in batch:
             self.active[lane] = True
             self._first_pending[lane] = True
