@@ -342,6 +342,16 @@ def main():
                            attention_mask=prompt_mask, vision=v0,
                            max_new_tokens=8))
     batcher.run_until_done()
+    if args.spec_policy == "auto":
+        # the single-request warmup above compiled only the SPEC tier's
+        # programs (1 <= threshold); warm the PLAIN tier too with a
+        # saturating burst, or its chunk/admission programs compile inside
+        # the measured wall (r5: 128 s p-max on the first auto-burst leg)
+        for i in range(batcher.spec_auto_threshold + 1):
+            batcher.submit(Request(request_id=-2 - i, input_ids=prompt_ids,
+                                   attention_mask=prompt_mask, vision=v0,
+                                   max_new_tokens=8))
+        batcher.run_until_done()
     batcher.results.clear()
     log(f"warmup (compile prefill+decode+encode): {time.time()-t0:.1f}s")
 

@@ -269,10 +269,14 @@ def negotiate_param_formats(
     sds = jax.ShapeDtypeStruct
     auto = jax.tree.map(lambda _: Format(Layout.AUTO), param_shapes)
     if spec_lookup:
-        # spec serving's hot program is the verify chunk, not decode_chunk
+        # spec serving's hot program is the verify chunk, not decode_chunk.
+        # Chunk length mirrors ContinuousBatcher.spec_steps (each verify
+        # covers up to K+1 tokens) so the negotiated layouts belong to the
+        # program the batcher actually runs.
+        spec_steps = max(1, -(-steps_per_sync // (int(spec_lookup) + 1)))
         spec_chunk = _spec_fns(model, eos_token_id=eos_token_id,
                                K=int(spec_lookup), ngram=int(spec_ngram),
-                               steps_per_sync=steps_per_sync, greedy=greedy,
+                               steps_per_sync=spec_steps, greedy=greedy,
                                temperature=temperature, top_k=top_k,
                                top_p=top_p)
         compiled = jax.jit(
@@ -331,6 +335,7 @@ class ContinuousBatcher:
         spec_ngram: int = 2,
         spec_policy: str = "manual",
         spec_auto_threshold: Optional[int] = None,
+        spec_steps_per_sync: Optional[int] = None,
     ):
         """steps_per_sync > 1 enables multi-step scheduling: K decode steps
         run as one compiled lax.scan between host syncs.  Essential on
@@ -518,9 +523,20 @@ class ContinuousBatcher:
             # (_spec_accept): distribution-exact vs plain sampling at the
             # same temperature/top-k/top-p — the reference's production
             # decode mode (model_components.py:249-252)
+            # the spec tier gets its OWN chunk length: each verify step
+            # covers up to K+1 tokens, so running the plain tier's
+            # steps_per_sync verifies per chunk overshoots a request's
+            # budget by ~K+1x — the extra steps are pure waste once lanes
+            # finish mid-chunk (r5 measured: 32-verify chunks cost 1.56 s
+            # each at lanes 32; a 64-token request needs ~8 verifies).
+            # Default matches the plain tier's per-chunk token budget.
+            self.spec_steps = max(1, spec_steps_per_sync
+                                  if spec_steps_per_sync is not None
+                                  else -(-self.steps_per_sync
+                                         // (int(spec_lookup) + 1)))
             spec_chunk = _spec_fns(
                 model, eos_token_id=self.eos, K=int(spec_lookup),
-                ngram=int(spec_ngram), steps_per_sync=self.steps_per_sync,
+                ngram=int(spec_ngram), steps_per_sync=self.spec_steps,
                 greedy=greedy, temperature=temperature, top_k=top_k,
                 top_p=top_p)
             spec_kw, pins_kw = {}, {}
@@ -697,7 +713,7 @@ class ContinuousBatcher:
             self.params, self.cache, self.cur_tok, self.vision, key, done0,
             self.buf, self.cur_len, self.remaining)
         w = np.asarray(wire)                              # one fetch
-        K, S = self.spec_lookup, self.steps_per_sync
+        K, S = self.spec_lookup, self.spec_steps
         entry, rest = w[0], w[1:].reshape(S, K + 2, self.num_lanes)
         finished = []
         for lane in range(self.num_lanes):
