@@ -346,9 +346,24 @@ def main():
         # the single-request warmup above compiled only the SPEC tier's
         # programs (1 <= threshold); warm the PLAIN tier too with a
         # saturating burst, or its chunk/admission programs compile inside
-        # the measured wall (r5: 128 s p-max on the first auto-burst leg)
+        # the measured wall (r5: 128 s p-max on the first auto-burst leg).
+        # Then run ONE MORE spec wave: the cache buffer's layout provenance
+        # differs after it has been donated through the plain chunk +
+        # bookkeeping reset, and a spec chunk first seeing that layout
+        # re-lowers and REMOTE-recompiles (~95 s measured in-wall on the
+        # r5b auto-burst leg).  Warming each tier on both provenances keeps
+        # every transition's executable out of the measured wall.
         for i in range(batcher.spec_auto_threshold + 1):
             batcher.submit(Request(request_id=-2 - i, input_ids=prompt_ids,
+                                   attention_mask=prompt_mask, vision=v0,
+                                   max_new_tokens=8))
+        batcher.run_until_done()
+        batcher.submit(Request(request_id=-100, input_ids=prompt_ids,
+                               attention_mask=prompt_mask, vision=v0,
+                               max_new_tokens=8))
+        batcher.run_until_done()
+        for i in range(batcher.spec_auto_threshold + 1):
+            batcher.submit(Request(request_id=-200 - i, input_ids=prompt_ids,
                                    attention_mask=prompt_mask, vision=v0,
                                    max_new_tokens=8))
         batcher.run_until_done()
@@ -450,7 +465,7 @@ def main():
             # bounds the added latency; a full burst coalesces into one
             # admission program + optimal chunks.
             t0 = time.time()
-            time.sleep(0.003)
+            time.sleep(0.01)
             tl["idle"] += time.time() - t0
             continue
         if batcher.has_work:
