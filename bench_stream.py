@@ -153,6 +153,12 @@ def main():
                          "requests wait (latency tier), plain ring "
                          "batching at saturation (throughput tier)")
     ap.add_argument("--spec-auto-threshold", type=int, default=None)
+    ap.add_argument("--spec-accept-floor", default="auto",
+                    help="acceptance-adaptive demotion floor for "
+                         "--spec-policy auto: 'auto' (0.6*(K+1)), 'none' "
+                         "(pure occupancy policy), or a float — waves whose "
+                         "acceptance EWMA (tokens/verify) is below the "
+                         "floor serve plain even at trickle occupancy")
     ap.add_argument("--spec-sample", action="store_true",
                     help="with --spec-lookup: rejection-sampling acceptance "
                          "at temperature 0.7 (distribution-exact vs plain "
@@ -298,6 +304,9 @@ def main():
         spec_lookup=args.spec_lookup or None, spec_ngram=args.spec_ngram,
         spec_policy=args.spec_policy,
         spec_auto_threshold=args.spec_auto_threshold,
+        spec_accept_floor=(None if args.spec_accept_floor == "none"
+                           else "auto" if args.spec_accept_floor == "auto"
+                           else float(args.spec_accept_floor)),
         cache_dtype=jnp.bfloat16)
 
     # unified host decode: C++ thread-pool loader for npz, Python thread
@@ -342,7 +351,26 @@ def main():
                            attention_mask=prompt_mask, vision=v0,
                            max_new_tokens=8))
     batcher.run_until_done()
+    # second wave, ALWAYS: the first wave ran admission/chunk on the freshly
+    # created cache buffer; after run_until_done the cache's layout
+    # provenance is the decode chunk's donated OUTPUT, and a program first
+    # seeing that provenance re-lowers and remote-recompiles INSIDE the
+    # measured wall (r5c measured: the plain devres ceiling leg's 2 chunks
+    # cost 2.8 s vs the multi-wave-warmed auto leg's 0.7 s for the same
+    # workload/programs).  One more wave pins every steady-state layout.
+    batcher.submit(Request(request_id=-3, input_ids=prompt_ids,
+                           attention_mask=prompt_mask, vision=v0,
+                           max_new_tokens=8))
+    batcher.run_until_done()
     if args.spec_policy == "auto":
+        # warmup must cover BOTH tiers regardless of the acceptance floor
+        # (the adaptive lever would demote the second spec wave on this
+        # random-token workload and leave the spec chunk un-warmed on the
+        # donated-cache provenance); the floor is restored for the measured
+        # run, which keeps the warmup waves' EWMA as policy history — a
+        # production server carries its own history the same way
+        _saved_floor = batcher.spec_accept_floor
+        batcher.spec_accept_floor = None
         # the single-request warmup above compiled only the SPEC tier's
         # programs (1 <= threshold); warm the PLAIN tier too with a
         # saturating burst, or its chunk/admission programs compile inside
@@ -367,6 +395,11 @@ def main():
                                    attention_mask=prompt_mask, vision=v0,
                                    max_new_tokens=8))
         batcher.run_until_done()
+        batcher.spec_accept_floor = _saved_floor
+        if batcher.spec_accept_floor is not None:
+            log(f"spec acceptance EWMA after warmup: "
+                f"{batcher._spec_accept_ewma:.2f} tokens/verify "
+                f"(demotion floor {batcher.spec_accept_floor:.2f})")
     batcher.results.clear()
     log(f"warmup (compile prefill+decode+encode): {time.time()-t0:.1f}s")
 
@@ -480,6 +513,10 @@ def main():
     th.join()
     results = batcher.results
     wall = time.time() - t_start
+    # capture BEFORE calibration: its single-request waves re-run the auto
+    # policy and would overwrite the measured run's discipline/EWMA
+    last_wave_mode = batcher._mode
+    accept_ewma = batcher._spec_accept_ewma
     log(f"timeline: fetch {tl['fetch']:.1f}s, upload {tl['put']:.1f}s, "
         f"encode-dispatch {tl['enc']:.1f}s (ingest thread); "
         f"{tl['n_steps']} decode chunks totalling {tl['step']:.1f}s, "
@@ -543,6 +580,10 @@ def main():
         "size": args.size,
         "ingest_format": args.ingest_format,
         "device_resident": bool(args.device_resident),
+        **({"last_wave_mode": last_wave_mode,
+            "spec_accept_ewma": (None if accept_ewma is None
+                                 else round(accept_ewma, 2))}
+           if args.spec_policy == "auto" else {}),
     }))
 
 

@@ -336,6 +336,8 @@ class ContinuousBatcher:
         spec_policy: str = "manual",
         spec_auto_threshold: Optional[int] = None,
         spec_steps_per_sync: Optional[int] = None,
+        spec_accept_floor="auto",
+        spec_reprobe_every: int = 8,
     ):
         """steps_per_sync > 1 enables multi-step scheduling: K decode steps
         run as one compiled lax.scan between host syncs.  Essential on
@@ -372,7 +374,24 @@ class ContinuousBatcher:
         because the two disciplines index the KV cache differently (ring
         clock vs per-lane slot-ordered offsets) and can't mix mid-wave.
         Entering plain mode resets the cache bookkeeping so the shared-clock
-        invariant holds again."""
+        invariant holds again.
+
+        `spec_accept_floor` makes the auto policy ACCEPTANCE-adaptive on
+        top of occupancy: speculation only pays when drafts actually
+        accept, which depends on the text (prompt-lookup n-grams repeat in
+        real clinical reports, ~never in random-token benches — r5c
+        measured the spec tier at 3.63 s p50 for a 2-request trickle where
+        plain chunks would have served it in ~0.7 s, because acceptance was
+        ~1 token/verify).  The batcher keeps an EWMA of tokens emitted per
+        verify step over its spec chunks; when a wave qualifies for the
+        spec tier by occupancy but the EWMA is below the floor, the wave is
+        DEMOTED to plain.  "auto" sets the floor to 0.6*(K+1) — the
+        measured break-even of verify-chunk vs plain-chunk cost per emitted
+        token (r5c: spec chunks ~220 ms/spec_steps verifies vs plain
+        ~317 ms/steps_per_sync tokens).  None disables the lever (pure
+        occupancy policy).  Every `spec_reprobe_every`-th demoted wave runs
+        speculatively anyway to refresh the EWMA, so a workload whose text
+        becomes repetitive wins the tier back."""
         self.model = model
         self.params = params
         self.cfg: LLMConfig = model.llm_cfg
@@ -498,6 +517,15 @@ class ContinuousBatcher:
         self.spec_auto_threshold = (spec_auto_threshold
                                     if spec_auto_threshold is not None
                                     else max(1, num_lanes // 4))
+        if spec_accept_floor == "auto":
+            spec_accept_floor = (0.6 * (int(spec_lookup) + 1)
+                                 if spec_lookup else None)
+        self.spec_accept_floor = spec_accept_floor
+        self.spec_reprobe_every = max(1, int(spec_reprobe_every))
+        # EWMA of tokens emitted per verify step (1..K+1), refreshed by
+        # every spec chunk; None until the first spec chunk runs
+        self._spec_accept_ewma: Optional[float] = None
+        self._demoted_waves = 0
         # current chunk discipline: under "manual" it is fixed by
         # spec_lookup; under "auto" _fill_lanes re-decides it whenever all
         # lanes are idle (per-wave switching — see __init__ docstring)
@@ -716,6 +744,7 @@ class ContinuousBatcher:
         K, S = self.spec_lookup, self.spec_steps
         entry, rest = w[0], w[1:].reshape(S, K + 2, self.num_lanes)
         finished = []
+        slots = emitted = 0        # verify steps consumed / tokens they emitted
         for lane in range(self.num_lanes):
             if not self.active[lane]:
                 continue
@@ -740,10 +769,19 @@ class ContinuousBatcher:
             for s in range(S):
                 if res.finished:
                     break
+                # device-emitted count for the acceptance EWMA, whether or
+                # not the budget lets the host consume every token
+                slots += 1
+                emitted += int(rest[s, 0, lane])
                 for k in range(int(rest[s, 0, lane])):
                     if res.finished:
                         break
                     consume(int(rest[s, 1 + k, lane]))
+        if slots:
+            a = emitted / slots
+            self._spec_accept_ewma = (
+                a if self._spec_accept_ewma is None
+                else 0.5 * self._spec_accept_ewma + 0.5 * a)
         if finished:
             self._fill_lanes()
         return finished
@@ -778,6 +816,19 @@ class ContinuousBatcher:
             # backlog -> throughput tier (plain ring batching).
             want = ("spec" if len(self.queue) <= self.spec_auto_threshold
                     else "plain")
+            if (want == "spec" and self.spec_accept_floor is not None
+                    and self._spec_accept_ewma is not None
+                    and self._spec_accept_ewma < self.spec_accept_floor):
+                # acceptance-adaptive demotion: drafts aren't accepting, so
+                # a verify chunk emits fewer tokens per unit cost than a
+                # plain chunk — serve this wave plain.  Every
+                # spec_reprobe_every-th demoted wave probes spec again to
+                # refresh the EWMA.
+                self._demoted_waves += 1
+                if self._demoted_waves >= self.spec_reprobe_every:
+                    self._demoted_waves = 0          # probe wave: keep spec
+                else:
+                    want = "plain"
             if want != self._mode:
                 if want == "plain":
                     # restore the shared-clock invariant the spec wave broke

@@ -345,7 +345,13 @@ def test_auto_policy_picks_tier_by_occupancy(rg):
                                 eos_token_id=-1, greedy=True,
                                 cache_dtype=jnp.float32, steps_per_sync=2,
                                 spec_lookup=3, spec_policy="auto",
-                                spec_auto_threshold=1)
+                                spec_auto_threshold=1,
+                                # pure-occupancy assertions: disable the
+                                # acceptance-adaptive lever (random-weight
+                                # fixtures accept ~nothing, which would
+                                # demote wave 3 — tested separately in
+                                # test_auto_policy_acceptance_demotion)
+                                spec_accept_floor=None)
     # wave 1: one request <= threshold -> spec tier
     batcher.submit(Request(request_id=0, input_ids=prompt,
                            attention_mask=mask, vision=vision,
@@ -373,5 +379,60 @@ def test_auto_policy_picks_tier_by_occupancy(rg):
     results = batcher.run_until_done()
 
     for i in range(6):
+        assert results[i].finished
+        np.testing.assert_array_equal(np.asarray(results[i].tokens), single)
+
+
+def test_auto_policy_acceptance_demotion(rg):
+    """The acceptance-adaptive lever (r5): a wave that qualifies for the
+    spec tier by occupancy is DEMOTED to plain while the acceptance EWMA
+    sits below the floor, re-probes speculatively every
+    spec_reprobe_every-th demoted wave, and wins the tier back when the
+    EWMA clears the floor — with token output identical throughout (both
+    tiers are greedy-exact)."""
+    model, params, video = rg
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(3, LLM.vocab_size, size=(6,)).astype(np.int32)
+    mask = np.ones(6, np.int32)
+    vision = model.apply(params, video,
+                         method=CTReportGenerator.extract_vision)[0]
+    single = _single_greedy(model, params, video, prompt, mask, 6, -1)
+
+    batcher = ContinuousBatcher(model, params, num_lanes=4, max_len=40,
+                                eos_token_id=-1, greedy=True,
+                                cache_dtype=jnp.float32, steps_per_sync=2,
+                                spec_lookup=3, spec_policy="auto",
+                                spec_auto_threshold=1,
+                                # floor above the achievable max (K+1 = 4):
+                                # demotion is deterministic regardless of
+                                # what the random-weight model's drafts
+                                # happen to accept
+                                spec_accept_floor=5.0, spec_reprobe_every=3)
+
+    def wave(rid):
+        batcher.submit(Request(request_id=rid, input_ids=prompt,
+                               attention_mask=mask, vision=vision,
+                               max_new_tokens=6))
+        batcher.step()
+        mode = batcher._mode
+        batcher.run_until_done()
+        return mode
+
+    # wave 1: no EWMA yet -> optimistic spec probe
+    assert wave(0) == "spec"
+    # the probe recorded an EWMA (necessarily below the unreachable floor)
+    assert batcher._spec_accept_ewma is not None
+    assert batcher._spec_accept_ewma < batcher.spec_accept_floor
+    # waves 2-3: demoted to plain despite trickle occupancy
+    assert wave(1) == "plain"
+    assert wave(2) == "plain"
+    # wave 4: third demotion candidate is the re-probe -> spec again
+    assert wave(3) == "spec"
+    # force the EWMA above the floor: occupancy rules alone apply again
+    batcher._spec_accept_ewma = 10.0
+    assert wave(4) == "spec"
+
+    results = batcher.results
+    for i in range(5):
         assert results[i].finished
         np.testing.assert_array_equal(np.asarray(results[i].tokens), single)
