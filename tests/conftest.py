@@ -49,14 +49,41 @@ def mesh8():
 
 
 @pytest.fixture(autouse=True)
+def _drain_pending_effects():
+    """Interpret-mode pallas programs run their loads/stores as io_callbacks
+    on a runtime callback thread, and those callbacks themselves dispatch
+    EAGER jax ops; they can still be in flight after the program's outputs
+    are fetched.  If the next test (or the next statement) then dispatches
+    eager ops from the main thread, the two dispatches can deadlock
+    (captured 2026-08-21: callback thread inside interpret_pallas_call
+    `store` -> jax.Array genexpr, main thread inside eager `square` from a
+    LayerNorm — suite hung in test_context_parallel on 2 of 3 runs that
+    day).  Draining pending effects after every test closes the cross-test
+    window; multi-program interpret tests also barrier internally.  Cost
+    when nothing is pending: ~0."""
+    yield
+    jax.effects_barrier()
+
+
+@pytest.fixture(autouse=True)
 def _hang_watchdog():
     """Interpret-mode pallas tests very rarely deadlock (0% CPU, io-callback
-    race inside JAX's interpreter; observed ~1/300 runs).  A silent hang
-    wastes a whole CI slot — instead dump every thread's stack and kill the
-    run after 15 min so the log shows WHERE it stuck.  The timer is re-armed
-    per test and cancelled on completion; no passing test is affected."""
+    race inside JAX's interpreter; see _INTERPRET_MODULES above for the
+    warm-cache aggravation).  A silent hang wastes a whole CI slot — instead
+    dump every thread's stack and kill the run after 15 min so the log shows
+    WHERE it stuck.  The timer is re-armed per test and cancelled on
+    completion; no passing test is affected.  The dump goes to a DEDICATED
+    file (default /tmp/ctpa_test_watchdog_dump.txt): pytest's fd-level
+    capture owns both sys.stderr and fd 2 at arm time, so dumps written to
+    either die with the process — both suite hangs of 2026-08-21 exited
+    with empty logs until this was a separate file."""
     import faulthandler
 
-    faulthandler.dump_traceback_later(900, exit=True)
+    timeout = float(os.environ.get("CTPA_TEST_WATCHDOG_S", "900"))
+    path = os.environ.get("CTPA_TEST_WATCHDOG_DUMP",
+                          "/tmp/ctpa_test_watchdog_dump.txt")
+    f = open(path, "a")
+    faulthandler.dump_traceback_later(timeout, exit=True, file=f)
     yield
     faulthandler.cancel_dump_traceback_later()
+    f.close()

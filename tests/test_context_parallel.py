@@ -128,9 +128,32 @@ def test_ctvit_fused_encoder_cp_matches_unsharded(rng):
         return m.encode_tokens(m.patch_embed(v))
 
     with pltpu.force_tpu_interpret_mode():
-        params = base.init(jax.random.key(0), video, method=lambda m, v: encode(m, v))
-        want = base.apply(params, video, method=lambda m, v: encode(m, v))
-        got = cp.apply(params, video, method=lambda m, v: encode(m, v))
+        # Every program here is JITTED and drained before the next starts.
+        # Un-jitted, the eager apply dispatches ops one at a time from the
+        # main thread WHILE the interpret-mode pallas call's io_callbacks
+        # (loads/stores on the runtime callback thread, themselves eager
+        # dispatches) are still in flight — the two eager dispatchers
+        # deadlock (stack captured 2026-08-21: callback thread in
+        # interpret `store`, main thread in the post-attention LayerNorm's
+        # eager `square`; the suite hung here on 2 of 3 runs that day).
+        # Under jit the callbacks run inside one program execution and the
+        # main thread only waits; block_until_ready + effects_barrier stop
+        # trailing callbacks from racing the NEXT program's dispatch.
+        params = jax.jit(
+            lambda k, v: base.init(k, v, method=lambda m, vv: encode(m, vv))
+        )(jax.random.key(0), video)
+        jax.block_until_ready(params)
+        jax.effects_barrier()
+        want = jax.jit(
+            lambda p, v: base.apply(p, v, method=lambda m, vv: encode(m, vv))
+        )(params, video)
+        jax.block_until_ready(want)
+        jax.effects_barrier()
+        got = jax.jit(
+            lambda p, v: cp.apply(p, v, method=lambda m, vv: encode(m, vv))
+        )(params, video)
+        jax.block_until_ready(got)
+        jax.effects_barrier()
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
 
