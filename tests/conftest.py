@@ -16,6 +16,19 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
+# SYNCHRONOUS dispatch on the CPU test backend: interpret-mode pallas
+# programs run their loads/stores/DMA-clock updates as io_callbacks on a
+# runtime callback thread, and those callbacks dispatch EAGER jax ops; with
+# async dispatch the main thread keeps dispatching its own eager ops (an
+# un-jitted apply, an eager grad transpose) while the callbacks are in
+# flight, and the two eager dispatchers deadlock.  Hit 3 full-suite runs on
+# 2026-08-21 (stacks in docs/ROUND5_NOTES.md: interpret `store` /
+# `update_clocks_for_device_barrier` on the callback thread vs eager
+# `square`/`dot_general_transpose` on the main thread).  Synchronous
+# dispatch closes the overlap window at the source; test wall-time cost is
+# negligible (1-core box, compile- and emulation-dominated).
+jax.config.update("jax_cpu_enable_async_dispatch", False)
+
 # Persistent XLA compilation cache for the CPU test runs: the suite's wall
 # time is dominated by hundreds of small jit compiles (VERDICT r4 #8); a
 # warm cache loads them in ms.  Safe here — tests are pinned to the CPU
