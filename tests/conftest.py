@@ -16,18 +16,24 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
-# SYNCHRONOUS dispatch on the CPU test backend: interpret-mode pallas
-# programs run their loads/stores/DMA-clock updates as io_callbacks on a
-# runtime callback thread, and those callbacks dispatch EAGER jax ops; with
-# async dispatch the main thread keeps dispatching its own eager ops (an
-# un-jitted apply, an eager grad transpose) while the callbacks are in
-# flight, and the two eager dispatchers deadlock.  Hit 3 full-suite runs on
-# 2026-08-21 (stacks in docs/ROUND5_NOTES.md: interpret `store` /
+# Interpret-mode pallas programs run their loads/stores/DMA-clock updates
+# as io_callbacks on a runtime callback thread, and those callbacks
+# dispatch EAGER jax ops; with async dispatch the main thread keeps
+# dispatching its own eager ops (an un-jitted apply, an eager grad
+# transpose) while the callbacks are in flight, and the two eager
+# dispatchers deadlock.  Hit 3 full-suite runs on 2026-08-21 (stacks in
+# docs/ROUND5_NOTES.md: interpret `store` /
 # `update_clocks_for_device_barrier` on the callback thread vs eager
-# `square`/`dot_general_transpose` on the main thread).  Synchronous
-# dispatch closes the overlap window at the source; test wall-time cost is
-# negligible (1-core box, compile- and emulation-dominated).
-jax.config.update("jax_cpu_enable_async_dispatch", False)
+# `square`/`dot_general_transpose` on the main thread).  Fix: SYNCHRONOUS
+# dispatch — every eager op, callbacks included, completes before the next
+# dispatch.  Scoped to the modules that use force_tpu_interpret_mode /
+# interpret=True (fixture below): suite-wide it cost ~5 min of full-suite
+# wall (21:26 vs 16:14); cross-module callback trailing is closed by
+# _drain_pending_effects.
+_INTERPRET_MODULES = {
+    "test_context_parallel", "test_flash_attention", "test_quant",
+    "test_fallback_and_fused", "test_llm", "test_round2_utils",
+}
 
 # Persistent XLA compilation cache for the CPU test runs: the suite's wall
 # time is dominated by hundreds of small jit compiles (VERDICT r4 #8); a
@@ -59,6 +65,20 @@ def mesh8():
     from ctpa.core.mesh import create_mesh
 
     return create_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+
+
+@pytest.fixture(autouse=True)
+def _sync_dispatch_for_interpret_modules(request):
+    """See _INTERPRET_MODULES above: synchronous dispatch wherever
+    interpret-mode io_callbacks can be in flight, async everywhere else."""
+    name = getattr(getattr(request, "module", None), "__name__",
+                   "").rsplit(".", 1)[-1]
+    if name in _INTERPRET_MODULES:
+        jax.config.update("jax_cpu_enable_async_dispatch", False)
+        yield
+        jax.config.update("jax_cpu_enable_async_dispatch", True)
+    else:
+        yield
 
 
 @pytest.fixture(autouse=True)
